@@ -1,0 +1,67 @@
+"""Text-analysis column functions for the training-data pipeline operators.
+
+All JVM-side (split/regexp/transform/aggregate) — no Python in the hot
+path. These feed the dedup / language-ID / quality-scoring operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WHITESPACE = r"\s+"
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, collapse whitespace, trim — canonical form for
+    fingerprinting and exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), WHITESPACE, " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(F.trim(col), WHITESPACE)
+
+
+def token_count(col: Column) -> Column:
+    """Token count as BIGINT (0 for empty/blank text)."""
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(
+        F.size(tokens(col))
+    ).cast("long")
+
+
+def punct_ratio(col: Column) -> Column:
+    """Share of characters that are not alphanumeric or space."""
+    clean = F.length(F.regexp_replace(col, r"[A-Za-z0-9 ]", ""))
+    return clean / F.length(col)
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles → array<string>.
+
+    Built with ``transform`` over an index ``sequence`` so it stays a
+    native expression; documents shorter than k words yield an empty array.
+    (Guarded: Spark's ``sequence(1, 0)`` counts *down*, so the sequence is
+    only built when the document has ≥ k tokens.)
+    """
+    toks = tokens(normalize_text(col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(k)]
+    )
+    return F.when(
+        n >= k, F.array_distinct(F.transform(idx, shingle))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def stopword_hits(col: Column, stopwords: list[str]) -> Column:
+    """Number of tokens that are in ``stopwords`` (with repeats)."""
+    toks = tokens(normalize_text(col))
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))

@@ -1,0 +1,265 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design notes (the point of each algorithm at 100 TB):
+
+- **exact**: one hash-aggregate on the content fingerprint — one shuffle of
+  (hash, id), no text movement if the fingerprint is precomputed.
+- **n-gram Jaccard**: exact pairwise similarity, but only *within candidate
+  pairs*; generating all pairs is O(n²) and must never happen globally.
+  The candidate generator here is the shingle inverted index (explode →
+  self-join on shingle), which is the textbook shuffle-heavy exact method —
+  bounded by frequent-shingle skew, so hot shingles are dropped via a
+  document-frequency cap (stopword shingles pair everything with
+  everything; capping df both fixes skew and removes noise pairs).
+- **MinHash+LSH**: the scale path — k hash functions over shingles →
+  signature; band the signature; join on (band_idx, band_hash). Shuffle is
+  O(n·bands), independent of pair count. Hash = first 60 bits of
+  md5(salt|shingle) so the signature is deterministic and reproducible by
+  any engine (no RNG state).
+- **SimHash**: 64-bit fingerprint whose Hamming distance tracks cosine
+  similarity of the token multiset; near-dup candidates join on rotated
+  prefix blocks. Cheapest per-row state (8 bytes).
+- **embedding near-dup**: see operators/similarity.py — cosine threshold
+  over LSH/IVF buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from land_registry_data_ingestion_spark.functions.text import (
+    fingerprint,
+    word_shingles,
+)
+
+# --- exact ------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Group rows by normalized-content fingerprint: one row per distinct
+    content with the canonical (min) id and the duplicate count."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("doc_fingerprint"))
+        .groupBy("doc_fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep exactly one row (min id) per distinct normalized content."""
+    w_min = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(w_min, id_col, "left_semi")
+
+
+# --- shingle inverted index + exact Jaccard ---------------------------------
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), k).alias("shingles"),
+    ).withColumn("n_shingles", F.size("shingles"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.05,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All document pairs (a < b) with shingle-set Jaccard ≥ threshold.
+
+    |A∩B| from the inverted-index self-join; |A∪B| = |A|+|B|-|A∩B|.
+    ``max_shingle_df`` drops shingles appearing in more than that many docs
+    (skew + noise control at scale).
+    """
+    sh = _shingled(df, id_col, text_col, k)
+    posting = sh.select("doc", "n_shingles", F.explode("shingles").alias("shingle"))
+    if max_shingle_df is not None:
+        rare = (
+            posting.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        posting = posting.join(rare, "shingle", "left_semi")
+    a = posting.select(
+        F.col("shingle"),
+        F.col("doc").alias("doc_a"),
+        F.col("n_shingles").alias("n_a"),
+    )
+    b = posting.select(
+        F.col("shingle"),
+        F.col("doc").alias("doc_b"),
+        F.col("n_shingles").alias("n_b"),
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+def _md5_hash64(col, salt: int):
+    """Deterministic 60-bit integer hash: first 15 hex chars of
+    md5(salt|value). Reproducible in any engine with md5 — no RNG."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}|"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per document: for each of ``num_hashes`` salted
+    hash functions, the min hash over the document's shingle set.
+
+    Columnar throughout: shingles stay an array; each signature component is
+    ``array_min(transform(shingles, md5 hash))`` — no explode, no shuffle.
+    """
+    sh = _shingled(df, id_col, text_col, k).filter(F.col("n_shingles") > 0)
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("shingles"), lambda s, i=i: _md5_hash64(s, i))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.select(F.col("doc"), *sig_cols)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, num_hashes: int = 16, band_size: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a
+    candidate pair. Join key is (band_idx, band_hash) — shuffle volume is
+    rows × bands, never rows²."""
+    n_bands = num_hashes // band_size
+    bands = signatures.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh_{b * band_size + j}")
+                                    for j in range(band_size)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc", "band.band_idx", "band.band_hash")
+    a = bands.select("band_idx", "band_hash", F.col("doc").alias("doc_a"))
+    b = bands.select("band_idx", "band_hash", F.col("doc").alias("doc_b"))
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates verified with exact Jaccard
+    (verify step touches only candidate pairs)."""
+    sh = _shingled(df, id_col, text_col, k)
+    cands = minhash_lsh_candidates(
+        minhash_signatures(df, id_col, text_col, k, num_hashes),
+        num_hashes,
+        band_size,
+    )
+    a = sh.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        joined.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 60
+) -> DataFrame:
+    """SimHash over the distinct token set: bit b of the fingerprint is the
+    majority vote of bit b across token hashes.
+
+    Token hash = the same md5-derived 60-bit integer as MinHash, so the
+    fingerprint is engine-reproducible (an xxhash64 variant would be faster
+    but oracle-opaque). Implemented as explode → per-bit conditional sums →
+    reassemble: one shuffle by id, all arithmetic JVM-side.
+    """
+    assert bits <= 60, "md5-derived hash provides 60 bits"
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+                    " ",
+                )
+            )
+        ).alias("tok"),
+    ).withColumn("h", _md5_hash64(F.col("tok"), 0))
+    bit_sums = toks.groupBy("doc").agg(
+        F.count("*").alias("n_tok"),
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"bit_{b}")
+            for b in range(bits)
+        ],
+    )
+    fp = None
+    for b in range(bits):
+        bit = (F.col(f"bit_{b}") * 2 > F.col("n_tok")).cast("long") * F.lit(1 << b)
+        fp = bit if fp is None else fp + bit
+    return bit_sums.select(F.col("doc").alias(id_col), fp.alias(f"simhash{bits}"))

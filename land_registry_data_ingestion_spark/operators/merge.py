@@ -1,0 +1,215 @@
+"""CDC merge: A/C/D change-file application as ONE full-outer join pass.
+
+Reproduces the reference's 11-outcome decision matrix
+(``LRD/land_registry_monthly_update_database_updater.py:141-341,960-1013``)
+— but where the reference runs 3-4 point queries plus a commit *per row*
+(``iterrows`` at :960), this operator is a single distributed join:
+
+    current ⟗ updates ON business key  →  when/otherwise cascade  →  new state
+
+Decision matrix (op × existing state → outcome):
+
+    op A (add):     identical → ignore            (:159-164)
+                    live, values differ → change  (:166-183)
+                    deleted → undelete + change   (:185-200)
+                    missing → insert              (:202-212)
+    op C (change):  identical → ignore            (:225-230)
+                    live, values differ → change  (:232-246)
+                    deleted → ignore              (:248-252)
+                    missing → insert              (:254-270)
+    op D (delete):  identical → delete (soft)     (:293-300)
+                    live, values differ → change then delete (:302-318)
+                    deleted → ignore              (:320-324)
+                    missing → ignore              (:326-336)
+
+"identical" = every value column equal with null-safe semantics (the
+reference fills string NAs with '' before comparing — :677,682-704).
+Soft deletes: ``is_deleted`` flips, ``deleted_datetime`` stamps; undelete
+clears them. Audit stamps mirror db_add_row/db_change_row/db_delete_row/
+db_undelete_row (:729-824).
+
+Invariants (enforced, reference crashes via ``.one()`` otherwise):
+≤1 row per key in the current state, ≤1 update per key per batch —
+``validate_unique`` surfaces violations instead of silently picking one.
+
+Scale: one shuffle by key (SMJ or shuffled hash, AQE picks; broadcast if
+the update batch is small, which monthly CDC files are). No per-row
+round-trips, no driver loops. Output overwrites the state table
+(stage-directory-then-swap for atomicity without a table format).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Outcome vocabulary (op_outcome), feeding the A8 statistics operator.
+OUTCOMES = [
+    "add_ignore",
+    "add_change",
+    "add_undelete_change",
+    "add_insert",
+    "change_ignore",
+    "change_change",
+    "change_ignore_deleted",
+    "change_insert",
+    "delete_delete",
+    "delete_change_delete",
+    "delete_ignore_deleted",
+    "delete_ignore_missing",
+]
+
+
+@dataclass
+class MergeResult:
+    new_state: DataFrame  # post-merge current state (live + soft-deleted)
+    outcomes: DataFrame  # one row per update: key, record_op, outcome
+
+
+def _all_values_equal(value_cols: list[str]) -> Column:
+    """Null-safe conjunctive equality over every value column (P4)."""
+    return reduce(
+        lambda a, b: a & b,
+        [F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}")) for c in value_cols],
+    )
+
+
+def validate_unique(df: DataFrame, key_col: str) -> DataFrame:
+    """Duplicate-key probe (A7): rows whose key appears more than once.
+
+    The caller decides policy; the reference's ``.one()`` would crash.
+    """
+    return df.groupBy(key_col).agg(F.count("*").alias("n_rows")).filter(
+        F.col("n_rows") > 1
+    )
+
+
+def cdc_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    value_cols: list[str],
+    op_col: str = "record_op",
+    batch_timestamp: Column | None = None,
+) -> MergeResult:
+    """Apply an A/C/D update batch to the current state in one join pass.
+
+    ``current`` must carry audit columns ``is_deleted`` (bool),
+    ``created_datetime``/``updated_datetime``/``deleted_datetime``
+    (timestamps, nullable); use :func:`init_state` to bootstrap them.
+    ``updates`` carries the key, the value columns and ``op_col`` ∈ A/C/D.
+    """
+    ts = batch_timestamp if batch_timestamp is not None else F.current_timestamp()
+
+    cur = current.alias("cur")
+    upd = updates.alias("upd")
+    joined = cur.join(upd, F.col(f"cur.{key_col}") == F.col(f"upd.{key_col}"), "full_outer")
+
+    cur_exists = F.col(f"cur.{key_col}").isNotNull()
+    upd_exists = F.col(f"upd.{key_col}").isNotNull()
+    cur_deleted = cur_exists & F.col("cur.is_deleted")
+    cur_live = cur_exists & ~F.col("cur.is_deleted")
+    identical = cur_live & _all_values_equal(value_cols)
+    op = F.col(f"upd.{op_col}")
+
+    outcome = (
+        F.when(~upd_exists, F.lit(None).cast("string"))  # untouched state row
+        .when(
+            op == "A",
+            F.when(identical, "add_ignore")
+            .when(cur_live, "add_change")
+            .when(cur_deleted, "add_undelete_change")
+            .otherwise("add_insert"),
+        )
+        .when(
+            op == "C",
+            F.when(identical, "change_ignore")
+            .when(cur_live, "change_change")
+            .when(cur_deleted, "change_ignore_deleted")
+            .otherwise("change_insert"),
+        )
+        .when(
+            op == "D",
+            F.when(identical, "delete_delete")
+            .when(cur_live, "delete_change_delete")
+            .when(cur_deleted, "delete_ignore_deleted")
+            .otherwise("delete_ignore_missing"),
+        )
+        .otherwise(F.lit("invalid_op"))
+    )
+
+    annotated = joined.withColumn("_outcome", outcome)
+
+    takes_update_values = F.col("_outcome").isin(
+        "add_change",
+        "add_undelete_change",
+        "add_insert",
+        "change_change",
+        "change_insert",
+        "delete_change_delete",
+    )
+    becomes_deleted = F.col("_outcome").isin(
+        "delete_delete", "delete_change_delete"
+    ) | (F.col("_outcome").isNull() & F.coalesce(F.col("cur.is_deleted"), F.lit(False)))
+    becomes_undeleted = F.col("_outcome") == "add_undelete_change"
+    is_insert = F.col("_outcome").isin("add_insert", "change_insert")
+    is_change = F.col("_outcome").isin(
+        "add_change", "add_undelete_change", "change_change", "delete_change_delete"
+    )
+
+    key = F.coalesce(F.col(f"cur.{key_col}"), F.col(f"upd.{key_col}")).alias(key_col)
+    values = [
+        F.when(takes_update_values, F.col(f"upd.{c}"))
+        .otherwise(F.col(f"cur.{c}"))
+        .alias(c)
+        for c in value_cols
+    ]
+    audit = [
+        F.when(is_insert, ts).otherwise(F.col("cur.created_datetime")).alias(
+            "created_datetime"
+        ),
+        F.when(is_change, ts).otherwise(F.col("cur.updated_datetime")).alias(
+            "updated_datetime"
+        ),
+        F.when(becomes_undeleted, F.lit(None).cast("timestamp"))
+        .when(
+            F.col("_outcome").isin("delete_delete", "delete_change_delete"), ts
+        )
+        .otherwise(F.col("cur.deleted_datetime"))
+        .alias("deleted_datetime"),
+        F.when(becomes_undeleted, F.lit(False))
+        .when(becomes_deleted, F.lit(True))
+        .otherwise(F.coalesce(F.col("cur.is_deleted"), F.lit(False)))
+        .alias("is_deleted"),
+    ]
+
+    new_state = annotated.select(key, *values, *audit)
+
+    outcomes = annotated.filter(upd_exists).select(
+        F.col(f"upd.{key_col}").alias(key_col),
+        F.col(f"upd.{op_col}").alias(op_col),
+        F.col("_outcome").alias("outcome"),
+    )
+    return MergeResult(new_state=new_state, outcomes=outcomes)
+
+
+def init_state(
+    snapshot: DataFrame, batch_timestamp: Column | None = None
+) -> DataFrame:
+    """Bootstrap audit columns on a freshly loaded snapshot (S11 load)."""
+    ts = batch_timestamp if batch_timestamp is not None else F.current_timestamp()
+    return (
+        snapshot.withColumn("created_datetime", ts)
+        .withColumn("updated_datetime", F.lit(None).cast("timestamp"))
+        .withColumn("deleted_datetime", F.lit(None).cast("timestamp"))
+        .withColumn("is_deleted", F.lit(False))
+    )
+
+
+def merge_outcome_stats(outcomes: DataFrame, op_col: str = "record_op") -> DataFrame:
+    """A8: the 17-counter operation ledger as a groupBy pivot
+    (reference ``...database_updater.py:48-84,1059-1117``)."""
+    return outcomes.groupBy(op_col, "outcome").agg(F.count("*").alias("n_rows"))

@@ -1,0 +1,97 @@
+"""Text-analysis operators for the training-data pipeline (scale-out §8).
+
+Language-ID, quality scoring, token counting, fingerprinting — all as
+single-pass columnar transforms (no shuffle except the caller's aggregates,
+no Python UDFs). At 100 TB these are embarrassingly parallel map stages.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from land_registry_data_ingestion_spark.functions.text import (
+    fingerprint,
+    normalize_text,
+    punct_ratio,
+    stopword_hits,
+    token_count,
+    tokens,
+)
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+# Deliberately small & deterministic — a real deployment would load fastText
+# or CLD3 via a Pandas UDF; the Spark plumbing is identical.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "and", "is", "of", "to", "a", "in", "that"],
+    "es": ["el", "la", "los", "y", "es", "de", "un", "que"],
+    "fr": ["le", "la", "les", "et", "est", "de", "un", "que"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("n_tokens", token_count(F.col(text_col)))
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-density quality features + a simple
+    composite score in [0, 1]."""
+    text = F.col(text_col)
+    n_tok = token_count(text)
+    n_chars = F.length(text).cast("long")
+    p_ratio = punct_ratio(text)
+    sw_ratio = stopword_hits(text, LANG_STOPWORDS["en"]) / F.greatest(
+        n_tok, F.lit(1)
+    )
+    mean_word_len = n_chars / F.greatest(n_tok, F.lit(1))
+    score = (
+        F.when(n_tok < 5, 0.0)
+        .when(p_ratio > 0.3, 0.2)
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                0.5 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+                + 0.3 * (1.0 - p_ratio)
+                + 0.2 * F.least(sw_ratio * 5.0, F.lit(1.0)),
+            )
+        )
+    )
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_chars_measured", n_chars)
+        .withColumn("punct_ratio", F.round(p_ratio, 6))
+        .withColumn("stopword_ratio", F.round(sw_ratio, 6))
+        .withColumn("mean_word_len", F.round(mean_word_len, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: score = hits per language profile,
+    argmax with lexicographic tie-break, 'und' (undetermined) when no
+    profile hits at all."""
+    text = F.col(text_col)
+    scores = [
+        (lang, stopword_hits(text, words)) for lang, words in sorted(LANG_STOPWORDS.items())
+    ]
+    best: Column = reduce(
+        lambda acc, item: F.when(
+            item[1] > acc["s"],
+            F.struct(F.lit(item[0]).alias("l"), item[1].alias("s")),
+        ).otherwise(acc),
+        scores[1:],
+        F.struct(F.lit(scores[0][0]).alias("l"), scores[0][1].alias("s")),
+    )
+    return df.withColumn(
+        "predicted_lang", F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic content fingerprint of the normalized text (F1-style
+    content hashing applied to documents)."""
+    return df.withColumn("doc_fingerprint", fingerprint(F.col(text_col)))

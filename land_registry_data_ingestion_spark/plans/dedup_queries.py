@@ -1,0 +1,167 @@
+"""Deduplication queries over ``documents`` (scale-out §8).
+
+Every pipeline stage gets an exact DuckDB oracle — including MinHash+LSH,
+whose hash functions are md5-derived specifically so a second engine can
+reproduce the signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from land_registry_data_ingestion_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from land_registry_data_ingestion_spark.plans.registry import query
+from land_registry_data_ingestion_spark.sources.parquet import load_tables
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split_regex({_NORM}, '\\s+')"
+
+# Distinct word-3-gram shingles, mirroring functions/text.py::word_shingles.
+_SHINGLES = f"""
+    SELECT doc_id AS doc,
+           CASE WHEN len(w) >= 3
+                THEN list_distinct(list_transform(
+                    generate_series(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                ELSE []::VARCHAR[] END AS shingles
+    FROM (SELECT doc_id, {_TOKS} AS w FROM documents)
+"""
+
+
+@query(
+    "dedup_exact_groups",
+    sql=f"""
+    SELECT md5({_NORM}) AS doc_fingerprint,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-aggregate on the normalized-content fingerprint;
+    canonical row = min id. One shuffle of (hash, id) pairs only."""
+    t = load_tables(spark, sf_dir)
+    return exact_dedup_groups(t.documents, "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    sql=f"""
+    WITH sh AS ({_SHINGLES}),
+    posting AS (
+        SELECT doc, len(shingles) AS n, unnest(shingles) AS shingle FROM sh
+    ),
+    inter AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, a.n AS n_a, b.n AS n_b,
+               COUNT(*) AS n_common
+        FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, n_common,
+           ROUND(n_common / (n_a + n_b - n_common), 6) AS jaccard
+    FROM inter
+    WHERE ROUND(n_common / (n_a + n_b - n_common), 6) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs via the shingle inverted index
+    (explode → self-join on shingle → count intersections)."""
+    t = load_tables(spark, sf_dir)
+    return ngram_jaccard_pairs(t.documents, "doc_id", threshold=0.05)
+
+
+def _minhash_sql(num_hashes: int = 16, band_size: int = 4, threshold: float = 0.3) -> str:
+    mh_cols = ",\n           ".join(
+        "list_min(list_transform(shingles, "
+        f"s -> ('0x' || substr(md5('{i}|' || s), 1, 15))::BIGINT)) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    n_bands = num_hashes // band_size
+    band_rows = ", ".join(
+        "({b}, md5({cat}))".format(
+            b=b,
+            cat=" || ',' || ".join(
+                f"CAST(mh_{b * band_size + j} AS VARCHAR)" for j in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH sh AS ({_SHINGLES}),
+    nonempty AS (SELECT * FROM sh WHERE len(shingles) > 0),
+    sigs AS (
+        SELECT doc,
+           {mh_cols}
+        FROM nonempty
+    ),
+    bands AS (
+        SELECT doc, b.band_idx, b.band_hash
+        FROM sigs, (VALUES {band_rows}) AS b(band_idx, band_hash)
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc < b.doc
+    )
+    SELECT doc_a, doc_b,
+           ROUND(len(list_intersect(sa.shingles, sb.shingles))
+                 / (len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+    FROM cands
+    JOIN sh sa ON sa.doc = cands.doc_a
+    JOIN sh sb ON sb.doc = cands.doc_b
+    WHERE ROUND(len(list_intersect(sa.shingles, sb.shingles))
+                / (len(sa.shingles) + len(sb.shingles)
+                   - len(list_intersect(sa.shingles, sb.shingles))), 6) >= {threshold}
+    """
+
+
+@query("dedup_minhash_lsh", sql=_minhash_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4) near-dup pairs, verified with exact
+    Jaccard on candidates only — the 100 TB dedup path (shuffle O(n·bands))."""
+    t = load_tables(spark, sf_dir)
+    return minhash_near_duplicates(
+        t.documents, "doc_id", num_hashes=16, band_size=4, threshold=0.3
+    )
+
+
+def _simhash_sql(bits: int = 60) -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id AS doc, unnest(list_distinct(
+            string_split_regex({_NORM}, '\\s+'))) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc, ('0x' || substr(md5('0|' || tok), 1, 15))::BIGINT AS h
+        FROM toks
+    ),
+    bit_votes AS (
+        SELECT doc, b.bit,
+               SUM((h >> b.bit) & 1) AS ones,
+               COUNT(*) AS n
+        FROM hashed, (SELECT unnest(generate_series(0, {bits - 1})) AS bit) b
+        GROUP BY doc, b.bit
+    )
+    SELECT doc AS doc_id,
+           CAST(SUM(CASE WHEN 2 * ones > n
+                         THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+             AS simhash{bits}
+    FROM bit_votes GROUP BY doc
+    """
+
+
+@query("dedup_simhash", sql=_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprint per document (majority vote per bit over
+    md5-derived token hashes)."""
+    t = load_tables(spark, sf_dir)
+    return simhash(t.documents, "doc_id")

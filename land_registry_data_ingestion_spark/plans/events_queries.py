@@ -1,0 +1,139 @@
+"""Event-stream queries over ``events`` (SURVEY §2.9 batch equivalents).
+
+Each is the batch form of a streaming concept: conflation (keep the last
+message per key), tumbling-window aggregation, JSON DTO decoding (F13),
+and gap-based sessionization. streaming/ wires the same logic to
+``readStream`` + watermarks; the semantics here are the oracle-checked
+ground truth for those tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from land_registry_data_ingestion_spark.plans.registry import query
+from land_registry_data_ingestion_spark.sources.parquet import load_tables
+
+
+@query(
+    "evt_conflate_latest",
+    sql="""
+    SELECT user_id, event_type, event_id AS latest_event_id, value AS latest_value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+        ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def evt_conflate_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Message conflation: only the last notification per key matters
+    (reference buffers triggers and keeps the final one,
+    pp_complete_downloader.py:247-281)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        t.events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("value").alias("latest_value"),
+        )
+    )
+
+
+@query(
+    "evt_hourly_window",
+    sql="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def evt_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate (the batch shape of a watermarked
+    streaming agg)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "evt_json_extract",
+    sql="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def evt_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: JSON DTO field extraction (``from_json``/``get_json_object``)
+    — the Kafka-payload decode path."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.select(
+            F.get_json_object("props", "$.k").cast("long").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@query(
+    "evt_sessionize",
+    sql="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    )) > 1800000000
+                    OR LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) — the batch form of
+    stateful streaming session windows."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = t.events.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )

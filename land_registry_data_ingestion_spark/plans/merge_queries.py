@@ -1,0 +1,211 @@
+"""CDC merge queries (SURVEY §3.2) with a full SQL oracle.
+
+Inputs derive deterministically from ``orders`` so Spark and DuckDB build
+identical current-state and update batches:
+
+- current  = orders with o_orderkey % 7 != 0; soft-deleted where % 13 = 0
+- updates  = orders with o_orderkey % 3 = 0; op A/C/D by o_orderkey % 9
+             (0→A, 3→C, 6→D); values perturbed (+1 price) on odd keys
+
+That overlap exercises every branch of the decision matrix: identical rows
+(ignore), live-differing (change), deleted (undelete / ignore), and
+missing (insert / ignore).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from land_registry_data_ingestion_spark.operators.merge import (
+    cdc_merge,
+    merge_outcome_stats,
+)
+from land_registry_data_ingestion_spark.operators.rewind import (
+    number_versions,
+    rewind_to_version,
+)
+from land_registry_data_ingestion_spark.plans.registry import query
+from land_registry_data_ingestion_spark.sources.parquet import load_tables
+
+_TS = "2024-06-01 00:00:00"
+
+_CUR_SQL = """
+    SELECT o_orderkey AS tuid, o_totalprice AS price, o_orderstatus AS status,
+           (o_orderkey % 13 = 0) AS is_deleted
+    FROM orders WHERE o_orderkey % 7 != 0
+"""
+
+_UPD_SQL = """
+    SELECT o_orderkey AS tuid,
+           CASE WHEN o_orderkey % 9 = 0 THEN 'A'
+                WHEN o_orderkey % 9 = 3 THEN 'C'
+                ELSE 'D' END AS record_op,
+           CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
+                ELSE o_totalprice + 1 END AS price,
+           o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+_OUTCOME_CASE = """
+    CASE
+      WHEN record_op = 'A' THEN
+        CASE WHEN identical THEN 'add_ignore'
+             WHEN cur_live THEN 'add_change'
+             WHEN cur_deleted THEN 'add_undelete_change'
+             ELSE 'add_insert' END
+      WHEN record_op = 'C' THEN
+        CASE WHEN identical THEN 'change_ignore'
+             WHEN cur_live THEN 'change_change'
+             WHEN cur_deleted THEN 'change_ignore_deleted'
+             ELSE 'change_insert' END
+      ELSE
+        CASE WHEN identical THEN 'delete_delete'
+             WHEN cur_live THEN 'delete_change_delete'
+             WHEN cur_deleted THEN 'delete_ignore_deleted'
+             ELSE 'delete_ignore_missing' END
+    END
+"""
+
+_JOINED_SQL = f"""
+    SELECT u.tuid, u.record_op, u.price AS u_price, u.status AS u_status,
+           c.price AS c_price, c.status AS c_status,
+           c.tuid IS NOT NULL AS cur_exists,
+           (c.tuid IS NOT NULL AND c.is_deleted) AS cur_deleted,
+           (c.tuid IS NOT NULL AND NOT c.is_deleted) AS cur_live,
+           (c.tuid IS NOT NULL AND NOT c.is_deleted
+            AND c.price IS NOT DISTINCT FROM u.price
+            AND c.status IS NOT DISTINCT FROM u.status) AS identical
+    FROM ({_UPD_SQL}) u LEFT JOIN ({_CUR_SQL}) c ON u.tuid = c.tuid
+"""
+
+
+def _current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    base_ts = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    return t.orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("tuid"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_orderkey") % 13 == 0).alias("is_deleted"),
+        base_ts.alias("created_datetime"),
+        F.lit(None).cast("timestamp").alias("updated_datetime"),
+        F.when(F.col("o_orderkey") % 13 == 0, base_ts).alias("deleted_datetime"),
+    )
+
+
+def _updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t.orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("tuid"),
+        F.when(F.col("o_orderkey") % 9 == 0, "A")
+        .when(F.col("o_orderkey") % 9 == 3, "C")
+        .otherwise("D")
+        .alias("record_op"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice") + 1)
+        .alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+
+
+def _merged(spark: SparkSession, sf_dir: str):
+    return cdc_merge(
+        _current(spark, sf_dir),
+        _updates(spark, sf_dir),
+        key_col="tuid",
+        value_cols=["price", "status"],
+        batch_timestamp=F.lit(_TS).cast("timestamp"),
+    )
+
+
+@query(
+    "cdc_merge_outcomes",
+    sql=f"""
+    SELECT record_op, {_OUTCOME_CASE} AS outcome, COUNT(*) AS n_rows
+    FROM ({_JOINED_SQL})
+    GROUP BY 1, 2
+    """,
+)
+def cdc_merge_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: the operation ledger — every update classified by the decision
+    matrix, counted per (op, outcome). One full-outer join pass replaces
+    the reference's 4-probes-per-row loop."""
+    return merge_outcome_stats(_merged(spark, sf_dir).outcomes)
+
+
+@query(
+    "cdc_merge_state",
+    sql=f"""
+    WITH j AS ({_JOINED_SQL}),
+    outcomes AS (SELECT *, {_OUTCOME_CASE} AS outcome FROM j),
+    touched AS (
+        SELECT tuid,
+               CASE WHEN outcome IN ('add_change','add_undelete_change','add_insert',
+                                     'change_change','change_insert','delete_change_delete')
+                    THEN u_price ELSE c_price END AS price,
+               CASE WHEN outcome IN ('delete_delete','delete_change_delete') THEN TRUE
+                    WHEN outcome IN ('add_undelete_change','add_insert','change_insert')
+                        THEN FALSE
+                    ELSE cur_deleted END AS is_deleted
+        FROM outcomes
+    ),
+    untouched AS (
+        SELECT c.tuid, c.price, c.is_deleted
+        FROM ({_CUR_SQL}) c
+        WHERE c.tuid NOT IN (SELECT tuid FROM ({_UPD_SQL}))
+    ),
+    state AS (
+        SELECT * FROM touched UNION ALL SELECT * FROM untouched
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN is_deleted THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+           ROUND(SUM(price), 2) AS total_price,
+           CAST(COUNT(DISTINCT tuid) AS BIGINT) AS n_keys
+    FROM state
+    """,
+)
+def cdc_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-merge state checksum: row/deleted/key counts + price total.
+    Verifies the merge's value selection, not just its outcome labels."""
+    state = _merged(spark, sf_dir).new_state
+    return state.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("is_deleted").cast("int")).cast("long").alias("n_deleted"),
+        F.round(F.sum("price"), 2).alias("total_price"),
+        F.countDistinct("tuid").alias("n_keys"),
+    )
+
+
+@query(
+    "cdc_rewind_versions",
+    sql="""
+    WITH versioned AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) - 1 AS BIGINT) AS version
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey, version FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_custkey ORDER BY version DESC
+        ) AS rn
+        FROM versioned WHERE version <= 2
+    ) WHERE rn = 1
+    """,
+)
+def cdc_rewind_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7/W1/W4: per-key version numbering + rewind — the surviving row per
+    key as of version 2 (reference's month-M reconstruction shape)."""
+    t = load_tables(spark, sf_dir)
+    versioned = number_versions(
+        t.orders.select("o_custkey", "o_orderkey", "o_orderdate"),
+        "o_custkey",
+        ["o_orderdate", "o_orderkey"],
+    ).select(
+        "o_custkey", "o_orderkey", F.col("version").cast("long").alias("version")
+    )
+    return rewind_to_version(versioned, "o_custkey", "version", 2).select(
+        "o_custkey", "o_orderkey", "version"
+    )

@@ -1,0 +1,505 @@
+"""Relational core queries (SURVEY §2.2-§2.7): projections, predicates,
+joins, aggregates, windows, sorts/limits/set ops, scalar functions.
+
+Each query is the declared, oracle-checked form of one operator family.
+The Spark side stays fully declarative so Catalyst handles pushdown,
+pruning, and join strategy; comments note the expected physical shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from land_registry_data_ingestion_spark.operators.reconcile import reconcile
+from land_registry_data_ingestion_spark.operators.rewind import number_versions
+from land_registry_data_ingestion_spark.plans.registry import query
+from land_registry_data_ingestion_spark.sources.parquet import load_tables
+
+
+# --- P1-P3: projection + predicates (filters reach the parquet scan) -------
+
+
+@query(
+    "rel_project_filter",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity >= 30 AND l_extendedprice < 10000 AND l_returnflag = 'R'
+    """,
+)
+def rel_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2+P3: projection with equality and range predicates. The plan
+    must show PushedFilters + a 5-column ReadSchema."""
+    t = load_tables(spark, sf_dir)
+    return t.lineitem.filter(
+        (F.col("l_quantity") >= 30)
+        & (F.col("l_extendedprice") < 10000)
+        & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+# --- J-family joins ---------------------------------------------------------
+
+
+@query(
+    "rel_anti_join",
+    sql="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/J5: customers with no orders (left_anti replaces the reference's
+    driver-side ``isin`` sets, inspect_database.py:35-58)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            t.orders.select("o_custkey"),
+            t.customer.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "rel_semi_join",
+    sql="""
+    SELECT n.n_name, COUNT(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY n.n_name
+    """,
+)
+def rel_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: customers having ≥1 urgent order (left_semi), rolled up by
+    nation. Nation is tiny → broadcast side."""
+    t = load_tables(spark, sf_dir)
+    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        t.customer.join(urgent, t.customer.c_custkey == F.col("o_custkey"), "left_semi")
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "rel_inner_join_agg",
+    sql="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def rel_inner_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: inner equi join on the business key + group aggregate."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "rel_left_join_broadcast",
+    sql="""
+    SELECT p.p_brand,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def rel_left_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left join with an explicitly broadcast dimension — the fact side
+    never shuffles for the join (only for the final small agg)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.join(
+            F.broadcast(t.part), t.lineitem.l_partkey == t.part.p_partkey, "left"
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "rel_full_outer_reconcile",
+    sql="""
+    WITH l AS (
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderkey % 5 != 0
+    ),
+    r AS (
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderkey % 7 != 0
+    )
+    SELECT CASE
+             WHEN l.o_orderkey IS NOT NULL AND r.o_orderkey IS NOT NULL THEN 'both'
+             WHEN l.o_orderkey IS NOT NULL THEN 'left_only'
+             ELSE 'right_only'
+           END AS presence,
+           COUNT(*) AS n_rows
+    FROM l FULL OUTER JOIN r
+      ON l.o_orderkey = r.o_orderkey
+     AND l.o_custkey = r.o_custkey
+     AND l.o_totalprice = r.o_totalprice
+    GROUP BY 1
+    """,
+)
+def rel_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/Q6: full-outer reconciliation with provenance indicator over two
+    deterministic slices of orders (database_verify.py:209-236)."""
+    t = load_tables(spark, sf_dir)
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    left = t.orders.filter(F.col("o_orderkey") % 5 != 0).select(cols)
+    right = t.orders.filter(F.col("o_orderkey") % 7 != 0).select(cols)
+    return reconcile(left, right, on=cols).counts.select("presence", "n_rows")
+
+
+# --- A-family aggregates ----------------------------------------------------
+
+
+@query(
+    "agg_scalar_max",
+    sql="""
+    SELECT MAX(o_orderdate) AS max_orderdate,
+           MAX(o_totalprice) AS max_totalprice,
+           COUNT(*) AS n_rows
+    FROM orders
+    """,
+)
+def agg_scalar_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2: scalar max / count(*) — the downloader's
+    max(transaction_date) datestamp probe (pp_complete_downloader.py:432-439)."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.agg(
+        F.max("o_orderdate").alias("max_orderdate"),
+        F.max("o_totalprice").alias("max_totalprice"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    sql="""
+    SELECT COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_order_dates
+    FROM orders
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: exact distinct counts (approx_count_distinct is the documented
+    scale path; exact keeps the oracle comparable)."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct(F.to_date("o_orderdate")).alias("n_order_dates"),
+    )
+
+
+@query(
+    "agg_group_count",
+    sql="""
+    SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+    """,
+)
+def agg_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: frequency table (value_counts)."""
+    t = load_tables(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+@query(
+    "agg_multi",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: multi-aggregate group-by (TPC-H Q1 shape) — partial aggregation
+    map-side, one shuffle on the tiny group key."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_dup_detect",
+    sql="""
+    SELECT COUNT(*) AS n_dup_keys, MAX(n_rows) AS max_rows_per_key
+    FROM (
+        SELECT l_orderkey, COUNT(*) AS n_rows FROM lineitem
+        GROUP BY l_orderkey HAVING COUNT(*) > 1
+    )
+    """,
+)
+def agg_dup_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: duplicate-key invariant probe (value_counts().max()==1 check,
+    rewind notebook cells 13-14)."""
+    t = load_tables(spark, sf_dir)
+    dups = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+    return dups.agg(
+        F.count("*").alias("n_dup_keys"), F.max("n_rows").alias("max_rows_per_key")
+    )
+
+
+# --- W-family windows -------------------------------------------------------
+
+
+@query(
+    "win_row_number",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) - 1 AS BIGINT) AS version
+    FROM orders WHERE o_custkey < 100
+    """,
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: per-key version ordinal (cumcount) — deterministic tiebreak on
+    the key so the oracle ranks identically."""
+    t = load_tables(spark, sf_dir)
+    small = t.orders.filter(F.col("o_custkey") < 100)
+    return number_versions(
+        small, "o_custkey", ["o_orderdate", "o_orderkey"], "version"
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("version").cast("long").alias("version"),
+    )
+
+
+@query(
+    "win_latest_row",
+    sql="""
+    SELECT o_custkey, o_orderkey AS latest_orderkey, o_totalprice AS latest_price
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def win_latest_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: latest-row-per-key selection (the archive-log "previous hash"
+    lookup, pp_complete_data_decision.py:135-153)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        t.orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_totalprice").alias("latest_price"),
+        )
+    )
+
+
+@query(
+    "win_lag_delta",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(o_totalprice - LAG(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ), 2) AS price_delta
+    FROM orders WHERE o_custkey < 200
+    """,
+)
+def win_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: previous-version lookup via lag."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t.orders.filter(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+            ).alias("price_delta"),
+        )
+    )
+
+
+@query(
+    "win_rolling_mean",
+    sql="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT order_date,
+           ROUND(AVG(n_orders) OVER (
+               ORDER BY order_date ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+           ), 6) AS smoothed_n
+    FROM daily
+    """,
+)
+def win_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: 7-row centered rolling mean over daily volume. Positional
+    (rowsBetween) — the reference's pandas.rolling(7, center=True)."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.to_date("o_orderdate").cast("timestamp").alias("order_date")
+        )
+        .groupBy("order_date")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    w = Window.orderBy("order_date").rowsBetween(-3, 3)
+    return daily.select(
+        "order_date", F.round(F.avg("n_orders").over(w), 6).alias("smoothed_n")
+    )
+
+
+# --- O-family: sorts / limits / set ops -------------------------------------
+
+
+@query(
+    "ord_sort_limit",
+    sql="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def ord_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2: global top-k — TakeOrderedAndProject (per-partition heap +
+    driver merge, no global sort materialized). Deterministic tiebreak."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+@query(
+    "ord_union",
+    sql="""
+    SELECT o_orderstatus, COUNT(*) AS n_rows FROM (
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 400000
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+    ) GROUP BY o_orderstatus
+    """,
+)
+def ord_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: unionByName of two slices (pandas.concat) then aggregate."""
+    t = load_tables(spark, sf_dir)
+    a = t.orders.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    b = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    return a.unionByName(b).groupBy("o_orderstatus").agg(F.count("*").alias("n_rows"))
+
+
+@query(
+    "ord_except",
+    sql="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def ord_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: set difference on the key column (both-direction id diff,
+    inspect_database.py:35-58)."""
+    t = load_tables(spark, sf_dir)
+    return t.customer.select("c_custkey").exceptAll(
+        t.orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    ).distinct()
+
+
+# --- F-family scalar functions ----------------------------------------------
+
+
+@query(
+    "f_sha256",
+    sql="""
+    SELECT doc_id, sha256(text) AS text_sha256 FROM documents WHERE doc_id < 100
+    """,
+)
+def f_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: SHA-256 content hash (file-dedup primitive,
+    pp_complete_downloader.py:619-628) as a columnar expression."""
+    t = load_tables(spark, sf_dir)
+    return t.documents.filter(F.col("doc_id") < 100).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("text_sha256")
+    )
+
+
+@query(
+    "f_datetime_parts",
+    sql="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1, 2, 3
+    """,
+)
+def f_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F9/F10: date construction, truncation, last-day-of-month."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.select(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        )
+        .groupBy("order_year", "order_month", "month_end")
+        .agg(F.count("*").alias("n_orders"))
+    )

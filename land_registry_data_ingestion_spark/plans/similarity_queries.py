@@ -1,0 +1,83 @@
+"""Similarity-search queries over ``embeddings`` (scale-out §8).
+
+Cosine arithmetic parity: both sides cast float[] → double[] and fold
+left-to-right in double precision, then round to 6 dp, so the value hash
+compares equal bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from land_registry_data_ingestion_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_pairs,
+    lsh_bucketed_pairs,
+)
+from land_registry_data_ingestion_spark.plans.registry import query
+from land_registry_data_ingestion_spark.sources.parquet import load_tables
+
+_DIM = 64  # embeddings table dimension (TESTDATA)
+
+_COS = """
+    ROUND(
+      list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+      6)
+"""
+
+
+@query(
+    "sim_cosine_pairs",
+    sql=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS} >= 0.8
+    """,
+)
+def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ 0.8 over all pairs (the
+    exact baseline; the LSH variant is the scale path)."""
+    t = load_tables(spark, sf_dir)
+    return cosine_pairs(t.embeddings, threshold=0.8)
+
+
+@query(
+    "sim_topk_bruteforce",
+    sql=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(
+                 list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+                 6) AS cosine
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for query vectors vec_id < 10 —
+    queries broadcast, corpus scanned once, per-partition heap + merge."""
+    t = load_tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 10)
+    return brute_force_topk(t.embeddings, queries, k=10)
+
+
+@query("sim_lsh_ann_pairs", sql=None)  # plan-equivalence is non-SQL; unit-tested
+def sim_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine-threshold pairs via random-hyperplane LSH
+    (4 tables × 8 planes): candidates collide in ≥1 bucket, exact cosine
+    verifies. Rows-only driver check; tests/test_similarity.py asserts the
+    candidates are a subset-superset sandwich of the exact answer."""
+    t = load_tables(spark, sf_dir)
+    return lsh_bucketed_pairs(t.embeddings, dim=_DIM, threshold=0.8)

@@ -1,0 +1,138 @@
+"""Text-analysis queries over the ``documents`` table (scale-out §8).
+
+The oracle SQL mirrors each columnar expression exactly — same
+normalization, same token split, same rounding — so the hash compare tests
+implementation parity, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from land_registry_data_ingestion_spark.operators.textops import (
+    LANG_STOPWORDS,
+    with_fingerprint,
+    with_language_id,
+    with_quality_score,
+    with_token_count,
+)
+from land_registry_data_ingestion_spark.plans.registry import query
+from land_registry_data_ingestion_spark.sources.parquet import load_tables
+
+# Shared SQL fragments (DuckDB): normalized text and token list.
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_RAW = "string_split_regex(trim(text), '\\s+')"
+_TOKS_NORM = f"string_split_regex({_NORM}, '\\s+')"
+_NTOK = f"CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_RAW}) END AS BIGINT)"
+
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
+
+
+_SW_HITS_EN = (
+    f"len(list_filter({_TOKS_NORM}, t -> list_contains({_sw_list('en')}, t)))"
+)
+
+
+@query(
+    "text_token_count",
+    sql=f"""
+    SELECT doc_id, {_NTOK} AS n_tokens FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace+regex token count per document — the unit of truncation
+    and cost accounting in a training-data pipeline."""
+    t = load_tables(spark, sf_dir)
+    return with_token_count(t.documents).select("doc_id", "n_tokens")
+
+
+@query(
+    "text_quality_score",
+    sql=f"""
+    WITH m AS (
+        SELECT doc_id,
+               {_NTOK} AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_measured,
+               length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                 * 1.0 / length(text) AS p_ratio,
+               {_SW_HITS_EN} * 1.0
+                 / greatest({_NTOK}, 1) AS sw_ratio
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, n_chars_measured,
+           ROUND(p_ratio, 6) AS punct_ratio,
+           ROUND(sw_ratio, 6) AS stopword_ratio,
+           ROUND(n_chars_measured * 1.0 / greatest(n_tokens, 1), 6) AS mean_word_len,
+           ROUND(CASE
+               WHEN n_tokens < 5 THEN 0.0
+               WHEN p_ratio > 0.3 THEN 0.2
+               ELSE least(1.0, 0.5 * least(n_tokens / 100.0, 1.0)
+                               + 0.3 * (1.0 - p_ratio)
+                               + 0.2 * least(sw_ratio * 5.0, 1.0))
+           END, 6) AS quality_score
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features (length / punctuation / stopword density)
+    + composite score — single map stage, no shuffle."""
+    t = load_tables(spark, sf_dir)
+    return with_quality_score(t.documents).select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_measured",
+        "punct_ratio",
+        "stopword_ratio",
+        "mean_word_len",
+        "quality_score",
+    )
+
+
+def _langid_sql() -> str:
+    hits = ",\n               ".join(
+        f"len(list_filter({_TOKS_NORM}, t -> list_contains({_sw_list(lang)}, t))) AS h_{lang}"
+        for lang in sorted(LANG_STOPWORDS)
+    )
+    langs = sorted(LANG_STOPWORDS)
+    m = "greatest(" + ", ".join(f"h_{la}" for la in langs) + ")"
+    case = "CASE WHEN " + m + " = 0 THEN 'und' "
+    for la in langs[:-1]:
+        case += f"WHEN h_{la} = {m} THEN '{la}' "
+    case += f"ELSE '{langs[-1]}' END"
+    return f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               {hits}
+        FROM documents
+    )
+    SELECT lang, {case} AS predicted_lang, COUNT(*) AS n_docs
+    FROM s GROUP BY 1, 2
+    """
+
+
+@query("text_language_id", sql=_langid_sql())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID, cross-tabbed against the labeled
+    ``lang`` column (the labels are synthetic; the oracle checks heuristic
+    parity, not label recovery)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        with_language_id(t.documents)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "text_fingerprint",
+    sql=f"""
+    SELECT doc_id, md5({_NORM}) AS doc_fingerprint FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic normalized-content fingerprint per document."""
+    t = load_tables(spark, sf_dir)
+    return with_fingerprint(t.documents).select("doc_id", "doc_fingerprint")

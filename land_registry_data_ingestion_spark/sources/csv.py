@@ -1,0 +1,87 @@
+"""Headerless price-paid CSV readers (SURVEY §2.1 S3/S4, §2.7 F2).
+
+Reference behavior being reproduced (not its implementation):
+- headerless read, positional names assigned afterwards
+  (``LRD/land_registry_pp_complete_downloader.py:418-424``)
+- strict string dtypes then explicit casts
+  (``LRD/land_registry_monthly_update_database_updater.py:897-908,651-679``)
+- timestamp parse ``'%Y-%m-%d %H:%M'`` (``...pp_complete_downloader.py:426-430``)
+- 15-column pre-2017 monthly files gain a null ``ppd_cat``
+  (``LRD/not_used_land_registry_pp_monthly_update_db_update.py:260-265``)
+- string NAs become ``''`` so row equality treats missing as empty
+  (``...database_updater.py:677``)
+
+Spark-first: one distributed ``spark.read.csv`` with an imposed all-string
+schema, then columnar casts — no row loops, and the scan parallelizes to one
+task per ~128 MB split at any input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from land_registry_data_ingestion_spark.schema import (
+    PRICE_PAID_STRING_COLUMNS,
+    price_paid_raw_schema,
+)
+
+TRANSACTION_DATE_FORMAT = "yyyy-MM-dd HH:mm"
+
+
+def read_price_paid_csv(
+    spark: SparkSession,
+    path: str,
+    n_columns: int = 16,
+    date_format: str = TRANSACTION_DATE_FORMAT,
+) -> DataFrame:
+    """Read a pp-complete / pp-monthly-update style headerless CSV.
+
+    Returns the typed record: parsed ``transaction_date``, long ``price``,
+    ''-filled strings, and a (possibly null) ``ppd_cat`` regardless of the
+    on-disk column count.
+    """
+    raw = spark.read.csv(
+        path,
+        schema=price_paid_raw_schema(n_columns),
+        header=False,
+        quote='"',
+        escape='"',
+        mode="PERMISSIVE",
+    )
+    return finalize_price_paid(raw, date_format=date_format)
+
+
+def finalize_price_paid(
+    raw: DataFrame, date_format: str = TRANSACTION_DATE_FORMAT
+) -> DataFrame:
+    """Casts + normalization shared by the CSV reader and test fixtures."""
+    df = raw
+    if "ppd_cat" not in df.columns:  # 15-column pre-2017 variant (S4)
+        df = df.withColumn("ppd_cat", F.lit(None).cast("string"))
+    if "record_op" not in df.columns:
+        df = df.withColumn("record_op", F.lit(None).cast("string"))
+    df = (
+        df.withColumn(
+            "transaction_date",
+            F.to_timestamp(F.col("transaction_date_raw"), date_format),
+        )
+        .withColumn("price", F.col("price").cast("long"))
+        .drop("transaction_date_raw")
+    )
+    # Missing string == empty string for all downstream equality semantics.
+    return df.na.fill("", subset=PRICE_PAID_STRING_COLUMNS)
+
+
+def read_price_paid_text(
+    spark: SparkSession, lines: list[str], n_columns: int = 16
+) -> DataFrame:
+    """Parse in-memory CSV lines (test/fixture path) with the same semantics."""
+    import csv as _csv
+    import io
+
+    rows = list(_csv.reader(io.StringIO("\n".join(lines))))
+    names = price_paid_raw_schema(n_columns).fieldNames()
+    padded = [row + [None] * (len(names) - len(row)) for row in rows]
+    raw = spark.createDataFrame(padded, schema=price_paid_raw_schema(n_columns))
+    return finalize_price_paid(raw)
