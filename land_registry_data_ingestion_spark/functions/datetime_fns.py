@@ -29,9 +29,10 @@ def nth_working_day_of_month(any_date: Column, n: int = 20) -> Column:
 
     Null when the month has fewer than n working days (the reference raises;
     callers decide — months always have ≥20 weekdays except February edge
-    cases the reference also never hits).
+    cases the reference also never hits). ``try_element_at``: ANSI mode
+    must return null here, not error.
     """
-    return F.element_at(_working_days_of_month(any_date), n)
+    return F.try_element_at(_working_days_of_month(any_date), F.lit(n))
 
 
 def publish_datestamp(d: Column, n: int = 20) -> Column:

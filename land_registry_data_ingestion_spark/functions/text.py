@@ -51,13 +51,18 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     """
     toks = tokens(normalize_text(col))
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(k)]
+    m = F.greatest(n - (k - 1), F.lit(0))  # number of shingles
+    # Build from k shifted slices zipped together rather than indexing with
+    # element_at: Catalyst's CollapseProject inlines the tokenizer
+    # subexpression into every element_at call (k × n_shingles regex splits
+    # per row); the slice form evaluates the tokenizer only k times per row.
+    parts = [F.slice(toks, j + 1, m) for j in range(k)]
+    zipped = parts[0]
+    for p in parts[1:]:
+        zipped = F.zip_with(zipped, p, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.when(n >= k, F.array_distinct(zipped)).otherwise(
+        F.array().cast("array<string>")
     )
-    return F.when(
-        n >= k, F.array_distinct(F.transform(idx, shingle))
-    ).otherwise(F.array().cast("array<string>"))
 
 
 def stopword_hits(col: Column, stopwords: list[str]) -> Column:

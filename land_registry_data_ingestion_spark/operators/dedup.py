@@ -32,6 +32,7 @@ from land_registry_data_ingestion_spark.functions.text import (
     fingerprint,
     word_shingles,
 )
+from land_registry_data_ingestion_spark.util import spread
 
 # --- exact ------------------------------------------------------------------
 
@@ -63,7 +64,9 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    return df.select(
+    # spread: shingling + hashing is CPU-bound; don't let a single input
+    # split serialize it (no-op when the scan already has ≥cores splits).
+    return spread(df).select(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), k).alias("shingles"),
     ).withColumn("n_shingles", F.size("shingles"))
@@ -134,6 +137,23 @@ def _md5_hash64(col, salt: int):
     ).cast("long")
 
 
+# Universal hash family over the Mersenne prime 2^31-1: one expensive md5
+# per shingle, then num_hashes cheap integer maps (a·h + b) mod P. All
+# constants are deterministic (Knuth multiplicative sequence) so any engine
+# reproduces the signature bit-for-bit.
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
+
+
+def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
+    return [
+        (
+            1 + (2_654_435_761 * (i + 1)) % (MINHASH_PRIME - 1),
+            (40_503 * (i + 7)) % MINHASH_PRIME,
+        )
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -141,20 +161,30 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """MinHash signature per document: for each of ``num_hashes`` salted
-    hash functions, the min hash over the document's shingle set.
+    """MinHash signature per document: min over the shingle set of each of
+    ``num_hashes`` universal-hash functions.
 
-    Columnar throughout: shingles stay an array; each signature component is
-    ``array_min(transform(shingles, md5 hash))`` — no explode, no shuffle.
+    Columnar throughout and md5-once: the shingle's 60-bit md5 hash is
+    materialized a single time per shingle, then every signature component
+    is ``array_min(transform(base, h -> (a·h + b) mod P))`` — integer ops
+    only, no explode, no shuffle. (A naive per-salt md5 costs num_hashes
+    md5 evaluations per shingle: ~16× the CPU at 100 TB.)
     """
     sh = _shingled(df, id_col, text_col, k).filter(F.col("n_shingles") > 0)
+    base = sh.select(
+        "doc",
+        F.transform(
+            F.col("shingles"), lambda s: _md5_hash64(s, 0) % MINHASH_PRIME
+        ).alias("hs"),
+    )
+    def _affine(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
+
     sig_cols = [
-        F.array_min(
-            F.transform(F.col("shingles"), lambda s, i=i: _md5_hash64(s, i))
-        ).alias(f"mh_{i}")
-        for i in range(num_hashes)
+        F.array_min(F.transform(F.col("hs"), _affine(a, b))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
     ]
-    return sh.select(F.col("doc"), *sig_cols)
+    return base.select(F.col("doc"), *sig_cols)
 
 
 def minhash_lsh_candidates(
@@ -240,7 +270,7 @@ def simhash(
     reassemble: one shuffle by id, all arithmetic JVM-side.
     """
     assert bits <= 60, "md5-derived hash provides 60 bits"
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(
             F.array_distinct(

@@ -186,7 +186,12 @@ def cdc_merge(
         .alias("is_deleted"),
     ]
 
-    new_state = annotated.select(key, *values, *audit)
+    # A delete aimed at a missing key must not materialize a phantom row —
+    # it is the one outcome where the update side exists but nothing is
+    # inserted (reference :326-336 simply ignores it).
+    new_state = annotated.filter(
+        F.col("_outcome").isNull() | (F.col("_outcome") != "delete_ignore_missing")
+    ).select(key, *values, *audit)
 
     outcomes = annotated.filter(upd_exists).select(
         F.col(f"upd.{key_col}").alias(key_col),

@@ -77,10 +77,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql(num_hashes: int = 16, band_size: int = 4, threshold: float = 0.3) -> str:
+    from land_registry_data_ingestion_spark.operators.dedup import (
+        MINHASH_PRIME as P,
+        minhash_coefficients,
+    )
+
     mh_cols = ",\n           ".join(
-        "list_min(list_transform(shingles, "
-        f"s -> ('0x' || substr(md5('{i}|' || s), 1, 15))::BIGINT)) AS mh_{i}"
-        for i in range(num_hashes)
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P})) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
     )
     n_bands = num_hashes // band_size
     band_rows = ", ".join(
@@ -94,7 +98,12 @@ def _minhash_sql(num_hashes: int = 16, band_size: int = 4, threshold: float = 0.
     )
     return f"""
     WITH sh AS ({_SHINGLES}),
-    nonempty AS (SELECT * FROM sh WHERE len(shingles) > 0),
+    nonempty AS (
+        SELECT doc,
+               list_transform(shingles,
+                   s -> ('0x' || substr(md5('0|' || s), 1, 15))::BIGINT % {P}) AS hs
+        FROM sh WHERE len(shingles) > 0
+    ),
     sigs AS (
         SELECT doc,
            {mh_cols}

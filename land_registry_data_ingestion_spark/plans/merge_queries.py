@@ -149,6 +149,7 @@ def cdc_merge_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN FALSE
                     ELSE cur_deleted END AS is_deleted
         FROM outcomes
+        WHERE outcome != 'delete_ignore_missing'
     ),
     untouched AS (
         SELECT c.tuid, c.price, c.is_deleted

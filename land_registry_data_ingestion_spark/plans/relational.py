@@ -12,6 +12,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from land_registry_data_ingestion_spark.functions.datetime_fns import (
+    nth_working_day_of_month,
+)
 from land_registry_data_ingestion_spark.operators.reconcile import reconcile
 from land_registry_data_ingestion_spark.operators.rewind import number_versions
 from land_registry_data_ingestion_spark.plans.registry import query
@@ -502,4 +505,35 @@ def f_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("order_year", "order_month", "month_end")
         .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "f_working_day_calendar",
+    sql="""
+    WITH months AS (
+        SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+        FROM orders
+    )
+    SELECT CAST(m AS TIMESTAMP) AS month_start,
+           CAST(list_filter(
+                    generate_series(m, last_day(m), INTERVAL 1 DAY),
+                    d -> isodow(d) <= 5
+                )[20] AS TIMESTAMP) AS publish_day
+    FROM months
+    """,
+)
+def f_working_day_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6: the publish calendar — 20th working day of every month in the
+    data, computed as a native sequence/filter/element_at expression
+    (reference lib_datetime.py:14-40 iterates weekdays in Python)."""
+    t = load_tables(spark, sf_dir)
+    months = t.orders.select(
+        F.trunc("o_orderdate", "month").alias("m")
+    ).distinct()
+    return months.select(
+        F.col("m").cast("timestamp").alias("month_start"),
+        nth_working_day_of_month(F.col("m"), 20)
+        .cast("timestamp")
+        .alias("publish_day"),
     )

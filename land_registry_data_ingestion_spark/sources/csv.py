@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from land_registry_data_ingestion_spark.schema import (
+    PRICE_PAID_COLUMNS,
     PRICE_PAID_STRING_COLUMNS,
     price_paid_raw_schema,
 )
@@ -64,13 +65,17 @@ def finalize_price_paid(
     df = (
         df.withColumn(
             "transaction_date",
-            F.to_timestamp(F.col("transaction_date_raw"), date_format),
+            F.try_to_timestamp(F.col("transaction_date_raw"), F.lit(date_format)),
         )
-        .withColumn("price", F.col("price").cast("long"))
+        .withColumn("price", F.col("price").try_cast("long"))
         .drop("transaction_date_raw")
     )
-    # Missing string == empty string for all downstream equality semantics.
-    return df.na.fill("", subset=PRICE_PAID_STRING_COLUMNS)
+    # Missing string == empty string for all downstream equality semantics;
+    # canonical column order regardless of the on-disk variant.
+    df = df.na.fill("", subset=PRICE_PAID_STRING_COLUMNS)
+    ordered = [c for c in PRICE_PAID_COLUMNS if c != "transaction_date_raw"]
+    ordered.insert(2, "transaction_date")
+    return df.select(ordered)
 
 
 def read_price_paid_text(

@@ -1,0 +1,189 @@
+"""Golden tests for the CDC merge decision matrix (SURVEY §3.2, §5.2).
+
+Hand-built current-state + one A/C/D batch covering all 11 outcomes,
+including undelete, change-then-delete, null-safe identity, and the
+idempotence invariant (re-applying the same batch changes nothing).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from land_registry_data_ingestion_spark.operators.merge import (
+    cdc_merge,
+    merge_outcome_stats,
+    validate_unique,
+)
+
+TS0 = datetime.datetime(2024, 1, 1)
+TS1 = datetime.datetime(2024, 6, 1)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("tuid", T.StringType(), False),
+        T.StructField("price", T.LongType(), True),
+        T.StructField("code", T.StringType(), True),
+        T.StructField("created_datetime", T.TimestampType(), True),
+        T.StructField("updated_datetime", T.TimestampType(), True),
+        T.StructField("deleted_datetime", T.TimestampType(), True),
+        T.StructField("is_deleted", T.BooleanType(), False),
+    ]
+)
+
+UPD_SCHEMA = T.StructType(
+    [
+        T.StructField("tuid", T.StringType(), False),
+        T.StructField("price", T.LongType(), True),
+        T.StructField("code", T.StringType(), True),
+        T.StructField("record_op", T.StringType(), False),
+    ]
+)
+
+
+def _state(spark):
+    rows = [
+        # tuid, price, code, created, updated, deleted, is_deleted
+        ("t01", 100, "X", TS0, None, None, False),  # A identical
+        ("t02", 200, "X", TS0, None, None, False),  # A differing
+        ("t03", 300, "X", TS0, None, TS0, True),  # A on deleted
+        ("t04", 400, "X", TS0, None, None, False),  # C identical
+        ("t05", 500, "X", TS0, None, TS0, True),  # C on deleted
+        ("t06", 600, "X", TS0, None, None, False),  # C differing
+        ("t09", 900, "X", TS0, None, None, False),  # D identical
+        ("t10", 1000, "X", TS0, None, None, False),  # untouched
+        ("t11", 1100, "X", TS0, None, None, False),  # D differing
+        ("t12", 1200, "X", TS0, None, TS0, True),  # D on deleted
+        ("t14", 1400, None, TS0, None, None, False),  # null-safe identical
+    ]
+    return spark.createDataFrame(rows, STATE_SCHEMA)
+
+
+def _updates(spark):
+    rows = [
+        ("t01", 100, "X", "A"),  # add_ignore
+        ("t02", 201, "X", "A"),  # add_change
+        ("t03", 301, "X", "A"),  # add_undelete_change
+        ("t07", 700, "X", "A"),  # add_insert
+        ("t04", 400, "X", "C"),  # change_ignore
+        ("t06", 601, "X", "C"),  # change_change
+        ("t05", 501, "X", "C"),  # change_ignore_deleted
+        ("t08", 800, "X", "C"),  # change_insert
+        ("t09", 900, "X", "D"),  # delete_delete
+        ("t11", 1101, "X", "D"),  # delete_change_delete
+        ("t12", 1201, "X", "D"),  # delete_ignore_deleted
+        ("t13", 1300, "X", "D"),  # delete_ignore_missing
+        ("t14", 1400, None, "C"),  # change_ignore via null-safe equality
+    ]
+    return spark.createDataFrame(rows, UPD_SCHEMA)
+
+
+EXPECTED_OUTCOMES = {
+    "t01": "add_ignore",
+    "t02": "add_change",
+    "t03": "add_undelete_change",
+    "t07": "add_insert",
+    "t04": "change_ignore",
+    "t06": "change_change",
+    "t05": "change_ignore_deleted",
+    "t08": "change_insert",
+    "t09": "delete_delete",
+    "t11": "delete_change_delete",
+    "t12": "delete_ignore_deleted",
+    "t13": "delete_ignore_missing",
+    "t14": "change_ignore",
+}
+
+
+@pytest.fixture(scope="module")
+def merged(spark):
+    return cdc_merge(
+        _state(spark),
+        _updates(spark),
+        key_col="tuid",
+        value_cols=["price", "code"],
+        batch_timestamp=F.lit(TS1),
+    )
+
+
+def test_all_outcomes(merged):
+    got = {r["tuid"]: r["outcome"] for r in merged.outcomes.collect()}
+    assert got == EXPECTED_OUTCOMES
+
+
+def test_outcome_stats(merged):
+    stats = {
+        (r["record_op"], r["outcome"]): r["n_rows"]
+        for r in merge_outcome_stats(merged.outcomes).collect()
+    }
+    assert stats[("A", "add_insert")] == 1
+    assert stats[("C", "change_ignore")] == 2  # t04 + null-safe t14
+    assert stats[("D", "delete_ignore_missing")] == 1
+    assert sum(stats.values()) == len(EXPECTED_OUTCOMES)
+
+
+def test_new_state_values(merged):
+    state = {r["tuid"]: r.asDict() for r in merged.new_state.collect()}
+    # inserted rows stamped created at batch time, live
+    assert state["t07"]["created_datetime"] == TS1
+    assert state["t07"]["is_deleted"] is False
+    assert state["t08"]["price"] == 800
+    # undelete: new values, cleared deleted_datetime, updated stamped
+    assert state["t03"]["price"] == 301
+    assert state["t03"]["is_deleted"] is False
+    assert state["t03"]["deleted_datetime"] is None
+    assert state["t03"]["updated_datetime"] == TS1
+    # plain change
+    assert state["t02"]["price"] == 201
+    assert state["t02"]["updated_datetime"] == TS1
+    assert state["t02"]["created_datetime"] == TS0
+    # soft delete keeps values, stamps deleted
+    assert state["t09"]["is_deleted"] is True
+    assert state["t09"]["deleted_datetime"] == TS1
+    assert state["t09"]["price"] == 900
+    # change-then-delete takes the update values AND deletes
+    assert state["t11"]["is_deleted"] is True
+    assert state["t11"]["price"] == 1101
+    assert state["t11"]["updated_datetime"] == TS1
+    # ignores keep everything
+    assert state["t01"]["updated_datetime"] is None
+    assert state["t05"]["price"] == 500
+    assert state["t05"]["is_deleted"] is True
+    assert state["t12"]["price"] == 1200
+    # untouched row untouched
+    assert state["t10"]["price"] == 1000
+    assert state["t10"]["is_deleted"] is False
+    # D on missing key does NOT create a row
+    assert "t13" not in state
+
+
+def test_key_uniqueness_invariant(merged):
+    assert validate_unique(merged.new_state, "tuid").count() == 0
+
+
+def test_idempotent_reapply(spark, merged):
+    """Re-applying the identical batch is a no-op: every outcome becomes an
+    ignore and the state is unchanged (SURVEY §5.2 invariant)."""
+    again = cdc_merge(
+        merged.new_state,
+        _updates(spark),
+        key_col="tuid",
+        value_cols=["price", "code"],
+        batch_timestamp=F.lit(datetime.datetime(2024, 7, 1)),
+    )
+    outcomes = {r["tuid"]: r["outcome"] for r in again.outcomes.collect()}
+    assert all("ignore" in o for o in outcomes.values()), outcomes
+    before = {r["tuid"]: r.asDict() for r in merged.new_state.collect()}
+    after = {r["tuid"]: r.asDict() for r in again.new_state.collect()}
+    assert before == after
+
+
+def test_duplicate_key_probe(spark):
+    dups = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], ["tuid", "x"]
+    )
+    bad = validate_unique(dups, "tuid").collect()
+    assert len(bad) == 1 and bad[0]["tuid"] == "a" and bad[0]["n_rows"] == 2

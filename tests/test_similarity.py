@@ -1,0 +1,82 @@
+"""Similarity & dedup operator behavior tests (recall sanity, not parity —
+parity is test_oracle's job)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from land_registry_data_ingestion_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+)
+from land_registry_data_ingestion_spark.operators.similarity import (
+    cosine_pairs,
+    lsh_bucketed_pairs,
+)
+from land_registry_data_ingestion_spark.sources.parquet import load_tables
+from tests.conftest import SF_CORRECTNESS
+
+
+def test_exact_dedup_removes_planted_duplicates(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "  The   QUICK brown fox "),  # same after normalization
+            (3, "a different document"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs, "doc_id").collect())
+    assert kept == [1, 3]
+
+
+def test_minhash_finds_planted_near_duplicate(spark):
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(59)) + " zz"  # ~0.9 jaccard
+    far = " ".join(f"x{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(docs, "doc_id", threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.8
+    assert all(p == (1, 2) for p in pairs)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_tables(spark, SF_CORRECTNESS).embeddings
+
+
+def test_lsh_pairs_subset_of_exact_with_recall(spark, embeddings):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs(embeddings, threshold=0.8).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_bucketed_pairs(embeddings, dim=64, threshold=0.8).collect()
+    }
+    # every LSH pair is exact-verified → subset; recall should be useful
+    assert approx <= exact
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.5, f"LSH recall too low: {recall:.2f} ({len(approx)}/{len(exact)})"
+
+
+def test_lsh_buckets_balanced(spark, embeddings):
+    """No catastrophic bucket skew: the biggest LSH bucket should hold a
+    small fraction of the corpus (the O(n·tables) shuffle argument)."""
+    from land_registry_data_ingestion_spark.operators.similarity import lsh_bucket_key
+
+    n = embeddings.count()
+    keyed = embeddings.select(
+        lsh_bucket_key(F.col("embedding"), 64, table=0).alias("bkt")
+    )
+    biggest = (
+        keyed.groupBy("bkt").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert biggest < n * 0.25, f"bucket skew: {biggest}/{n}"
