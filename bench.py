@@ -62,6 +62,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _load_all()
 
+    # Warm up the JVM/codegen and prime the file-index caches so the first
+    # timed query doesn't absorb session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    REGISTRY["agg_scalar_max"].fn(spark, sf_dir).collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]

@@ -1,0 +1,235 @@
+"""The ingestion pipeline (SURVEY §3.1) as a deterministic Spark DAG.
+
+The reference runs this as six Kafka-connected microservices mutating a
+shared file-log row (downloader → data-decision → archiver/GC → db-upload →
+merge). Here the same stages are pure functions over two kinds of state:
+
+- **snapshot state**: immutable parquet directory per accepted file,
+  addressed by content hash (``state/run=<sha12>/``). "Current" is a
+  pointer resolved from the file-log — pointer-flip is atomic, so there is
+  no overwrite window (the reference's ``if_exists='replace'`` has one).
+- **file_log**: an append-only parquet ledger, one row per pipeline run
+  (the reference's mutable ``PP*DownloadFileLog`` rows become immutable
+  events; "latest" is a ``max_by`` over run timestamps — SURVEY W3).
+
+Stage semantics preserved from the reference:
+- sha256 content hash decides archive vs garbage_collect: equal to the
+  previous accepted hash → the whole pipeline short-circuits
+  (``land_registry_pp_complete_data_decision.py:143-174``);
+- re-running a run is idempotent: state dirs are content-addressed and the
+  decision consults the ledger, so a replay cannot double-apply
+  (the reference enforces this with write-once asserts, :562-570);
+- monthly updates CDC-merge into the current snapshot and append the
+  17-counter operation ledger (§3.2, A8).
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from land_registry_data_ingestion_spark.operators.merge import (
+    cdc_merge,
+    init_state,
+    merge_outcome_stats,
+)
+from land_registry_data_ingestion_spark.sources.csv import read_price_paid_csv
+
+FILE_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("source_path", T.StringType(), False),
+        T.StructField("file_kind", T.StringType(), False),  # complete|monthly
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("decision", T.StringType(), False),  # archive|garbage_collect
+        T.StructField("row_count", T.LongType(), True),
+        T.StructField("state_location", T.StringType(), True),
+        T.StructField("run_datetime", T.TimestampType(), False),
+    ]
+)
+
+
+@dataclass
+class IngestStore:
+    """Filesystem layout: ``root/state/run=<sha12>/`` + ``root/file_log/``."""
+
+    spark: SparkSession
+    root: str
+
+    @property
+    def file_log_path(self) -> str:
+        return os.path.join(self.root, "file_log")
+
+    def state_path(self, sha: str) -> str:
+        return os.path.join(self.root, "state", f"run={sha[:12]}")
+
+    # -- ledger ---------------------------------------------------------
+
+    def file_log(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(FILE_LOG_SCHEMA).parquet(
+                self.file_log_path
+            )
+        except Exception:
+            return self.spark.createDataFrame([], FILE_LOG_SCHEMA)
+
+    def _append_log(self, row: dict) -> None:
+        self.spark.createDataFrame([row], FILE_LOG_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.file_log_path)
+
+    def last_accepted(self) -> dict | None:
+        """Latest archive-decision row (W3: max_by over the ledger)."""
+        rows = (
+            self.file_log()
+            .filter(F.col("decision") == "archive")
+            .orderBy(F.desc("run_datetime"), F.desc("run_id"))
+            .limit(1)
+            .collect()
+        )
+        return rows[0].asDict() if rows else None
+
+    def current_state(self) -> DataFrame:
+        last = self.last_accepted()
+        if last is None:
+            raise FileNotFoundError("no accepted snapshot in the ledger yet")
+        return self.spark.read.parquet(last["state_location"])
+
+
+def sha256_of_file(path: str, chunk: int = 1 << 20) -> str:
+    """F1: content hash of a staged file (driver-side, streamed — the file
+    was just fetched by the driver; row-level hashing uses F.sha2)."""
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                break
+            h.update(b)
+    return h.hexdigest()
+
+
+def ingest_snapshot(
+    store: IngestStore,
+    csv_path: str,
+    run_id: str,
+    n_columns: int = 16,
+    now: datetime.datetime | None = None,
+) -> dict:
+    """Full-snapshot ingestion: hash → dedup decision → load → ledger.
+
+    Returns the appended file-log row (with ``decision``).
+    """
+    now = now or datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    sha = sha256_of_file(csv_path)
+    last = store.last_accepted()
+
+    if last is not None and last["sha256"] == sha:
+        row = {
+            "run_id": run_id,
+            "source_path": csv_path,
+            "file_kind": "complete",
+            "sha256": sha,
+            "decision": "garbage_collect",
+            "row_count": None,
+            "state_location": None,
+            "run_datetime": now,
+        }
+        store._append_log(row)
+        return row
+
+    df = read_price_paid_csv(store.spark, csv_path, n_columns=n_columns)
+    state = init_state(df.drop("record_op"), batch_timestamp=F.lit(now))
+    location = store.state_path(sha)
+    state.write.mode("overwrite").parquet(location)
+    row_count = store.spark.read.parquet(location).count()
+
+    row = {
+        "run_id": run_id,
+        "source_path": csv_path,
+        "file_kind": "complete",
+        "sha256": sha,
+        "decision": "archive",
+        "row_count": row_count,
+        "state_location": location,
+        "run_datetime": now,
+    }
+    store._append_log(row)
+    return row
+
+
+def ingest_monthly_update(
+    store: IngestStore,
+    csv_path: str,
+    run_id: str,
+    n_columns: int = 16,
+    now: datetime.datetime | None = None,
+) -> dict:
+    """Incremental A/C/D ingestion: CDC-merge into the current snapshot,
+    write a new content-addressed state, append ledger + outcome counters.
+    """
+    now = now or datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    sha = sha256_of_file(csv_path)
+    last = store.last_accepted()
+    if last is not None and last["sha256"] == sha:
+        row = {
+            "run_id": run_id,
+            "source_path": csv_path,
+            "file_kind": "monthly",
+            "sha256": sha,
+            "decision": "garbage_collect",
+            "row_count": None,
+            "state_location": None,
+            "run_datetime": now,
+        }
+        store._append_log(row)
+        return row
+
+    updates = read_price_paid_csv(store.spark, csv_path, n_columns=n_columns)
+    current = store.current_state()
+    value_cols = [
+        c
+        for c in current.columns
+        if c
+        not in (
+            "transaction_unique_id",
+            "created_datetime",
+            "updated_datetime",
+            "deleted_datetime",
+            "is_deleted",
+        )
+    ]
+    result = cdc_merge(
+        current,
+        updates,
+        key_col="transaction_unique_id",
+        value_cols=value_cols,
+        op_col="record_op",
+        batch_timestamp=F.lit(now),
+    )
+    location = store.state_path(sha)
+    result.new_state.write.mode("overwrite").parquet(location)
+    stats = merge_outcome_stats(result.outcomes)
+    stats.withColumn("run_id", F.lit(run_id)).coalesce(1).write.mode(
+        "append"
+    ).parquet(os.path.join(store.root, "operation_log"))
+    row_count = store.spark.read.parquet(location).count()
+
+    row = {
+        "run_id": run_id,
+        "source_path": csv_path,
+        "file_kind": "monthly",
+        "sha256": sha,
+        "decision": "archive",
+        "row_count": row_count,
+        "state_location": location,
+        "run_datetime": now,
+    }
+    store._append_log(row)
+    return row

@@ -1,0 +1,114 @@
+"""End-to-end ingestion pipeline tests (SURVEY §3.1 main path + §5.2
+invariants): sha dedup short-circuit, idempotent replays, CDC merge into
+the snapshot, reconcile-clean after load."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from land_registry_data_ingestion_spark.operators.ingest import (
+    IngestStore,
+    ingest_monthly_update,
+    ingest_snapshot,
+)
+from land_registry_data_ingestion_spark.operators.reconcile import reconcile
+from land_registry_data_ingestion_spark.sources.csv import read_price_paid_csv
+
+
+def _line(tuid: str, price: int, date: str, op: str = "A") -> str:
+    return (
+        f'"{{{tuid}}}","{price}","{date} 00:00","SW1A {tuid[-2:]}","T","N","F",'
+        f'"10","","STREET","","LONDON","DIST","COUNTY","A","{op}"'
+    )
+
+
+SNAP1 = [
+    _line("T0001", 100000, "2015-01-05"),
+    _line("T0002", 200000, "2015-01-06"),
+    _line("T0003", 300000, "2015-01-07"),
+]
+# monthly: change T0002, delete T0003, add T0004
+MONTHLY = [
+    _line("T0002", 250000, "2015-01-06", "C"),
+    _line("T0003", 300000, "2015-01-07", "D"),
+    _line("T0004", 400000, "2015-02-01", "A"),
+]
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return IngestStore(spark=spark, root=str(tmp_path / "store"))
+
+
+def _write(tmp_path, name, lines):
+    p = tmp_path / name
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_snapshot_then_dedup_then_update(spark, store, tmp_path):
+    snap = _write(tmp_path, "pp-complete-1.csv", SNAP1)
+    t0 = datetime.datetime(2024, 1, 1)
+
+    row1 = ingest_snapshot(store, snap, "r1", now=t0)
+    assert row1["decision"] == "archive"
+    assert row1["row_count"] == 3
+    assert store.current_state().count() == 3
+
+    # identical re-download → garbage_collect, no new state
+    row2 = ingest_snapshot(store, snap, "r2", now=t0 + datetime.timedelta(days=1))
+    assert row2["decision"] == "garbage_collect"
+    assert store.last_accepted()["run_id"] == "r1"
+
+    # reconcile engine state vs the raw file → zero diffs (SURVEY Q6 self-test)
+    file_df = read_price_paid_csv(spark, snap).drop("record_op")
+    state = store.current_state().filter(~F.col("is_deleted")).select(
+        file_df.columns
+    )
+    counts = {
+        r["presence"]: r["n_rows"]
+        for r in reconcile(state, file_df).counts.collect()
+    }
+    assert counts == {"both": 3}
+
+    # monthly update: C/D/A applied via CDC merge
+    monthly = _write(tmp_path, "pp-monthly-1.csv", MONTHLY)
+    row3 = ingest_monthly_update(
+        store, monthly, "r3", now=t0 + datetime.timedelta(days=30)
+    )
+    assert row3["decision"] == "archive"
+    state = {
+        r["transaction_unique_id"]: r.asDict()
+        for r in store.current_state().collect()
+    }
+    assert state["{T0002}"]["price"] == 250000
+    assert state["{T0003}"]["is_deleted"] is True
+    assert state["{T0004}"]["price"] == 400000
+    assert state["{T0001}"]["price"] == 100000
+    # live-row ledger: 3 - 1 deleted + 1 added = 3 live, 4 total
+    live = store.current_state().filter(~F.col("is_deleted")).count()
+    assert (live, store.current_state().count()) == (3, 4)
+
+    # operation log recorded the outcome counters
+    oplog = spark.read.parquet(f"{store.root}/operation_log")
+    got = {r["outcome"]: r["n_rows"] for r in oplog.collect()}
+    assert got == {"change_change": 1, "delete_delete": 1, "add_insert": 1}
+
+    # file_log is an append-only ledger with every run
+    log = store.file_log().orderBy("run_datetime").collect()
+    assert [r["run_id"] for r in log] == ["r1", "r2", "r3"]
+
+
+def test_changed_snapshot_supersedes(spark, store, tmp_path):
+    snap1 = _write(tmp_path, "s1.csv", SNAP1)
+    snap2 = _write(tmp_path, "s2.csv", SNAP1 + [_line("T0009", 900000, "2015-03-01")])
+    ingest_snapshot(store, snap1, "r1", now=datetime.datetime(2024, 1, 1))
+    ingest_snapshot(store, snap2, "r2", now=datetime.datetime(2024, 1, 2))
+    assert store.last_accepted()["run_id"] == "r2"
+    assert store.current_state().count() == 4
+    # both content-addressed state dirs exist (history retained)
+    log = store.file_log().filter(F.col("decision") == "archive").collect()
+    assert len({r["state_location"] for r in log}) == 2

@@ -1,0 +1,92 @@
+"""Physical-plan quality gates (SURVEY §4): the plans must stay the plans
+we designed — filters reaching the parquet scan, columns pruned, small
+sides broadcast, partial aggregation map-side, top-k via ordered take.
+
+These tests fail if a refactor silently degrades the plan (e.g. a UDF
+blocks pushdown, or a broadcast hint is lost and a 100 TB join starts
+shuffling the fact table)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_CORRECTNESS
+
+from land_registry_data_ingestion_spark.plans.registry import _load_all, REGISTRY
+
+_load_all()
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        mode
+    )
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def _plan(spark, name: str, mode: str = "formatted") -> str:
+    return explain_str(REGISTRY[name].fn(spark, SF_CORRECTNESS), mode)
+
+
+def test_filters_pushed_to_scan(spark):
+    plan = _plan(spark, "rel_project_filter")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_quantity)" in plan or "l_quantity" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0]
+    # equality predicate pushed too
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "q1_delay_histogram_days")
+    # lineitem scan must read exactly the join key + shipdate
+    scan = [s for s in plan.split("ReadSchema: ")[1:] if "l_orderkey" in s][0]
+    assert "l_shipdate" in scan and "l_extendedprice" not in scan
+
+
+def test_small_dim_broadcasts(spark):
+    plan = _plan(spark, "rel_left_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    plan = _plan(spark, "rel_semi_join")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_binning_is_broadcast_range_join(spark):
+    plan = _plan(spark, "q2_interval_binning")
+    assert "BroadcastNestedLoopJoin" in plan
+    # the fact side must NOT shuffle for the join
+    before_join = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "Exchange hashpartitioning(l_" not in before_join
+
+
+def test_partial_aggregation(spark):
+    plan = _plan(spark, "agg_multi", mode="simple")
+    # partial (map-side) + final aggregate around one small shuffle
+    assert plan.count("HashAggregate") >= 2
+    # whole-stage codegen covers the aggregate (AQE hides it in
+    # formatted mode before execution; codegen mode shows the subtrees)
+    codegen = _plan(spark, "agg_multi", mode="codegen")
+    assert "WholeStageCodegen" in codegen
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "ord_sort_limit", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_python_udfs_anywhere(spark):
+    """Every declared query is JVM-only: Python UDFs would serialize rows
+    through the interpreter in the hot path (multimodal kernels are the
+    sanctioned exception and are not part of the oracle query set)."""
+    offenders = []
+    for name, spec in REGISTRY.items():
+        plan = explain_str(spec.fn(spark, SF_CORRECTNESS), "simple")
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"Python UDFs in: {offenders}"
+
+
+def test_merge_is_single_shuffle_join(spark):
+    plan = _plan(spark, "cdc_merge_state", mode="simple")
+    assert "FullOuter" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
