@@ -154,15 +154,12 @@ def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signatures(
-    df: DataFrame,
-    id_col: str,
-    text_col: str = "text",
-    k: int = 3,
-    num_hashes: int = 16,
+def minhash_signatures_from_shingles(
+    sh: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
-    """MinHash signature per document: min over the shingle set of each of
-    ``num_hashes`` universal-hash functions.
+    """MinHash signatures from an already-shingled frame (``doc``,
+    ``shingles``): min over the shingle set of each of ``num_hashes``
+    universal-hash functions.
 
     Columnar throughout and md5-once: the shingle's 60-bit md5 hash is
     materialized a single time per shingle, then every signature component
@@ -170,8 +167,7 @@ def minhash_signatures(
     only, no explode, no shuffle. (A naive per-salt md5 costs num_hashes
     md5 evaluations per shingle: ~16× the CPU at 100 TB.)
     """
-    sh = _shingled(df, id_col, text_col, k).filter(F.col("n_shingles") > 0)
-    base = sh.select(
+    base = sh.filter(F.size("shingles") > 0).select(
         "doc",
         F.transform(
             F.col("shingles"), lambda s: _md5_hash64(s, 0) % MINHASH_PRIME
@@ -185,6 +181,19 @@ def minhash_signatures(
         for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
     ]
     return base.select(F.col("doc"), *sig_cols)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per document (shingle + sign in one pass)."""
+    return minhash_signatures_from_shingles(
+        _shingled(df, id_col, text_col, k), num_hashes
+    )
 
 
 def minhash_lsh_candidates(
@@ -236,10 +245,17 @@ def minhash_near_duplicates(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified with exact Jaccard
-    (verify step touches only candidate pairs)."""
-    sh = _shingled(df, id_col, text_col, k)
+    (verify step touches only candidate pairs).
+
+    The shingled frame is consumed three times (signatures, verify a-side,
+    verify b-side), so it is persisted rather than recomputed per branch —
+    at cluster scale this intermediate would be staged to Parquet between
+    pipeline steps; MEMORY_AND_DISK gives the same compute-once semantics
+    here without a write barrier.
+    """
+    sh = _shingled(df, id_col, text_col, k).persist()
     cands = minhash_lsh_candidates(
-        minhash_signatures(df, id_col, text_col, k, num_hashes),
+        minhash_signatures_from_shingles(sh, num_hashes),
         num_hashes,
         band_size,
     )
@@ -266,30 +282,31 @@ def simhash(
 
     Token hash = the same md5-derived 60-bit integer as MinHash, so the
     fingerprint is engine-reproducible (an xxhash64 variant would be faster
-    but oracle-opaque). Implemented as explode → per-bit conditional sums →
-    reassemble: one shuffle by id, all arithmetic JVM-side.
+    but oracle-opaque). Implemented entirely row-local: tokens → hash array
+    → per-bit popcounts via ``F.aggregate`` — a pure map with ZERO shuffle
+    (the earlier explode → groupBy formulation shuffled every (doc, token)
+    pair; at 100 TB that shuffle is the whole cost of the operator).
     """
     assert bits <= 60, "md5-derived hash provides 60 bits"
-    toks = spread(df).select(
+    hashed = spread(df).select(
         F.col(id_col).alias("doc"),
-        F.explode(
+        F.transform(
             F.array_distinct(
                 F.split(
                     F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
                     " ",
                 )
-            )
-        ).alias("tok"),
-    ).withColumn("h", _md5_hash64(F.col("tok"), 0))
-    bit_sums = toks.groupBy("doc").agg(
-        F.count("*").alias("n_tok"),
-        *[
-            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"bit_{b}")
-            for b in range(bits)
-        ],
+            ),
+            lambda t: _md5_hash64(t, 0),
+        ).alias("hs"),
+    ).withColumn("n_tok", F.size("hs"))
+    ones = lambda b: F.aggregate(  # noqa: E731
+        "hs",
+        F.lit(0).cast("long"),
+        lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)),
     )
     fp = None
     for b in range(bits):
-        bit = (F.col(f"bit_{b}") * 2 > F.col("n_tok")).cast("long") * F.lit(1 << b)
+        bit = (ones(b) * 2 > F.col("n_tok")).cast("long") * F.lit(1 << b)
         fp = bit if fp is None else fp + bit
-    return bit_sums.select(F.col("doc").alias(id_col), fp.alias(f"simhash{bits}"))
+    return hashed.select(F.col("doc").alias(id_col), fp.alias(f"simhash{bits}"))
