@@ -151,6 +151,128 @@ def lsh_bucketed_pairs(
     )
 
 
+# --- IVF (inverted-file) ANN ------------------------------------------------
+
+
+def seed_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> DataFrame:
+    """Deterministic coarse quantizer: the ``n_centroids`` smallest-id
+    vectors. At cluster scale these seeds would be refined with distributed
+    k-means (k-means|| init); the seeded form is kept as-is here so a
+    second engine can rebuild the identical index with no RNG state."""
+    return corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids)
+
+
+def _centroid_literal(
+    centroids: DataFrame, id_col: str, vec_col: str
+) -> Column:
+    """Collect the (small by construction) centroid set to the driver and
+    embed it as a literal array<struct<cid,cvec>> so both index build and
+    probe selection are row-local expressions — no join, no shuffle."""
+    rows = centroids.select(id_col, vec_col).collect()
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(r[0])).cast("long").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r[1]]).alias("cvec"),
+            )
+            for r in rows
+        ]
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index build: attach ``centroid_id`` = argmax-cosine centroid to each
+    corpus vector. Pure map (centroids are a broadcast literal; argmax is
+    struct-max over an array) — at 100 TB the build costs one scan, and the
+    assigned table is then written partitioned/bucketed by ``centroid_id``
+    so probes prune partitions."""
+    cents = _centroid_literal(centroids, id_col, vec_col)
+    scored = F.transform(
+        cents,
+        lambda c: F.struct(
+            F.round(cosine_similarity(F.col(vec_col), c["cvec"]), 6).alias("cos"),
+            (-c["cid"]).alias("ncid"),
+        ),
+    )
+    # struct max orders by (cos, ncid): highest cosine, ties → smallest cid.
+    best = F.array_max(scored)
+    return corpus.withColumn("centroid_id", (-best["ncid"]).cast("long"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k cosine search: probe the ``nprobe`` nearest
+    inverted lists per query, exact-score only those lists.
+
+    Scan cost per query is nprobe/n_centroids of the corpus (vs 1.0 for
+    brute force); the probe side is tiny and broadcast, so the only big
+    data movement is the pruned corpus read."""
+    centroids = seed_centroids(corpus, id_col, vec_col, n_centroids)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    cents = _centroid_literal(centroids, id_col, vec_col)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    probe_scored = F.transform(
+        cents,
+        lambda c: F.struct(
+            (-F.round(cosine_similarity(F.col("q_vec"), c["cvec"]), 6)).alias(
+                "ncos"
+            ),
+            c["cid"].alias("cid"),
+        ),
+    )
+    # ascending sort on (ncos, cid) = best cosine first, ties → smallest cid
+    probes = q.withColumn(
+        "centroid_id",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(probe_scored), 1, nprobe),
+                lambda p: p["cid"],
+            )
+        ),
+    )
+    c = assigned.select(
+        "centroid_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def normalize_vectors(
     df: DataFrame, vec_col: str = "embedding", out_col: str = "unit_vec"
 ) -> DataFrame:

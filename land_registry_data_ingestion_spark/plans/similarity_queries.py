@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from land_registry_data_ingestion_spark.operators.similarity import (
     brute_force_topk,
     cosine_pairs,
+    ivf_topk,
     lsh_bucketed_pairs,
 )
 from land_registry_data_ingestion_spark.plans.registry import query
@@ -71,6 +72,70 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     queries = t.embeddings.filter(F.col("vec_id") < 10)
     return brute_force_topk(t.embeddings, queries, k=10)
+
+
+def _cos_sql(x: str, y: str) -> str:
+    return f"""ROUND(
+      list_dot_product(CAST({x} AS DOUBLE[]), CAST({y} AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST({x} AS DOUBLE[]), CAST({x} AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST({y} AS DOUBLE[]), CAST({y} AS DOUBLE[])))),
+      6)"""
+
+
+def _ivf_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    """DuckDB replay of the deterministic IVF index + nprobe search."""
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    assign AS (
+        SELECT neighbor_id, embedding, cid AS centroid_id FROM (
+            SELECT e.vec_id AS neighbor_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cid FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC, c.cid ASC
+                   ) AS rn
+            FROM embeddings q CROSS JOIN cents c
+            WHERE q.vec_id < 10
+        ) WHERE rn <= {nprobe}
+    ),
+    cand AS (
+        SELECT p.query_id, a.neighbor_id,
+               {_cos_sql('q.embedding', 'a.embedding')} AS cosine
+        FROM probes p
+        JOIN assign a ON a.centroid_id = p.cid
+        JOIN embeddings q ON q.vec_id = p.query_id
+        WHERE a.neighbor_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS BIGINT) AS rank
+        FROM cand
+    ) WHERE rank <= {k}
+    """
+
+
+@query("sim_ivf_topk", sql=_ivf_sql())
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 for queries vec_id < 10: deterministic seeded coarse
+    quantizer (16 lists), map-only index build, nprobe=4 search — the scale
+    path for top-k (scans nprobe/n_centroids of the corpus per query).
+    The oracle replays the identical index, so results match exactly."""
+    t = load_tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 10)
+    return ivf_topk(t.embeddings, queries, n_centroids=16, nprobe=4, k=10)
 
 
 @query("sim_lsh_ann_pairs", sql=None)  # plan-equivalence is non-SQL; unit-tested

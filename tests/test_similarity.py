@@ -67,6 +67,29 @@ def test_lsh_pairs_subset_of_exact_with_recall(spark, embeddings):
         assert recall >= 0.5, f"LSH recall too low: {recall:.2f} ({len(approx)}/{len(exact)})"
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, embeddings):
+    """IVF with nprobe=4/16 must recover most of the exact top-10 while
+    scanning only ~1/4 of the corpus per query."""
+    from land_registry_data_ingestion_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(embeddings, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            embeddings, queries, n_centroids=16, nprobe=4, k=10
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
 def test_lsh_buckets_balanced(spark, embeddings):
     """No catastrophic bucket skew: the biggest LSH bucket should hold a
     small fraction of the corpus (the O(n·tables) shuffle argument)."""
