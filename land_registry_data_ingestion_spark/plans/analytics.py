@@ -162,47 +162,51 @@ def q3_inverse_volume_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NORMALIZED_SQL = f"""
     WITH binned AS ({_BINNED_SQL}),
-    weights AS (
-        SELECT bin_lo, ROUND(1.0 / COUNT(*), 9) AS weight
-        FROM binned GROUP BY bin_lo
+    per_bin_delay AS (
+        SELECT bin_lo,
+               date_diff('day', CAST(bin_lo AS DATE), CAST(l_shipdate AS DATE))
+                 AS delay_days,
+               COUNT(*) AS cnt
+        FROM binned GROUP BY 1, 2
     ),
-    delays AS (
-        SELECT b.bin_lo,
-               date_diff('day', CAST(b.bin_lo AS DATE), CAST(b.l_shipdate AS DATE))
-                 AS delay_days
-        FROM binned b
+    weighted AS (
+        SELECT delay_days, cnt,
+               CAST(ROUND(1.0 / SUM(cnt) OVER (PARTITION BY bin_lo), 9)
+                    AS DOUBLE) AS weight
+        FROM per_bin_delay
     )
-    SELECT d.delay_days,
-           ROUND(SUM(w.weight), 6) AS weighted_n,
-           COUNT(*) AS n_rows
-    FROM delays d LEFT JOIN weights w ON d.bin_lo = w.bin_lo
-    GROUP BY d.delay_days
+    SELECT delay_days,
+           ROUND(SUM(cnt * weight), 6) AS weighted_n,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows
+    FROM weighted GROUP BY delay_days
 """
 
 
 @query("q4_normalized_delay", sql=_NORMALIZED_SQL)
 def q4_normalized_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q4: volume-normalized delay distribution — attach per-bin weight
-    (left join J3, weights broadcast) then groupBy(delay).agg(sum, count)
-    (normalized_delay.ipynb cells 28-30)."""
+    """Q4: volume-normalized delay distribution (normalized_delay.ipynb
+    cells 28-30). One binning pass, then pre-aggregate to
+    (bin_lo, delay_days) counts — map-side combine collapses the fact rows
+    before any shuffle, and the per-bin totals/weights come from a window
+    over that tiny aggregated frame instead of a second pass + join over
+    the facts (the reference's join-then-sum per ROW is algebraically
+    cnt × weight per GROUP)."""
     binned = _binned(spark, sf_dir)
-    weights = (
-        binned.groupBy("bin_lo")
-        .agg(F.count("*").alias("n_in_bin"))
-        .withColumn("weight", F.round(F.lit(1.0) / F.col("n_in_bin"), 9))
-        .select("bin_lo", "weight")
-    )
-    delays = binned.withColumn(
-        "delay_days",
-        F.datediff(F.to_date("l_shipdate"), F.to_date("bin_lo")).cast("long"),
-    )
-    return (
-        delays.join(F.broadcast(weights), "bin_lo", "left")
-        .groupBy("delay_days")
-        .agg(
-            F.round(F.sum("weight"), 6).alias("weighted_n"),
-            F.count("*").alias("n_rows"),
+    per_bin_delay = (
+        binned.withColumn(
+            "delay_days",
+            F.datediff(F.to_date("l_shipdate"), F.to_date("bin_lo")).cast("long"),
         )
+        .groupBy("bin_lo", "delay_days")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("bin_lo")
+    weighted = per_bin_delay.withColumn(
+        "weight", F.round(F.lit(1.0) / F.sum("cnt").over(w), 9)
+    )
+    return weighted.groupBy("delay_days").agg(
+        F.round(F.sum(F.col("cnt") * F.col("weight")), 6).alias("weighted_n"),
+        F.sum("cnt").alias("n_rows"),
     )
 
 

@@ -60,6 +60,15 @@ def test_binning_is_broadcast_range_join(spark):
     assert "Exchange hashpartitioning(l_" not in before_join
 
 
+def test_q4_bins_facts_exactly_once(spark):
+    """q4 must not recompute the range join per consumer: one binning pass
+    (single BroadcastNestedLoopJoin), weights derived from the aggregated
+    frame, never a second scan of the fact table."""
+    plan = _plan(spark, "q4_normalized_delay", mode="simple")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert plan.count("FileScan parquet") <= 2  # lineitem + orders(edges)
+
+
 def test_partial_aggregation(spark):
     plan = _plan(spark, "agg_multi", mode="simple")
     # partial (map-side) + final aggregate around one small shuffle
