@@ -310,3 +310,61 @@ def simhash(
         bit = (ones(b) * 2 > F.col("n_tok")).cast("long") * F.lit(1 << b)
         fp = bit if fp is None else fp + bit
     return hashed.select(F.col("doc").alias(id_col), fp.alias(f"simhash{bits}"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 60,
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split the fingerprint into ``n_blocks`` blocks;
+    any pair within Hamming ``n_blocks - 1`` matches exactly on ≥1 block,
+    so candidates come from an equi-join on (block_idx, block_value) —
+    shuffle O(n·blocks) — and only candidates pay the popcount verify.
+    Requires ``max_hamming < n_blocks`` for zero false negatives.
+    """
+    assert max_hamming < n_blocks, "pigeonhole guarantee needs hamming < blocks"
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    fp_col = f"simhash{bits}"
+    fps = simhash(df, id_col, text_col, bits).persist()
+    blocks = fps.select(
+        F.col(id_col).alias("doc"),
+        F.col(fp_col).alias("fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_idx"),
+                        F.shiftright(fp_col, b * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block_val"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc", "fp", "blk.block_idx", "blk.block_val")
+    a = blocks.select(
+        "block_idx", "block_val", F.col("doc").alias("doc_a"), F.col("fp").alias("fp_a")
+    )
+    b = blocks.select(
+        "block_idx", "block_val", F.col("doc").alias("doc_b"), F.col("fp").alias("fp_b")
+    )
+    return (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

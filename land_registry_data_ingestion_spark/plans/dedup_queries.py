@@ -14,6 +14,7 @@ from land_registry_data_ingestion_spark.operators.dedup import (
     minhash_near_duplicates,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_duplicates,
 )
 from land_registry_data_ingestion_spark.plans.registry import query
 from land_registry_data_ingestion_spark.sources.parquet import load_tables
@@ -174,3 +175,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived token hashes)."""
     t = load_tables(spark, sf_dir)
     return simhash(t.documents, "doc_id")
+
+
+def _simhash_pairs_sql(
+    bits: int = 60, n_blocks: int = 4, max_hamming: int = 3
+) -> str:
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    return f"""
+    WITH fps AS (SELECT doc_id AS doc, simhash{bits} AS fp
+                 FROM ({_simhash_sql(bits)})),
+    blocks AS (
+        SELECT doc, fp, b.block_idx,
+               (fp >> (b.block_idx * {block_bits})) & {mask} AS block_val
+        FROM fps, (SELECT unnest(generate_series(0, {n_blocks - 1}))
+                   AS block_idx) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+               a.fp AS fp_a, b.fp AS fp_b
+        FROM blocks a JOIN blocks b
+          ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+         AND a.doc < b.doc
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash_pairs", sql=_simhash_pairs_sql())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: pigeonhole block join (4 × 15-bit blocks →
+    zero false negatives at Hamming ≤ 3), popcount verify on candidates
+    only. Shuffle O(n·blocks)."""
+    t = load_tables(spark, sf_dir)
+    return simhash_near_duplicates(t.documents, "doc_id")
