@@ -57,10 +57,17 @@ FILE_LOG_SCHEMA = T.StructType(
 
 @dataclass
 class IngestStore:
-    """Filesystem layout: ``root/state/run=<sha12>/`` + ``root/file_log/``."""
+    """Filesystem layout: ``root/state/run=<sha12>/`` + ``root/file_log/``.
+
+    State directories are written partitioned by ``data_year`` (derived
+    from ``transaction_date`` at write time, SURVEY §4.1): year-ranged
+    queries then prune partitions at the scan, and at 100 TB each yearly
+    partition stays an independently-sized write unit. Set
+    ``partition_cols=()`` to disable (tiny test fixtures)."""
 
     spark: SparkSession
     root: str
+    partition_cols: tuple[str, ...] = ("data_year",)
 
     @property
     def file_log_path(self) -> str:
@@ -99,7 +106,24 @@ class IngestStore:
         last = self.last_accepted()
         if last is None:
             raise FileNotFoundError("no accepted snapshot in the ledger yet")
-        return self.spark.read.parquet(last["state_location"])
+        df = self.spark.read.parquet(last["state_location"])
+        # partition columns are write-time derivations, not state
+        return df.drop(*[c for c in self.partition_cols if c in df.columns])
+
+    def write_state(self, state: DataFrame, location: str) -> None:
+        """Overwrite a content-addressed state dir, partitioned for pruning.
+
+        ``data_year`` is (re)derived from ``transaction_date`` on every
+        write — a CDC change that moves a row's transaction date moves the
+        row to the right partition instead of stranding it."""
+        cols = self.partition_cols
+        if "data_year" in cols and "transaction_date" in state.columns:
+            state = state.withColumn("data_year", F.year("transaction_date"))
+        cols = tuple(c for c in cols if c in state.columns)
+        writer = state.write.mode("overwrite")
+        if cols:
+            writer = writer.partitionBy(*cols)
+        writer.parquet(location)
 
 
 def sha256_of_file(path: str, chunk: int = 1 << 20) -> str:
@@ -147,7 +171,7 @@ def ingest_snapshot(
     df = read_price_paid_csv(store.spark, csv_path, n_columns=n_columns)
     state = init_state(df.drop("record_op"), batch_timestamp=F.lit(now))
     location = store.state_path(sha)
-    state.write.mode("overwrite").parquet(location)
+    store.write_state(state, location)
     row_count = store.spark.read.parquet(location).count()
 
     row = {
@@ -214,7 +238,7 @@ def ingest_monthly_update(
         batch_timestamp=F.lit(now),
     )
     location = store.state_path(sha)
-    result.new_state.write.mode("overwrite").parquet(location)
+    store.write_state(result.new_state, location)
     stats = merge_outcome_stats(result.outcomes)
     stats.withColumn("run_id", F.lit(run_id)).coalesce(1).write.mode(
         "append"

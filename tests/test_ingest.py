@@ -112,3 +112,38 @@ def test_changed_snapshot_supersedes(spark, store, tmp_path):
     # both content-addressed state dirs exist (history retained)
     log = store.file_log().filter(F.col("decision") == "archive").collect()
     assert len({r["state_location"] for r in log}) == 2
+
+
+def test_state_partitioned_by_year_with_pruning(spark, store, tmp_path):
+    """State dirs are hive-partitioned on data_year and a year predicate
+    prunes partitions at the scan (SURVEY §4.1)."""
+    import os
+
+    snap = _write(tmp_path, "pp-complete-part.csv", SNAP1)
+    row = ingest_snapshot(store, snap, "r1", now=datetime.datetime(2024, 1, 1))
+    assert sorted(
+        d for d in os.listdir(row["state_location"]) if d.startswith("data_year=")
+    ) == ["data_year=2015"]
+
+    # a second year lands in its own partition after a monthly merge
+    monthly = MONTHLY + [_line("T0005", 900000, "2016-03-01", "A")]
+    upd = _write(tmp_path, "pp-monthly-part.csv", monthly)
+    row2 = ingest_monthly_update(
+        store, upd, "r2", now=datetime.datetime(2024, 2, 1)
+    )
+    assert sorted(
+        d
+        for d in os.listdir(row2["state_location"])
+        if d.startswith("data_year=")
+    ) == ["data_year=2015", "data_year=2016"]
+
+    # year filter shows up as a partition filter, not a data filter
+    df = spark.read.parquet(row2["state_location"]).filter("data_year = 2016")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "data_year" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert df.count() == 1
+
+    # current_state drops the derived partition column
+    assert "data_year" not in store.current_state().columns
