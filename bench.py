@@ -45,8 +45,10 @@ HEADLINE = [
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "text_quality_score",
     "sim_topk_bruteforce",
+    "sim_ivf_topk",
     "evt_sessionize",
 ]
 

@@ -84,16 +84,20 @@ def test_topk_avoids_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_no_python_udfs_anywhere(spark):
-    """Every declared query is JVM-only: Python UDFs would serialize rows
-    through the interpreter in the hot path (multimodal kernels are the
-    sanctioned exception and are not part of the oracle query set)."""
+def test_no_python_udfs_or_cartesians_anywhere(spark):
+    """Every declared query is JVM-only and cartesian-free: Python UDFs
+    would serialize rows through the interpreter in the hot path
+    (multimodal kernels are the sanctioned exception and are not part of
+    the oracle query set); an unintended CartesianProduct is the classic
+    silent O(n²) scale killer (the intentional pair scans use broadcast
+    nested-loop with one tiny side, never a cartesian)."""
     offenders = []
     for name, spec in REGISTRY.items():
         plan = explain_str(spec.fn(spark, SF_CORRECTNESS), "simple")
-        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
-            offenders.append(name)
-    assert not offenders, f"Python UDFs in: {offenders}"
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+            if marker in plan:
+                offenders.append((name, marker))
+    assert not offenders, f"bad plan shapes: {offenders}"
 
 
 def test_merge_is_single_shuffle_join(spark):
