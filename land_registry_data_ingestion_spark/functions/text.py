@@ -30,6 +30,25 @@ def token_count(col: Column) -> Column:
     ).cast("long")
 
 
+# GPT-2-style pre-tokenization, simplified to ASCII classes and no
+# lookahead so Java regex (Spark) and RE2 (DuckDB) match byte-for-byte:
+# a subword chunk is a letter run, a digit run, or a punctuation run, each
+# optionally absorbing one leading space.
+BPE_ISH = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """BPE-style pre-token chunks → array<string> (closer to an LLM
+    tokenizer's unit count than whitespace words)."""
+    return F.regexp_extract_all(col, F.lit(BPE_ISH), 0)
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Chunk count as BIGINT (the budget unit for context-length-aware
+    truncation in a training-data pipeline)."""
+    return F.size(bpe_ish_tokens(col)).cast("long")
+
+
 def punct_ratio(col: Column) -> Column:
     """Share of characters that are not alphanumeric or space."""
     clean = F.length(F.regexp_replace(col, r"[A-Za-z0-9 ]", ""))

@@ -174,11 +174,13 @@ def _centroid_literal(
     embed it as a literal array<struct<cid,cvec>> so both index build and
     probe selection are row-local expressions — no join, no shuffle."""
     rows = centroids.select(id_col, vec_col).collect()
+    # one array<double> literal per centroid (not 64 nested lits) keeps the
+    # expression tree small — analysis/codegen cost stays O(n_centroids)
     return F.array(
         *[
             F.struct(
                 F.lit(int(r[0])).cast("long").alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r[1]]).alias("cvec"),
+                F.lit([float(x) for x in r[1]]).alias("cvec"),
             )
             for r in rows
         ]
@@ -196,7 +198,14 @@ def ivf_assign(
     struct-max over an array) — at 100 TB the build costs one scan, and the
     assigned table is then written partitioned/bucketed by ``centroid_id``
     so probes prune partitions."""
-    cents = _centroid_literal(centroids, id_col, vec_col)
+    return _ivf_assign_with(
+        corpus, _centroid_literal(centroids, id_col, vec_col), vec_col
+    )
+
+
+def _ivf_assign_with(
+    corpus: DataFrame, cents: Column, vec_col: str
+) -> DataFrame:
     scored = F.transform(
         cents,
         lambda c: F.struct(
@@ -225,8 +234,9 @@ def ivf_topk(
     brute force); the probe side is tiny and broadcast, so the only big
     data movement is the pruned corpus read."""
     centroids = seed_centroids(corpus, id_col, vec_col, n_centroids)
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    # collect the seeds once; index build and probe selection share them
     cents = _centroid_literal(centroids, id_col, vec_col)
+    assigned = _ivf_assign_with(corpus, cents, vec_col)
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")

@@ -34,7 +34,15 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 
 
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn("n_tokens", token_count(F.col(text_col)))
+    """Two token-count units: whitespace words and BPE-style subword
+    chunks (the latter tracks an LLM tokenizer's budget more closely)."""
+    from land_registry_data_ingestion_spark.functions.text import (
+        bpe_ish_token_count,
+    )
+
+    return df.withColumn("n_tokens", token_count(F.col(text_col))).withColumn(
+        "n_bpe_tokens", bpe_ish_token_count(F.col(text_col))
+    )
 
 
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:

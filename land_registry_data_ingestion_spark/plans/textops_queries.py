@@ -36,17 +36,29 @@ _SW_HITS_EN = (
 )
 
 
+# BPE-ish pre-token chunks (mirrors functions/text.py::BPE_ISH — ASCII
+# classes, no lookahead, so RE2 and Java regex agree byte-for-byte)
+_NBPE = (
+    "CAST(len(regexp_extract_all(text,"
+    " ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT)"
+)
+
+
 @query(
     "text_token_count",
     sql=f"""
-    SELECT doc_id, {_NTOK} AS n_tokens FROM documents
+    SELECT doc_id, {_NTOK} AS n_tokens, {_NBPE} AS n_bpe_tokens
+    FROM documents
     """,
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace+regex token count per document — the unit of truncation
-    and cost accounting in a training-data pipeline."""
+    """Token counts per document in two units — whitespace words and
+    BPE-style subword chunks — the truncation/cost accounting units of a
+    training-data pipeline."""
     t = load_tables(spark, sf_dir)
-    return with_token_count(t.documents).select("doc_id", "n_tokens")
+    return with_token_count(t.documents).select(
+        "doc_id", "n_tokens", "n_bpe_tokens"
+    )
 
 
 @query(
