@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import functions as F
+
 from land_registry_data_ingestion_spark.streaming.conflate import (
     conflate_latest,
     run_conflated_stream,
@@ -129,3 +131,62 @@ def test_stateful_sha_dedup_across_restarts(spark, tmp_path):
         ("pp-complete", 4): "garbage_collect",
         ("pp-monthly", 5): "archive",
     }
+
+
+def test_watermark_drops_late_events_across_batches(spark, tmp_path):
+    """Event-time window agg with a 10-minute watermark: a row arriving
+    after the watermark passed its window is dropped; windows finalize
+    (append mode) only once the watermark clears their end."""
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema("ts timestamp, k string")
+            .json(str(src))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .count()
+        )
+        out: list = []
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _id: out.extend(b.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["w"]["start"].strftime("%H:%M"), r["count"]) for r in out
+        }
+
+    def write(name, *ts):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps({"ts": f"2024-01-01 {t}:00", "k": "x"}) for t in ts
+            )
+        )
+
+    # batch 1: two rows in [10:00,11:00), one in [11:00,12:00)
+    write("b1.json", "10:05", "10:15", "11:05")
+    assert run() == set()  # watermark 10:55 — no window closed yet
+
+    # batch 2: 12:30 advances the watermark to 12:20, which closes (and
+    # finalizes) the 10:00 and 11:00 windows
+    write("b2.json", "12:30")
+    got2 = run()
+
+    # batch 3: 10:20 is now LATE (its window end 11:00 <= watermark 12:20,
+    # state already evicted) → dropped; 15:00 flushes the 12:00 window
+    write("b3.json", "15:00", "10:20")
+    got3 = run()
+
+    emitted = got2 | got3
+    assert ("10:00", 2) in emitted  # finalized WITHOUT the late 10:20 row
+    assert ("10:00", 3) not in emitted
+    assert ("11:00", 1) in emitted
+    assert ("12:00", 1) in emitted
