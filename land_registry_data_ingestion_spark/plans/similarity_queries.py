@@ -138,11 +138,57 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(t.embeddings, queries, n_centroids=16, nprobe=4, k=10)
 
 
-@query("sim_lsh_ann_pairs", sql=None)  # plan-equivalence is non-SQL; unit-tested
+def _lsh_sql(
+    dim: int = 64,
+    threshold: float = 0.8,
+    n_tables: int = 4,
+    n_planes: int = 8,
+) -> str:
+    """DuckDB replay of the hyperplane LSH: the planes are deterministic
+    md5-derived constants, so they inline as literals (like the MinHash
+    coefficients) and a second engine rebuilds the identical buckets."""
+    from land_registry_data_ingestion_spark.operators.similarity import (
+        _hyperplane,
+    )
+
+    def bkt(table: int) -> str:
+        bits = []
+        for p in range(n_planes):
+            plane = "[" + ", ".join(
+                repr(v) for v in _hyperplane(dim, table, p)
+            ) + "]"
+            bits.append(
+                f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),"
+                f" {plane}) >= 0 THEN '1' ELSE '0' END"
+            )
+        return "concat(" + ", ".join(bits) + ")"
+
+    keyed = "\n        UNION ALL ".join(
+        f"SELECT vec_id AS id, {t} AS tbl, {bkt(t)} AS bkt FROM embeddings"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH keyed AS (
+        {keyed}
+    ),
+    cands AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM keyed a JOIN keyed b
+          ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.id < b.id
+    )
+    SELECT id_a, id_b, {_COS} AS cosine
+    FROM cands
+    JOIN embeddings a ON a.vec_id = cands.id_a
+    JOIN embeddings b ON b.vec_id = cands.id_b
+    WHERE {_COS} >= {threshold}
+    """
+
+
+@query("sim_lsh_ann_pairs", sql=_lsh_sql())
 def sim_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine-threshold pairs via random-hyperplane LSH
     (4 tables × 8 planes): candidates collide in ≥1 bucket, exact cosine
-    verifies. Rows-only driver check; tests/test_similarity.py asserts the
-    candidates are a subset-superset sandwich of the exact answer."""
+    verifies. tests/test_similarity.py additionally asserts the result is
+    a subset of the exact answer with useful recall."""
     t = load_tables(spark, sf_dir)
     return lsh_bucketed_pairs(t.embeddings, dim=_DIM, threshold=0.8)
