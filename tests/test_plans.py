@@ -85,12 +85,13 @@ def test_topk_avoids_global_sort(spark):
 
 
 def test_no_python_udfs_or_cartesians_anywhere(spark):
-    """Every declared query is JVM-only and cartesian-free: Python UDFs
-    would serialize rows through the interpreter in the hot path
-    (multimodal kernels are the sanctioned exception and are not part of
-    the oracle query set); an unintended CartesianProduct is the classic
-    silent O(n²) scale killer (the intentional pair scans use broadcast
-    nested-loop with one tiny side, never a cartesian)."""
+    """No row-at-a-time Python and no cartesians in any declared query.
+    Sanctioned Python: Arrow-batched vectorized kernels (MapInPandas) for
+    bulk vector scoring and multimodal decode — never BatchEvalPython /
+    ArrowEvalPython row UDFs, which serialize scalar-at-a-time. An
+    unintended CartesianProduct is the classic silent O(n²) scale killer
+    (the intentional pair scans use broadcast nested-loop with one tiny
+    side, never a cartesian)."""
     offenders = []
     for name, spec in REGISTRY.items():
         plan = explain_str(spec.fn(spark, SF_CORRECTNESS), "simple")
