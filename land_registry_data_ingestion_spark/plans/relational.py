@@ -51,17 +51,23 @@ def rel_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT c.c_mktsegment, COUNT(*) AS n_customers
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     GROUP BY c.c_mktsegment
     """,
 )
 def rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5/J5: customers with no orders (left_anti replaces the reference's
-    driver-side ``isin`` sets, inspect_database.py:35-58)."""
+    """P5/J5: customers with no urgent orders (left_anti replaces the
+    reference's driver-side ``isin`` sets, inspect_database.py:35-58).
+    The urgency predicate keeps the result non-empty on the referentially
+    dense test data — a 0-row anti-join would verify nothing."""
     t = load_tables(spark, sf_dir)
     return (
         t.customer.join(
-            t.orders.select("o_custkey"),
+            t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+                "o_custkey"
+            ),
             t.customer.c_custkey == F.col("o_custkey"),
             "left_anti",
         )
@@ -455,14 +461,18 @@ def ord_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey FROM customer
     EXCEPT
     SELECT o_custkey AS c_custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT'
     """,
 )
 def ord_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5: set difference on the key column (both-direction id diff,
-    inspect_database.py:35-58)."""
+    inspect_database.py:35-58) — keys minus urgent-order keys, non-empty
+    on the referentially dense test data."""
     t = load_tables(spark, sf_dir)
     return t.customer.select("c_custkey").exceptAll(
-        t.orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+        t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
     ).distinct()
 
 

@@ -35,14 +35,14 @@ _COS = """
     sql=f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_COS} >= 0.8
+    WHERE {_COS} >= 0.4
     """,
 )
 def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine ≥ 0.8 over all pairs (the
+    """Embedding near-duplicate pairs: cosine ≥ 0.4 over all pairs (the
     exact baseline; the LSH variant is the scale path)."""
     t = load_tables(spark, sf_dir)
-    return cosine_pairs(t.embeddings, threshold=0.8)
+    return cosine_pairs(t.embeddings, threshold=0.4)
 
 
 @query(
@@ -140,7 +140,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_sql(
     dim: int = 64,
-    threshold: float = 0.8,
+    threshold: float = 0.4,
     n_tables: int = 4,
     n_planes: int = 8,
 ) -> str:
@@ -191,4 +191,4 @@ def sim_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies. tests/test_similarity.py additionally asserts the result is
     a subset of the exact answer with useful recall."""
     t = load_tables(spark, sf_dir)
-    return lsh_bucketed_pairs(t.embeddings, dim=_DIM, threshold=0.8)
+    return lsh_bucketed_pairs(t.embeddings, dim=_DIM, threshold=0.4)
