@@ -66,9 +66,24 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    max_rows: int = 100_000,
 ) -> DataFrame:
-    """All pairs (a < b) with cosine ≥ threshold — embedding near-dup
-    detection. Brute-force form; compose with LSH buckets at scale."""
+    """All pairs (a < b) with cosine ≥ threshold — brute-force baseline.
+
+    Internal/size-guarded: the broadcast side is the whole table and the
+    plan is a BroadcastNestedLoopJoin, so this form is only valid for
+    bounded inputs (verification baselines, per-bucket joins). The guard
+    refuses inputs above ``max_rows``; the declared scale path is
+    :func:`blocked_cosine_pairs` (exact, shuffle-partitioned) or
+    :func:`lsh_bucketed_pairs` (approximate, sub-quadratic candidates).
+    """
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_pairs is an O(n²) broadcast baseline, refused for "
+            f">{max_rows} rows; use blocked_cosine_pairs (exact) or "
+            f"lsh_bucketed_pairs (approximate)"
+        )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (
@@ -77,6 +92,86 @@ def cosine_pairs(
         .withColumn(
             "cosine", F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6)
         )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def blocked_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact cosine-threshold self-join as a 2D block-partitioned theta
+    join (Okcan & Riedewald's 1-bucket style): no broadcast of the corpus,
+    no BroadcastNestedLoopJoin, compute sharded evenly across the cluster.
+
+    Each row lands in hash block ``blk ∈ [0, n_blocks)`` and is replicated
+    to the ``n_blocks`` unordered block-pair groups it participates in, so
+    every pair of rows co-locates in EXACTLY one group (the filter keeps a
+    pair only in the group addressed by its own two blocks — no distinct
+    needed). Shuffle is O(n·n_blocks) vectors via a plain hash join on the
+    group key; per-task compute is O((n/n_blocks)²) exact cosines on the
+    Arrow fast path. Pick ``n_blocks ≈ sqrt(cluster cores)`` at scale.
+
+    Why exact-blocked rather than LSH here: at a permissive threshold like
+    0.4 the equivalent distance radius on the unit sphere is
+    ε = √(2−2·0.4) ≈ 1.10 — over half the sphere's diameter — so no
+    metric pruning or LSH parameterization can guarantee recall 1.0; an
+    exact threshold join is inherently Ω(n²) compare work. This operator
+    makes that work distribute; for the realistic near-dup regime
+    (threshold ≥ 0.8) prefer :func:`lsh_bucketed_pairs`, whose candidate
+    set is sub-quadratic.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    )
+    pair_groups = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda j: F.struct(
+            F.least(F.col("blk"), j).alias("gi"),
+            F.greatest(F.col("blk"), j).alias("gj"),
+        ),
+    )
+    rep = base.withColumn("g", F.explode(pair_groups)).select(
+        F.col("g.gi").alias("gi"), F.col("g.gj").alias("gj"), "blk", "id", "vec"
+    )
+    a = rep.select(
+        "gi", "gj",
+        F.col("blk").alias("blk_a"),
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+    )
+    b = rep.select(
+        "gi", "gj",
+        F.col("blk").alias("blk_b"),
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+    )
+    # A pair with blocks (i, j) matches only in group (min(i,j), max(i,j)),
+    # with the a-side row required to sit in gi (or gj for the swapped
+    # orientation when gi != gj) — exactly-once without a distinct.
+    cands = (
+        a.join(b, ["gi", "gj"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                ((F.col("blk_a") == F.col("gi")) & (F.col("blk_b") == F.col("gj")))
+                | (
+                    (F.col("gi") != F.col("gj"))
+                    & (F.col("blk_a") == F.col("gj"))
+                    & (F.col("blk_b") == F.col("gi"))
+                )
+            )
+        )
+        .select("id_a", "id_b", "vec_a", "vec_b")
+    )
+    return (
+        cosine_score_pairs_vectorized(cands, "vec_a", "vec_b")
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -96,7 +191,11 @@ def _hyperplane(dim: int, table: int, plane: int) -> list[float]:
 def lsh_bucket_key(
     vec: Column, dim: int, table: int, n_planes: int = 8
 ) -> Column:
-    """Sign-bit bucket key of ``vec`` for one LSH table."""
+    """Sign-bit bucket key of ``vec`` for one LSH table — pure-expression
+    reference form. Spark interprets higher-order functions (~10 µs per
+    dot), so this costs n_planes interpreted folds per row; the production
+    path is :func:`lsh_bucket_keys_vectorized` (tests assert the two agree
+    bit-for-bit)."""
     bits = []
     for p in range(n_planes):
         plane = F.array(*[F.lit(v) for v in _hyperplane(dim, table, p)])
@@ -109,6 +208,61 @@ def lsh_bucket_key(
     return F.concat(*bits)
 
 
+def lsh_bucket_keys_vectorized(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    n_planes: int = 8,
+) -> DataFrame:
+    """All LSH table keys per vector in ONE Arrow kernel: each batch does a
+    single (n, d) × (d, tables·planes) matmul (sequential fold over d, so
+    the sums — and therefore the sign bits — are bit-identical to the
+    interpreted ``aggregate(zip_with(...))`` form and to DuckDB's
+    ``list_dot_product``). Returns (id, vec, keys: array<string>), one key
+    string per table. Replaces tables × planes interpreted HOF folds per
+    row (~10 µs each) with vectorized numpy — the same trap/fix as the IVF
+    index build."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    P = np.array(
+        [
+            _hyperplane(dim, t, p)
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
+    )  # (tables·planes, d)
+    # plane p of table t contributes bit p (leftmost = plane 0) of key t
+    pw = 1 << np.arange(n_planes - 1, -1, -1)
+    out_schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType, True),
+            T.StructField("vec", df.schema[vec_col].dataType, True),
+            T.StructField("keys", T.ArrayType(T.StringType()), False),
+        ]
+    )
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            bits = _seq_cross_dots(M, P) >= 0.0  # (n, tables·planes)
+            vals = bits.reshape(len(pdf), n_tables, n_planes) @ pw  # (n, tables)
+            yield pdf.assign(
+                keys=[
+                    [format(v, f"0{n_planes}b") for v in row] for row in vals
+                ]
+            )
+
+    return src.mapInPandas(kernel, out_schema)
+
+
 def lsh_bucketed_pairs(
     df: DataFrame,
     dim: int,
@@ -119,22 +273,11 @@ def lsh_bucketed_pairs(
     n_planes: int = 8,
 ) -> DataFrame:
     """Approximate cosine-threshold pairs: candidates collide in ≥1 LSH
-    table, then exact cosine verifies. Shuffle O(n·tables)."""
-    keyed = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_bucket_key(F.col(vec_col), dim, t, n_planes).alias("bkt"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("id", "vec", "tb.tbl", "tb.bkt")
+    table, then exact cosine verifies. Shuffle O(n·tables); bucket keys
+    come from the Arrow-vectorized kernel (one matmul per batch)."""
+    keyed = lsh_bucket_keys_vectorized(
+        df, dim, id_col, vec_col, n_tables, n_planes
+    ).select("id", "vec", F.posexplode("keys").alias("tbl", "bkt"))
     a = keyed.select("tbl", "bkt", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
     b = keyed.select("tbl", "bkt", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
     cands = (
@@ -144,9 +287,7 @@ def lsh_bucketed_pairs(
         .distinct()
     )
     return (
-        cands.withColumn(
-            "cosine", F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6)
-        )
+        cosine_score_pairs_vectorized(cands, "vec_a", "vec_b")
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -11,8 +11,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from land_registry_data_ingestion_spark.operators.similarity import (
+    blocked_cosine_pairs,
     brute_force_topk,
-    cosine_pairs,
     ivf_topk,
     lsh_bucketed_pairs,
 )
@@ -39,10 +39,16 @@ _COS = """
     """,
 )
 def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine ≥ 0.4 over all pairs (the
-    exact baseline; the LSH variant is the scale path)."""
+    """Exact embedding near-duplicate pairs (cosine ≥ 0.4) via the 2D
+    block-partitioned theta join: every pair is compared exactly once, but
+    the corpus is never broadcast and no BroadcastNestedLoopJoin appears —
+    compute shards evenly over a plain hash join on the block-pair key,
+    with the cosine verify on the Arrow fast path. At threshold 0.4 the
+    unit-sphere radius (ε ≈ 1.10) rules out recall-1.0 LSH, so exact-
+    blocked IS the scale-safe form; at near-dup thresholds (≥0.8) use
+    sim_lsh_ann_pairs for sub-quadratic candidates."""
     t = load_tables(spark, sf_dir)
-    return cosine_pairs(t.embeddings, threshold=0.4)
+    return blocked_cosine_pairs(t.embeddings, threshold=0.4)
 
 
 @query(

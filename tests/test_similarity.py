@@ -91,6 +91,77 @@ def test_ivf_topk_recall_vs_bruteforce(spark, embeddings):
     assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
 
 
+def test_blocked_cosine_pairs_matches_bruteforce(spark, embeddings):
+    """The 2D-blocked theta join is EXACT: identical pair set + cosines to
+    the brute-force baseline, for several block counts (including n_blocks
+    larger than needed, which exercises empty groups)."""
+    from land_registry_data_ingestion_spark.operators.similarity import (
+        blocked_cosine_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_pairs(embeddings, threshold=0.4).collect()
+    }
+    for n_blocks in (1, 3, 8):
+        blocked = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in blocked_cosine_pairs(
+                embeddings, threshold=0.4, n_blocks=n_blocks
+            ).collect()
+        }
+        assert blocked == exact, f"mismatch at n_blocks={n_blocks}"
+
+
+def test_blocked_cosine_pairs_plan_has_no_broadcast_nested_loop(spark, embeddings):
+    """The declared exact-pairs plan must be a hash join on the block-pair
+    key — no BroadcastNestedLoopJoin, no CartesianProduct, corpus never
+    broadcast."""
+    from land_registry_data_ingestion_spark.operators.similarity import (
+        blocked_cosine_pairs,
+    )
+
+    plan = blocked_cosine_pairs(embeddings, threshold=0.4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_pairs_size_guard(spark):
+    """The brute-force baseline refuses unbounded inputs."""
+    big = spark.range(0, 50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="blocked_cosine_pairs"):
+        cosine_pairs(big, max_rows=10)
+
+
+def test_lsh_vectorized_keys_match_expression_form(spark, embeddings):
+    """The Arrow matmul kernel reproduces the interpreted HOF bucket keys
+    bit-for-bit (same sequential fold order → same sums → same signs)."""
+    from land_registry_data_ingestion_spark.operators.similarity import (
+        lsh_bucket_key,
+        lsh_bucket_keys_vectorized,
+    )
+
+    n_tables, n_planes = 4, 8
+    expr_form = embeddings.select(
+        F.col("vec_id").alias("id"),
+        F.array(
+            *[
+                lsh_bucket_key(F.col("embedding"), 64, t, n_planes)
+                for t in range(n_tables)
+            ]
+        ).alias("keys"),
+    )
+    vec_form = lsh_bucket_keys_vectorized(
+        embeddings, dim=64, n_tables=n_tables, n_planes=n_planes
+    ).select("id", "keys")
+    expr_keys = {r["id"]: r["keys"] for r in expr_form.collect()}
+    vec_keys = {r["id"]: r["keys"] for r in vec_form.collect()}
+    assert vec_keys == expr_keys
+
+
 def test_lsh_buckets_balanced(spark, embeddings):
     """No catastrophic bucket skew: the biggest LSH bucket should hold a
     small fraction of the corpus (the O(n·tables) shuffle argument)."""
