@@ -32,7 +32,7 @@ from land_registry_data_ingestion_spark.functions.text import (
     fingerprint,
     word_shingles,
 )
-from land_registry_data_ingestion_spark.util import spread
+from land_registry_data_ingestion_spark.util import barrier, spread
 
 # --- exact ------------------------------------------------------------------
 
@@ -89,7 +89,7 @@ def ngram_jaccard_pairs(
     # persist before exploding: the shingle arrays must cross a
     # materialization barrier or Generate re-evaluates the HOF expression
     # per output row (and the posting list is consumed by both join sides)
-    sh = _shingled(df, id_col, text_col, k).persist()
+    sh = barrier(_shingled(df, id_col, text_col, k))
     posting = sh.select("doc", "n_shingles", F.explode("shingles").alias("shingle"))
     if max_shingle_df is not None:
         rare = (
@@ -209,7 +209,7 @@ def minhash_signatures(
     materialized shingle frame should use
     :func:`minhash_signatures_from_shingles` directly."""
     return minhash_signatures_from_shingles(
-        _shingled(df, id_col, text_col, k).persist(), num_hashes
+        barrier(_shingled(df, id_col, text_col, k)), num_hashes
     )
 
 
@@ -270,7 +270,7 @@ def minhash_near_duplicates(
     pipeline steps; MEMORY_AND_DISK gives the same compute-once semantics
     here without a write barrier.
     """
-    sh = _shingled(df, id_col, text_col, k).persist()
+    sh = barrier(_shingled(df, id_col, text_col, k))
     cands = minhash_lsh_candidates(
         minhash_signatures_from_shingles(sh, num_hashes),
         num_hashes,
@@ -299,10 +299,21 @@ def simhash(
 
     Token hash = the same md5-derived 60-bit integer as MinHash, so the
     fingerprint is engine-reproducible (an xxhash64 variant would be faster
-    but oracle-opaque). Implemented entirely row-local: tokens → hash array
-    → per-bit popcounts via ``F.aggregate`` — a pure map with ZERO shuffle
-    (the earlier explode → groupBy formulation shuffled every (doc, token)
-    pair; at 100 TB that shuffle is the whole cost of the operator).
+    but oracle-opaque). Implemented row-local: tokens → hash array →
+    per-bit popcounts via 60 ``F.aggregate`` folds — a pure map with ZERO
+    shuffle.
+
+    Shape chosen by A/B measurement at 100k docs (23 avg tokens), not by
+    the "HOFs are interpreted" heuristic: this form 3.0 s; the
+    MinHash-style explode + 61 codegen'd sum() aggregates 5.2 s; the same
+    with bit-counts packed 4-per-long (16 aggregates) 4.5 s. Unlike the
+    64-dim float dots where interpreted folds cost ~10 µs each (per-element
+    boxing + array allocation in zip_with), these folds are shift/mask/add
+    over a small long array with no per-element allocation — cheap enough
+    that the explode variants lose on 23× row inflation + aggregation
+    buffers before they win on codegen. The md5 per distinct token
+    (shared by every variant) dominates; the folds are minor. Zero
+    shuffle also means nothing to spill or skew at 100 TB.
     """
     assert bits <= 60, "md5-derived hash provides 60 bits"
     hashed = spread(df).select(
@@ -349,7 +360,7 @@ def simhash_near_duplicates(
     block_bits = bits // n_blocks
     mask = (1 << block_bits) - 1
     fp_col = f"simhash{bits}"
-    fps = simhash(df, id_col, text_col, bits).persist()
+    fps = barrier(simhash(df, id_col, text_col, bits))
     blocks = fps.select(
         F.col(id_col).alias("doc"),
         F.col(fp_col).alias("fp"),

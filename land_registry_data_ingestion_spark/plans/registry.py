@@ -40,7 +40,20 @@ def query(name: str, sql: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, sql=sql, doc=fn.__doc__ or "")
+
+        def fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The registry serves long-lived sessions that run ~50 queries
+            # back to back: drop the previous query's barrier caches (see
+            # util.barrier) before building this one, so cached
+            # intermediates never accumulate across queries.
+            from land_registry_data_ingestion_spark.util import release_caches
+
+            release_caches()
+            return fn(spark, sf_dir)
+
+        fresh.__name__ = fn.__name__
+        fresh.__doc__ = fn.__doc__
+        REGISTRY[name] = QuerySpec(name=name, fn=fresh, sql=sql, doc=fn.__doc__ or "")
         return fn
 
     return deco

@@ -10,12 +10,53 @@ def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
 
     Small inputs often arrive as a single parquet file → one split → one
     task, serializing CPU-bound work (hashing, shingling, vector math).
-    If the current partition count is below the cluster's default
-    parallelism, repartition up to it; otherwise leave the plan untouched
-    (at real scale inputs already have thousands of splits and an extra
-    shuffle would be pure cost).
+    The decision reads the scan's file listing (plan metadata — no
+    ``df.rdd`` translation, which would eagerly trigger job planning): if
+    the input already has at least ``defaultParallelism`` files, leave the
+    plan untouched — at real scale inputs have thousands of splits and an
+    extra shuffle would be pure cost. Inputs with fewer files (including
+    in-memory test frames, which report none) are repartitioned up. The
+    one degenerate case — a single splittable multi-gigabyte file — pays
+    an extra exchange it didn't strictly need, in return for never
+    serializing the map stage.
     """
     target = df.sparkSession.sparkContext.defaultParallelism * min_factor
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target)
+
+
+# --- persist lifecycle -------------------------------------------------------
+
+_TRACKED: list[DataFrame] = []
+
+
+def barrier(df: DataFrame) -> DataFrame:
+    """Persist ``df`` as a materialization barrier and track it for
+    :func:`release_caches`.
+
+    Why a barrier at all: Generate (explode) inlines its child array
+    expression and re-evaluates it per OUTPUT row — for an expensive
+    HOF-built array (shingling, per-token md5) that is a measured 20×
+    slowdown. A persist stops the projection collapse. Why tracked: the
+    query registry runs ~50 queries on one long-lived SparkSession; bare
+    ``persist()`` calls would accumulate cached intermediates and evict
+    memory needed elsewhere, so each query build releases its
+    predecessor's caches (and bench/tests release eagerly after each
+    materialization). At cluster scale this intermediate would be staged
+    to Parquet between pipeline steps instead.
+    """
+    df = df.persist()
+    _TRACKED.append(df)
     return df
+
+
+def release_caches() -> None:
+    """Unpersist every barrier-tracked frame (safe to call anytime:
+    un-materialized plans recompute through the cache node)."""
+    while _TRACKED:
+        _TRACKED.pop().unpersist()
