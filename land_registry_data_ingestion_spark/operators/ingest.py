@@ -34,10 +34,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pyspark.sql import Observation
+
 from land_registry_data_ingestion_spark.operators.merge import (
     cdc_merge,
     init_state,
     merge_outcome_stats,
+    validate_unique,
 )
 from land_registry_data_ingestion_spark.sources.csv import read_price_paid_csv
 
@@ -79,12 +82,13 @@ class IngestStore:
     # -- ledger ---------------------------------------------------------
 
     def file_log(self) -> DataFrame:
-        try:
-            return self.spark.read.schema(FILE_LOG_SCHEMA).parquet(
-                self.file_log_path
-            )
-        except Exception:
+        # Only the missing-path case (first run) yields an empty ledger;
+        # any other read failure (corrupt footer, permissions) must
+        # propagate — swallowing it would silently flip last_accepted()
+        # to None and re-ingest instead of failing the run.
+        if not os.path.isdir(self.file_log_path):
             return self.spark.createDataFrame([], FILE_LOG_SCHEMA)
+        return self.spark.read.schema(FILE_LOG_SCHEMA).parquet(self.file_log_path)
 
     def _append_log(self, row: dict) -> None:
         self.spark.createDataFrame([row], FILE_LOG_SCHEMA).coalesce(1).write.mode(
@@ -110,20 +114,28 @@ class IngestStore:
         # partition columns are write-time derivations, not state
         return df.drop(*[c for c in self.partition_cols if c in df.columns])
 
-    def write_state(self, state: DataFrame, location: str) -> None:
-        """Overwrite a content-addressed state dir, partitioned for pruning.
+    def write_state(self, state: DataFrame, location: str) -> int:
+        """Overwrite a content-addressed state dir, partitioned for pruning;
+        returns the written row count.
 
         ``data_year`` is (re)derived from ``transaction_date`` on every
         write — a CDC change that moves a row's transaction date moves the
-        row to the right partition instead of stranding it."""
+        row to the right partition instead of stranding it. The row count
+        comes from ``df.observe()`` metrics captured DURING the write —
+        the earlier read-back ``count()`` was a second full scan of the
+        state table per run, just for a ledger field."""
         cols = self.partition_cols
         if "data_year" in cols and "transaction_date" in state.columns:
             state = state.withColumn("data_year", F.year("transaction_date"))
         cols = tuple(c for c in cols if c in state.columns)
-        writer = state.write.mode("overwrite")
+        obs = Observation()
+        writer = state.observe(obs, F.count(F.lit(1)).alias("n_rows")).write.mode(
+            "overwrite"
+        )
         if cols:
             writer = writer.partitionBy(*cols)
         writer.parquet(location)
+        return int(obs.get["n_rows"])
 
 
 def sha256_of_file(path: str, chunk: int = 1 << 20) -> str:
@@ -169,10 +181,10 @@ def ingest_snapshot(
         return row
 
     df = read_price_paid_csv(store.spark, csv_path, n_columns=n_columns)
+    _assert_unique(df, "transaction_unique_id", "snapshot file")
     state = init_state(df.drop("record_op"), batch_timestamp=F.lit(now))
     location = store.state_path(sha)
-    store.write_state(state, location)
-    row_count = store.spark.read.parquet(location).count()
+    row_count = store.write_state(state, location)
 
     row = {
         "run_id": run_id,
@@ -188,15 +200,43 @@ def ingest_snapshot(
     return row
 
 
+def _assert_unique(df: DataFrame, key_col: str, what: str) -> None:
+    """Fail the run on duplicate business keys — the ≤1-row-per-key
+    invariant the reference enforces via ``.one()`` crashing. Sample keys
+    are surfaced so the rejection is actionable."""
+    dups = validate_unique(df, key_col).limit(5).collect()
+    if dups:
+        sample = ", ".join(str(r[key_col]) for r in dups)
+        raise ValueError(
+            f"duplicate {key_col} in {what} (e.g. {sample}) — "
+            f"refusing to merge; the full-outer join would fan out"
+        )
+
+
 def ingest_monthly_update(
     store: IngestStore,
     csv_path: str,
     run_id: str,
     n_columns: int = 16,
     now: datetime.datetime | None = None,
+    validate_current: bool = False,
 ) -> dict:
     """Incremental A/C/D ingestion: CDC-merge into the current snapshot,
     write a new content-addressed state, append ledger + outcome counters.
+
+    Invariant gates (the reference crashes via ``.one()``; here the run
+    fails with an actionable error BEFORE any state is written):
+
+    - the update batch must have ≤1 row per key — probed every run (the
+      batch is small, the probe is one aggregate over it);
+    - the batch must contain only A/C/D ops — detected from the outcome
+      counters (reference RuntimeError, database_updater.py:1011-1013);
+    - the current state is unique *by induction*: validated when the
+      snapshot was loaded (``ingest_snapshot``) and preserved by the
+      merge (one output row per key). ``validate_current=True`` adds an
+      explicit probe for state dirs of untrusted provenance — at 100 TB
+      that is a full shuffle of the key column, which is why it is not
+      the default.
     """
     now = now or datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
     sha = sha256_of_file(csv_path)
@@ -216,7 +256,10 @@ def ingest_monthly_update(
         return row
 
     updates = read_price_paid_csv(store.spark, csv_path, n_columns=n_columns)
+    _assert_unique(updates, "transaction_unique_id", "monthly update batch")
     current = store.current_state()
+    if validate_current:
+        _assert_unique(current, "transaction_unique_id", "current state")
     value_cols = [
         c
         for c in current.columns
@@ -237,13 +280,27 @@ def ingest_monthly_update(
         op_col="record_op",
         batch_timestamp=F.lit(now),
     )
+    # Materialize the (tiny) outcome counters FIRST: they both gate the
+    # batch (invalid ops → reject before anything is written) and feed the
+    # operation log, so collecting once replaces what used to be three
+    # passes (stats write + state write + read-back recount) with two
+    # (stats collect + observed state write).
+    stats_rows = merge_outcome_stats(result.outcomes).collect()
+    if any(r["outcome"] == "invalid_op" for r in stats_rows):
+        bad = result.invalid_ops.limit(5).collect()
+        sample = ", ".join(f"{r['transaction_unique_id']}={r['record_op']!r}" for r in bad)
+        raise ValueError(
+            f"update batch contains ops outside A/C/D (e.g. {sample}) — "
+            f"batch rejected, state unchanged (reference raises "
+            f"RuntimeError, database_updater.py:1011-1013)"
+        )
     location = store.state_path(sha)
-    store.write_state(result.new_state, location)
-    stats = merge_outcome_stats(result.outcomes)
-    stats.withColumn("run_id", F.lit(run_id)).coalesce(1).write.mode(
-        "append"
-    ).parquet(os.path.join(store.root, "operation_log"))
-    row_count = store.spark.read.parquet(location).count()
+    row_count = store.write_state(result.new_state, location)
+    store.spark.createDataFrame(stats_rows, merge_outcome_stats(result.outcomes).schema).withColumn(
+        "run_id", F.lit(run_id)
+    ).coalesce(1).write.mode("append").parquet(
+        os.path.join(store.root, "operation_log")
+    )
 
     row = {
         "run_id": run_id,

@@ -67,6 +67,7 @@ OUTCOMES = [
 class MergeResult:
     new_state: DataFrame  # post-merge current state (live + soft-deleted)
     outcomes: DataFrame  # one row per update: key, record_op, outcome
+    invalid_ops: DataFrame  # updates whose op ∉ A/C/D (reference raises)
 
 
 def _all_values_equal(value_cols: list[str]) -> Column:
@@ -186,11 +187,20 @@ def cdc_merge(
         .alias("is_deleted"),
     ]
 
-    # A delete aimed at a missing key must not materialize a phantom row —
-    # it is the one outcome where the update side exists but nothing is
-    # inserted (reference :326-336 simply ignores it).
+    # Two cases where the update side exists but nothing may be inserted:
+    # a delete aimed at a missing key (reference :326-336 ignores it) and
+    # an unrecognized/null op against a missing key — without the second
+    # filter the full-outer join would materialize a phantom row with the
+    # update's key and all-NULL values/audit. An invalid op against an
+    # EXISTING key keeps the current row untouched (takes_update_values is
+    # false), mirroring "ignore"; the rows themselves are surfaced on
+    # ``MergeResult.invalid_ops`` so callers can fail the batch the way
+    # the reference's RuntimeError does (database_updater.py:1011-1013).
     new_state = annotated.filter(
-        F.col("_outcome").isNull() | (F.col("_outcome") != "delete_ignore_missing")
+        F.col("_outcome").isNull()
+        | (F.col("_outcome") != "delete_ignore_missing")
+    ).filter(
+        ~((F.col("_outcome") == "invalid_op") & ~cur_exists)
     ).select(key, *values, *audit)
 
     outcomes = annotated.filter(upd_exists).select(
@@ -198,7 +208,10 @@ def cdc_merge(
         F.col(f"upd.{op_col}").alias(op_col),
         F.col("_outcome").alias("outcome"),
     )
-    return MergeResult(new_state=new_state, outcomes=outcomes)
+    invalid_ops = outcomes.filter(F.col("outcome") == "invalid_op")
+    return MergeResult(
+        new_state=new_state, outcomes=outcomes, invalid_ops=invalid_ops
+    )
 
 
 def init_state(
@@ -215,6 +228,83 @@ def init_state(
 
 
 def merge_outcome_stats(outcomes: DataFrame, op_col: str = "record_op") -> DataFrame:
-    """A8: the 17-counter operation ledger as a groupBy pivot
-    (reference ``...database_updater.py:48-84,1059-1117``)."""
+    """A8: per-(op, outcome) counts — the normalized form of the operation
+    ledger (reference ``...database_updater.py:48-84,1059-1117``)."""
     return outcomes.groupBy(op_col, "outcome").agg(F.count("*").alias("n_rows"))
+
+
+def merge_ledger(outcomes: DataFrame, op_col: str = "record_op") -> DataFrame:
+    """A8 full parity: the reference's 17-counter operation-log row
+    (``...database_updater.py:48-84`` defines the counters,
+    ``:1059-1117`` assembles the row) as ONE conditional-sum aggregate
+    over the outcomes frame — single pass, single output row.
+
+    Counter mapping (reference column ← this engine's outcome labels):
+
+    - ``input_file_row_count``            ← all updates
+    - ``input_file_row_count_insert``     ← op = 'A'
+    - ``input_file_row_count_update``     ← op = 'C'
+    - ``input_file_row_count_delete``     ← op = 'D'
+    - ``operation_count_insert``          ← add_insert + change_insert
+    - ``operation_count_update``          ← add_change + change_change
+                                            + add_undelete_change
+    - ``operation_count_delete``          ← delete_delete + delete_change_delete
+    - ``operation_count_ignored``         ← every *_ignore* outcome
+    - ``operation_count_insert_insert``   ← add_insert
+    - ``operation_count_insert_update``   ← add_change + add_undelete_change
+    - ``operation_count_insert_ignore``   ← add_ignore (the reference's
+      extra add_but_deleted_and_ignored leg is marked "[no longer in
+      use]" there — adds to deleted keys take its *_changed* leg)
+    - ``operation_count_update_update``   ← change_change
+    - ``operation_count_update_insert``   ← change_insert
+    - ``operation_count_update_ignore``   ← change_ignore + change_ignore_deleted
+    - ``operation_count_delete_delete``   ← delete_delete
+    - ``operation_count_delete_change_delete`` ← delete_change_delete
+    - ``operation_count_delete_ignore``   ← delete_ignore_missing
+                                            + delete_ignore_deleted
+    """
+    o = F.col("outcome")
+
+    def cnt(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    return outcomes.agg(
+        F.count("*").cast("long").alias("input_file_row_count"),
+        cnt(F.col(op_col) == "A", "input_file_row_count_insert"),
+        cnt(F.col(op_col) == "C", "input_file_row_count_update"),
+        cnt(F.col(op_col) == "D", "input_file_row_count_delete"),
+        cnt(o.isin("add_insert", "change_insert"), "operation_count_insert"),
+        cnt(
+            o.isin("add_change", "change_change", "add_undelete_change"),
+            "operation_count_update",
+        ),
+        cnt(o.isin("delete_delete", "delete_change_delete"), "operation_count_delete"),
+        cnt(
+            o.isin(
+                "add_ignore",
+                "change_ignore",
+                "change_ignore_deleted",
+                "delete_ignore_deleted",
+                "delete_ignore_missing",
+            ),
+            "operation_count_ignored",
+        ),
+        cnt(o == "add_insert", "operation_count_insert_insert"),
+        cnt(
+            o.isin("add_change", "add_undelete_change"),
+            "operation_count_insert_update",
+        ),
+        cnt(o == "add_ignore", "operation_count_insert_ignore"),
+        cnt(o == "change_change", "operation_count_update_update"),
+        cnt(o == "change_insert", "operation_count_update_insert"),
+        cnt(
+            o.isin("change_ignore", "change_ignore_deleted"),
+            "operation_count_update_ignore",
+        ),
+        cnt(o == "delete_delete", "operation_count_delete_delete"),
+        cnt(o == "delete_change_delete", "operation_count_delete_change_delete"),
+        cnt(
+            o.isin("delete_ignore_missing", "delete_ignore_deleted"),
+            "operation_count_delete_ignore",
+        ),
+    )

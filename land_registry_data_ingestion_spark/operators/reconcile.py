@@ -15,6 +15,7 @@ join wide rows for the mismatches.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -30,13 +31,26 @@ def reconcile(
     left: DataFrame, right: DataFrame, on: list[str] | None = None
 ) -> ReconcileResult:
     """Full-outer compare of two datasets on ``on`` (default: all shared
-    columns), tagging each row with its provenance."""
+    columns), tagging each row with its provenance.
+
+    The join is NULL-SAFE (``eqNullSafe`` / IS NOT DISTINCT FROM): the
+    reference's pandas merge treats NaN join keys as equal
+    (database_verify.py:209-236), so two rows identical on every column
+    except a shared NULL (nullable price/date in the price-paid schema)
+    must report as ``both`` — a plain equi-join would misreport them as
+    left_only + right_only. Null-safe equality still hash-partitions both
+    sides on the key tuple (NULL hashes like any value), so the plan is
+    the same one-shuffle-per-side SMJ."""
     cols = on if on is not None else [c for c in left.columns if c in right.columns]
-    l = left.select(cols).withColumn("_in_left", F.lit(True))
-    r = right.select(cols).withColumn("_in_right", F.lit(True))
-    joined = l.join(r, cols, "full_outer")
+    l = left.select(*cols).withColumn("_in_left", F.lit(True)).alias("l")
+    r = right.select(*cols).withColumn("_in_right", F.lit(True)).alias("r")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}")) for c in cols],
+    )
+    joined = l.join(r, cond, "full_outer")
     diff = joined.select(
-        *cols,
+        *[F.coalesce(F.col(f"l.{c}"), F.col(f"r.{c}")).alias(c) for c in cols],
         F.when(F.col("_in_left") & F.col("_in_right"), "both")
         .when(F.col("_in_left"), "left_only")
         .otherwise("right_only")

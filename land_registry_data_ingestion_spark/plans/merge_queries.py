@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from land_registry_data_ingestion_spark.operators.merge import (
     cdc_merge,
+    merge_ledger,
     merge_outcome_stats,
 )
 from land_registry_data_ingestion_spark.operators.rewind import (
@@ -132,6 +133,43 @@ def cdc_merge_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix, counted per (op, outcome). One full-outer join pass replaces
     the reference's 4-probes-per-row loop."""
     return merge_outcome_stats(_merged(spark, sf_dir).outcomes)
+
+
+def _ledger_cnt_sql(cond: str, name: str) -> str:
+    return f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS {name}"
+
+
+@query(
+    "cdc_merge_ledger",
+    sql=f"""
+    WITH j AS ({_JOINED_SQL}),
+    o AS (SELECT record_op, {_OUTCOME_CASE} AS outcome FROM j)
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS input_file_row_count,
+      {_ledger_cnt_sql("record_op = 'A'", "input_file_row_count_insert")},
+      {_ledger_cnt_sql("record_op = 'C'", "input_file_row_count_update")},
+      {_ledger_cnt_sql("record_op = 'D'", "input_file_row_count_delete")},
+      {_ledger_cnt_sql("outcome IN ('add_insert','change_insert')", "operation_count_insert")},
+      {_ledger_cnt_sql("outcome IN ('add_change','change_change','add_undelete_change')", "operation_count_update")},
+      {_ledger_cnt_sql("outcome IN ('delete_delete','delete_change_delete')", "operation_count_delete")},
+      {_ledger_cnt_sql("outcome IN ('add_ignore','change_ignore','change_ignore_deleted','delete_ignore_deleted','delete_ignore_missing')", "operation_count_ignored")},
+      {_ledger_cnt_sql("outcome = 'add_insert'", "operation_count_insert_insert")},
+      {_ledger_cnt_sql("outcome IN ('add_change','add_undelete_change')", "operation_count_insert_update")},
+      {_ledger_cnt_sql("outcome = 'add_ignore'", "operation_count_insert_ignore")},
+      {_ledger_cnt_sql("outcome = 'change_change'", "operation_count_update_update")},
+      {_ledger_cnt_sql("outcome = 'change_insert'", "operation_count_update_insert")},
+      {_ledger_cnt_sql("outcome IN ('change_ignore','change_ignore_deleted')", "operation_count_update_ignore")},
+      {_ledger_cnt_sql("outcome = 'delete_delete'", "operation_count_delete_delete")},
+      {_ledger_cnt_sql("outcome = 'delete_change_delete'", "operation_count_delete_change_delete")},
+      {_ledger_cnt_sql("outcome IN ('delete_ignore_missing','delete_ignore_deleted')", "operation_count_delete_ignore")}
+    FROM o
+    """,
+)
+def cdc_merge_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 full parity: the reference's 17-counter operation-log row
+    (database_updater.py:48-84,1059-1117) as one conditional-sum pass over
+    the merge outcomes."""
+    return merge_ledger(_merged(spark, sf_dir).outcomes)
 
 
 @query(

@@ -155,14 +155,15 @@ def rel_left_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rel_full_outer_reconcile",
     sql="""
-    WITH l AS (
-        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        WHERE o_orderkey % 5 != 0
+    WITH base AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_custkey END
+                 AS o_custkey,
+               o_totalprice
+        FROM orders
     ),
-    r AS (
-        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        WHERE o_orderkey % 7 != 0
-    )
+    l AS (SELECT * FROM base WHERE o_orderkey % 5 != 0),
+    r AS (SELECT * FROM base WHERE o_orderkey % 7 != 0)
     SELECT CASE
              WHEN l.o_orderkey IS NOT NULL AND r.o_orderkey IS NOT NULL THEN 'both'
              WHEN l.o_orderkey IS NOT NULL THEN 'left_only'
@@ -170,19 +171,29 @@ def rel_left_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS presence,
            COUNT(*) AS n_rows
     FROM l FULL OUTER JOIN r
-      ON l.o_orderkey = r.o_orderkey
-     AND l.o_custkey = r.o_custkey
-     AND l.o_totalprice = r.o_totalprice
+      ON l.o_orderkey IS NOT DISTINCT FROM r.o_orderkey
+     AND l.o_custkey IS NOT DISTINCT FROM r.o_custkey
+     AND l.o_totalprice IS NOT DISTINCT FROM r.o_totalprice
     GROUP BY 1
     """,
 )
 def rel_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/Q6: full-outer reconciliation with provenance indicator over two
-    deterministic slices of orders (database_verify.py:209-236)."""
+    deterministic slices of orders (database_verify.py:209-236). NULLs are
+    planted in o_custkey (o_orderkey % 11 = 0) to pin the pandas-merge
+    semantics: rows equal-except-for-a-shared-NULL must count as 'both'
+    (null-safe join), not left_only + right_only."""
     t = load_tables(spark, sf_dir)
     cols = ["o_orderkey", "o_custkey", "o_totalprice"]
-    left = t.orders.filter(F.col("o_orderkey") % 5 != 0).select(cols)
-    right = t.orders.filter(F.col("o_orderkey") % 7 != 0).select(cols)
+    base = t.orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        "o_totalprice",
+    )
+    left = base.filter(F.col("o_orderkey") % 5 != 0)
+    right = base.filter(F.col("o_orderkey") % 7 != 0)
     return reconcile(left, right, on=cols).counts.select("presence", "n_rows")
 
 

@@ -147,3 +147,65 @@ def test_state_partitioned_by_year_with_pruning(spark, store, tmp_path):
 
     # current_state drops the derived partition column
     assert "data_year" not in store.current_state().columns
+
+
+def test_monthly_update_rejects_duplicate_keys(spark, store, tmp_path):
+    """A monthly file with a duplicated transaction_unique_id must fail
+    the run before any state is written (reference crashes via .one())."""
+    snap = _write(tmp_path, "pp-complete-dup.csv", SNAP1)
+    t0 = datetime.datetime(2024, 1, 1)
+    ingest_snapshot(store, snap, "r1", now=t0)
+    dup_monthly = _write(
+        tmp_path,
+        "pp-monthly-dup.csv",
+        [
+            _line("T0002", 250000, "2015-01-06", "C"),
+            _line("T0002", 260000, "2015-01-06", "C"),
+        ],
+    )
+    with pytest.raises(ValueError, match="duplicate transaction_unique_id"):
+        ingest_monthly_update(
+            store, dup_monthly, "r2", now=datetime.datetime(2024, 2, 1)
+        )
+    # state unchanged, no ledger row appended for the rejected run
+    assert store.current_state().count() == 3
+    assert store.file_log().count() == 1
+
+
+def test_snapshot_rejects_duplicate_keys(spark, store, tmp_path):
+    dup_snap = _write(
+        tmp_path,
+        "pp-complete-dup2.csv",
+        SNAP1 + [_line("T0001", 111111, "2015-03-01")],
+    )
+    with pytest.raises(ValueError, match="duplicate transaction_unique_id"):
+        ingest_snapshot(store, dup_snap, "r1", now=datetime.datetime(2024, 1, 1))
+
+
+def test_ingest_never_rereads_state_for_row_count(spark, store, tmp_path, monkeypatch):
+    """Row counts come from df.observe() during the write — the state
+    location must never be re-read within a run (at 100 TB a read-back
+    count is a second full table scan)."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    read_paths: list[str] = []
+    orig = DataFrameReader.parquet
+
+    def spy(self, *paths, **kw):
+        read_paths.extend(paths)
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", spy)
+    snap = _write(tmp_path, "pp-complete-obs.csv", SNAP1)
+    t0 = datetime.datetime(2024, 1, 1)
+    row1 = ingest_snapshot(store, snap, "r1", now=t0)
+    assert row1["row_count"] == 3
+    assert row1["state_location"] not in read_paths
+
+    monthly = _write(tmp_path, "pp-monthly-obs.csv", MONTHLY)
+    read_paths.clear()
+    row2 = ingest_monthly_update(
+        store, monthly, "r2", now=datetime.datetime(2024, 2, 1)
+    )
+    assert row2["row_count"] == 4  # 3 + insert (delete is soft)
+    assert row2["state_location"] not in read_paths

@@ -187,3 +187,64 @@ def test_duplicate_key_probe(spark):
     )
     bad = validate_unique(dups, "tuid").collect()
     assert len(bad) == 1 and bad[0]["tuid"] == "a" and bad[0]["n_rows"] == 2
+
+
+def test_invalid_op_existing_key_preserves_current_row(spark):
+    """An unrecognized op against an existing key must leave the current
+    row untouched (ignore semantics) and surface on invalid_ops."""
+    cur = spark.createDataFrame(
+        [("t01", 100, "X", TS0, None, None, False)], STATE_SCHEMA
+    )
+    upd = spark.createDataFrame([("t01", 999, "Z", "Q")], UPD_SCHEMA)
+    res = cdc_merge(
+        cur, upd, key_col="tuid", value_cols=["price", "code"],
+        batch_timestamp=F.lit(TS1),
+    )
+    state = {r["tuid"]: r for r in res.new_state.collect()}
+    assert state["t01"]["price"] == 100 and state["t01"]["code"] == "X"
+    assert not state["t01"]["is_deleted"]
+    invalid = res.invalid_ops.collect()
+    assert [(r["tuid"], r["record_op"]) for r in invalid] == [("t01", "Q")]
+
+
+def test_invalid_op_missing_key_inserts_no_phantom_row(spark):
+    """An unrecognized op against a MISSING key must not materialize an
+    all-NULL phantom row in the new state."""
+    cur = spark.createDataFrame(
+        [("t01", 100, "X", TS0, None, None, False)], STATE_SCHEMA
+    )
+    upd = spark.createDataFrame([("t99", 999, "Z", "Q")], UPD_SCHEMA)
+    res = cdc_merge(
+        cur, upd, key_col="tuid", value_cols=["price", "code"],
+        batch_timestamp=F.lit(TS1),
+    )
+    assert [r["tuid"] for r in res.new_state.collect()] == ["t01"]
+    assert res.invalid_ops.count() == 1
+
+
+def test_merge_ledger_17_counters(spark):
+    """merge_ledger reproduces the reference's operation-log row shape:
+    17 counters, internally consistent (database_updater.py:48-84)."""
+    from land_registry_data_ingestion_spark.operators.merge import merge_ledger
+
+    res = cdc_merge(
+        _state(spark), _updates(spark), key_col="tuid",
+        value_cols=["price", "code"], batch_timestamp=F.lit(TS1),
+    )
+    row = merge_ledger(res.outcomes).collect()[0].asDict()
+    assert len(row) == 17
+    assert row["input_file_row_count"] == (
+        row["input_file_row_count_insert"]
+        + row["input_file_row_count_update"]
+        + row["input_file_row_count_delete"]
+    )
+    assert row["operation_count_insert"] == (
+        row["operation_count_insert_insert"] + row["operation_count_update_insert"]
+    )
+    applied = (
+        row["operation_count_insert"]
+        + row["operation_count_update"]
+        + row["operation_count_delete"]
+        + row["operation_count_ignored"]
+    )
+    assert applied == row["input_file_row_count"]

@@ -104,3 +104,19 @@ def test_no_python_udfs_or_cartesians_anywhere(spark):
 def test_merge_is_single_shuffle_join(spark):
     plan = _plan(spark, "cdc_merge_state", mode="simple")
     assert "FullOuter" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_reconcile_null_safe_join(spark):
+    """Rows identical except for a shared NULL must report 'both' (the
+    reference's pandas merge treats NaN keys as equal)."""
+    from land_registry_data_ingestion_spark.operators.reconcile import reconcile
+
+    left = spark.createDataFrame(
+        [(1, None, 10.0), (2, "b", 20.0)], ["k", "name", "price"]
+    )
+    right = spark.createDataFrame(
+        [(1, None, 10.0), (3, "c", 30.0)], ["k", "name", "price"]
+    )
+    res = reconcile(left, right, on=["k", "name", "price"])
+    counts = {r["presence"]: r["n_rows"] for r in res.counts.collect()}
+    assert counts == {"both": 1, "left_only": 1, "right_only": 1}
