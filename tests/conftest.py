@@ -39,3 +39,9 @@ def duck():
             f"CREATE VIEW {name} AS SELECT * FROM '{SF_CORRECTNESS}/{name}.parquet'"
         )
     return con
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "kafka: exercises format('kafka'); skips without the connector"
+    )
