@@ -78,10 +78,41 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-profile language ID: score = hits per language profile,
-    argmax with lexicographic tie-break, 'und' (undetermined) when no
-    profile hits at all."""
+# Pluggable model contract: a callable mapping a pandas Series of texts to
+# a same-length Series of language codes. Real models (fastText, CLD3,
+# lingua) drop in here — they run inside an Arrow-batched pandas_udf, so
+# the Spark plan (pure map stage, no shuffle, text column pruned to the
+# one UDF input) is IDENTICAL whichever model is plugged; only the Python
+# kernel changes. `None` selects the built-in stopword-profile expression
+# path (JVM-side, no Python at all).
+# LangIdModel = Callable[[pd.Series], pd.Series]
+
+
+def with_language_id(
+    df: DataFrame, text_col: str = "text", model=None
+) -> DataFrame:
+    """Language ID with a pluggable model.
+
+    ``model=None`` → stopword-profile heuristic as pure JVM expressions:
+    score = hits per language profile, argmax with lexicographic
+    tie-break, 'und' (undetermined) when no profile hits at all.
+
+    ``model=callable`` → the callable runs as an Arrow-batched
+    ``pandas_udf`` over ``text_col`` and its output becomes
+    ``predicted_lang``. tests/test_textops_model.py asserts a swapped
+    model flows through the same single-map-stage plan."""
+    if model is not None:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        # no type hints: `from __future__ import annotations` stringifies
+        # them, which pandas_udf's signature inference rejects in Spark 4
+        @pandas_udf("string")
+        def _predict(texts):
+            out = model(texts)
+            return out if isinstance(out, pd.Series) else pd.Series(list(out))
+
+        return df.withColumn("predicted_lang", _predict(F.col(text_col)))
     text = F.col(text_col)
     scores = [
         (lang, stopword_hits(text, words)) for lang, words in sorted(LANG_STOPWORDS.items())
