@@ -7,6 +7,14 @@ Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 
 Each query executes against the noop sink so the full plan runs (scan →
 shuffle → result) without driver-side collection costs.
+
+The line additionally carries a ``"scale"`` section: the heavy operator
+families re-run against a deterministically replicated dataset (6M-row
+orders/lineitem, 100k documents/embeddings with 20-50-way duplicate
+families) where data, not session/stage overhead, dominates — sf0.1's 5k
+documents sit on a ~1 s stage-overhead floor that hides real throughput
+changes round-over-round. Disable with ``SPARK_GRAFT_BENCH_SCALE=0``;
+the replicated tables are cached under /tmp between runs.
 """
 
 from __future__ import annotations
@@ -53,6 +61,64 @@ HEADLINE = [
 ]
 
 
+# (table, key column to remap, replication factor). Keys remap as
+# key*KEY_STRIDE + replica so lineitem's l_orderkey keeps joining its
+# orders replica; lineitem gets fewer replicas than orders, which an
+# inner join tolerates. Replicated documents/embeddings form exact
+# duplicate families — an adversarial (not easier) input for the dedup
+# and ANN operators.
+KEY_STRIDE = 64
+SCALE_SPEC = {
+    "orders": ("o_orderkey", 40),
+    "lineitem": ("l_orderkey", 10),
+    "documents": ("doc_id", 20),
+    "embeddings": ("vec_id", 50),
+}
+SCALE_QUERIES = [
+    "q1_delay_histogram_days",
+    "cdc_merge_state",
+    "win_latest_row",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "text_quality_score",
+    "sim_ivf_topk",
+    "sim_lsh_ann_pairs",
+]
+
+
+def build_scale_dir(spark, sf_dir: str) -> tuple[str, float, dict[str, int]]:
+    """Replicate sf tables into a /tmp dir usable as an sf_dir. Cached —
+    rebuilt only when absent. Returns (dir, build_seconds, row counts)."""
+    from pyspark.sql import functions as F
+
+    out_dir = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "lrdi_bench_scale"
+    )
+    marker = os.path.join(out_dir, "_DONE")
+    rows: dict[str, int] = {}
+    start = time.perf_counter()
+    if not os.path.exists(marker):
+        for name, (key, factor) in SCALE_SPEC.items():
+            src = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+            reps = spark.range(factor).select(F.col("id").alias("_rep"))
+            scaled = src.crossJoin(reps).withColumn(
+                key, F.col(key) * KEY_STRIDE + F.col("_rep")
+            ).drop("_rep")
+            scaled.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"{name}.parquet")
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+    build_sec = round(time.perf_counter() - start, 3)
+    for name in SCALE_SPEC:
+        rows[name] = spark.read.parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        ).count()
+    return out_dir, build_sec, rows
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -76,18 +142,33 @@ def main() -> None:
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
 
+    scale: dict | None = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
+        scale_dir, build_sec, rows = build_scale_dir(spark, sf_dir)
+        scale_timings: dict[str, float] = {}
+        for name in SCALE_QUERIES:
+            spec = REGISTRY[name]
+            start = time.perf_counter()
+            spec.fn(spark, scale_dir).write.format("noop").mode("overwrite").save()
+            scale_timings[name] = round(time.perf_counter() - start, 3)
+        scale = {
+            "rows": rows,
+            "build_sec": build_sec,
+            "total_sec": round(sum(scale_timings.values()), 3),
+            "queries": scale_timings,
+        }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if scale is not None:
+        out["scale"] = scale
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
