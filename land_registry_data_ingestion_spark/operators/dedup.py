@@ -288,6 +288,79 @@ def minhash_near_duplicates(
     )
 
 
+# --- near-dup grouping (connected components) -------------------------------
+
+
+def near_dup_groups(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Turn near-dup PAIRS into canonical GROUPS: connected components by
+    iterative min-label propagation, the keep-one semantics a training-
+    data pipeline actually applies (drop every doc whose ``doc !=
+    canonical_doc``).
+
+    Each iteration is one distributed join + aggregate (label ← min of
+    own and neighbors' labels); the driver only checks a convergence
+    COUNT per iteration, never collects data. Iterations needed = graph
+    diameter — near-dup clusters are shallow (dup families link through
+    shared content), so convergence is a handful of rounds. For
+    adversarial million-node chains, swap in large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce") — same
+    join-per-round shape, O(log²) rounds.
+
+    Returns (doc, canonical_doc, n_members) for every doc that appears
+    in ≥1 pair; canonical_doc = min doc id of the component, so output
+    is deterministic and oracle-checkable.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = barrier(fwd.union(rev).distinct())
+    labels = barrier(
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = barrier(
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"].alias("id"),
+                F.least(
+                    labels["label"],
+                    F.coalesce(F.col("nbr_label"), labels["label"]),
+                ).alias("label"),
+            )
+        )
+        n_changed = (
+            updated.join(
+                labels.withColumnRenamed("label", "old_label"), "id"
+            )
+            .filter(F.col("label") != F.col("old_label"))
+            .count()
+        )
+        labels = updated
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} rounds"
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
+    return labels.join(sizes, "label").select(
+        F.col("id").alias("doc"),
+        F.col("label").alias("canonical_doc"),
+        "n_members",
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from land_registry_data_ingestion_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_near_duplicates,
+    near_dup_groups,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_duplicates,
@@ -141,6 +142,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(
         t.documents, "doc_id", num_hashes=16, band_size=4, threshold=0.3
     )
+
+
+@query(
+    "dedup_near_dup_groups",
+    sql=f"""
+    WITH RECURSIVE pairs AS ({_minhash_sql()}),
+    e AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach(s, d) AS (
+        SELECT s, d FROM e
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+    ),
+    labels AS (
+        SELECT s AS doc, LEAST(s, MIN(d)) AS canonical_doc
+        FROM reach GROUP BY s
+    )
+    SELECT l.doc, l.canonical_doc, CAST(c.n AS BIGINT) AS n_members
+    FROM labels l
+    JOIN (SELECT canonical_doc, COUNT(*) AS n FROM labels GROUP BY 1) c
+      ON l.canonical_doc = c.canonical_doc
+    """,
+)
+def dedup_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS (keep-one semantics): connected components over the
+    MinHash-LSH pairs by distributed min-label propagation; canonical doc
+    = min id per component. The oracle replays the closure with a
+    recursive CTE — exact group parity, not just pair parity."""
+    t = load_tables(spark, sf_dir)
+    pairs = minhash_near_duplicates(
+        t.documents, "doc_id", num_hashes=16, band_size=4, threshold=0.3
+    )
+    return near_dup_groups(pairs)
 
 
 def _simhash_sql(bits: int = 60) -> str:

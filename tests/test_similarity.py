@@ -175,3 +175,29 @@ def test_lsh_buckets_balanced(spark, embeddings):
         keyed.groupBy("bkt").count().agg(F.max("count")).collect()[0][0]
     )
     assert biggest < n * 0.25, f"bucket skew: {biggest}/{n}"
+
+
+def test_near_dup_groups_connected_components(spark):
+    """Chains must merge transitively into one component with min-id
+    canonical; isolated pairs stay separate; empty input yields empty."""
+    from land_registry_data_ingestion_spark.operators.dedup import (
+        near_dup_groups,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        ["doc_a", "doc_b"],
+    )
+    out = {
+        r["doc"]: (r["canonical_doc"], r["n_members"])
+        for r in near_dup_groups(pairs).collect()
+    }
+    assert out == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+        10: (10, 2), 11: (10, 2),
+        20: (20, 3), 21: (20, 3), 22: (20, 3),
+    }
+    empty = near_dup_groups(
+        spark.createDataFrame([], "doc_a long, doc_b long")
+    )
+    assert empty.count() == 0
