@@ -72,7 +72,10 @@ SCALE_SPEC = {
     "orders": ("o_orderkey", 40),
     "lineitem": ("l_orderkey", 10),
     "documents": ("doc_id", 20),
-    "embeddings": ("vec_id", 50),
+    # 10×, not more: sim_lsh_ann_pairs' within-bucket candidate count is
+    # quadratic in bucket size at fixed (tables, planes); 20k vectors in
+    # 256 buckets ≈ 3M candidate pairs — a bench, not a stall.
+    "embeddings": ("vec_id", 10),
 }
 SCALE_QUERIES = [
     "q1_delay_histogram_days",
@@ -83,6 +86,7 @@ SCALE_QUERIES = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "text_quality_score",
+    "text_language_id",
     "sim_ivf_topk",
     "sim_lsh_ann_pairs",
 ]
@@ -93,8 +97,11 @@ def build_scale_dir(spark, sf_dir: str) -> tuple[str, float, dict[str, int]]:
     rebuilt only when absent. Returns (dir, build_seconds, row counts)."""
     from pyspark.sql import functions as F
 
+    spec_tag = "_".join(
+        f"{name}{factor}" for name, (_, factor) in sorted(SCALE_SPEC.items())
+    )
     out_dir = os.path.join(
-        os.environ.get("TMPDIR", "/tmp"), "lrdi_bench_scale"
+        os.environ.get("TMPDIR", "/tmp"), f"lrdi_bench_scale_{spec_tag}"
     )
     marker = os.path.join(out_dir, "_DONE")
     rows: dict[str, int] = {}

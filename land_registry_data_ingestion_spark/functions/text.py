@@ -85,7 +85,11 @@ def word_shingles(col: Column, k: int = 3) -> Column:
 
 
 def stopword_hits(col: Column, stopwords: list[str]) -> Column:
-    """Number of tokens that are in ``stopwords`` (with repeats)."""
+    """Number of tokens that are in ``stopwords`` (with repeats).
+
+    The stopword set is ``F.lit(list)`` — a true array Literal — not
+    ``F.array(*lits)``: CreateArray is rebuilt on every evaluation, and
+    inside the filter lambda that means one fresh array per TOKEN."""
     toks = tokens(normalize_text(col))
-    sw = F.array(*[F.lit(w) for w in stopwords])
+    sw = F.lit(stopwords)
     return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))

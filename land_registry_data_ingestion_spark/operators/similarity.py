@@ -275,19 +275,26 @@ def lsh_bucketed_pairs(
     """Approximate cosine-threshold pairs: candidates collide in ≥1 LSH
     table, then exact cosine verifies. Shuffle O(n·tables); bucket keys
     come from the Arrow-vectorized kernel (one matmul per batch)."""
+    # Bucket join + distinct over IDS ONLY — candidates are the volume
+    # term (within-bucket quadratic), so the dedup shuffle must carry two
+    # longs per pair, not two d-dim vectors; vectors re-attach afterwards
+    # with two joins against the (much smaller) corpus.
     keyed = lsh_bucket_keys_vectorized(
         df, dim, id_col, vec_col, n_tables, n_planes
-    ).select("id", "vec", F.posexplode("keys").alias("tbl", "bkt"))
-    a = keyed.select("tbl", "bkt", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
-    b = keyed.select("tbl", "bkt", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    ).select("id", F.posexplode("keys").alias("tbl", "bkt"))
+    a = keyed.select("tbl", "bkt", F.col("id").alias("id_a"))
+    b = keyed.select("tbl", "bkt", F.col("id").alias("id_b"))
     cands = (
         a.join(b, ["tbl", "bkt"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "vec_a", "vec_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    pairs = cands.join(va, "id_a").join(vb, "id_b")
     return (
-        cosine_score_pairs_vectorized(cands, "vec_a", "vec_b")
+        cosine_score_pairs_vectorized(pairs, "vec_a", "vec_b")
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
