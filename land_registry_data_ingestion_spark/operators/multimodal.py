@@ -142,19 +142,38 @@ def sample_video_frames(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            rows = []
-            for _, r in pdf[pdf["media_type"] == "video"].iterrows():
-                if not decode_stub:
-                    raise NotImplementedError("real frame sampling requires ffmpeg")
-                duration = int(r["meta_duration_ms"] or 0)
-                for idx, ts in enumerate(range(0, duration, every_ms)):
-                    fake = hashlib.md5(
-                        (r["content"] or b"") + ts.to_bytes(8, "little")
-                    ).digest()
-                    rows.append((r["media_id"], idx, ts, fake))
+            vids = pdf[pdf["media_type"] == "video"]
+            if len(vids) == 0:
+                continue
+            if not decode_stub:
+                raise NotImplementedError("real frame sampling requires ffmpeg")
+            # vectorized explode: frames-per-video from the metadata, then
+            # index-repeat + concatenated aranges — no iterrows. Only the
+            # per-FRAME stub hash stays a Python map, standing in for the
+            # per-frame codec call a real ffmpeg kernel makes anyway.
+            durations = vids["meta_duration_ms"].fillna(0).astype("int64")
+            n_frames = np.ceil(durations / every_ms).clip(lower=0).astype("int64")
+            rep = vids.loc[vids.index.repeat(n_frames)]
+            idx = (
+                np.concatenate([np.arange(k, dtype="int64") for k in n_frames])
+                if len(n_frames)
+                else np.array([], dtype="int64")
+            )
+            ts = idx * every_ms
+            frames = [
+                hashlib.md5((c or b"") + int(t).to_bytes(8, "little")).digest()
+                for c, t in zip(rep["content"], ts)
+            ]
             yield pd.DataFrame(
-                rows, columns=["media_id", "frame_idx", "frame_ts_ms", "frame"]
+                {
+                    "media_id": rep["media_id"].to_numpy(),
+                    "frame_idx": idx.astype("int32"),
+                    "frame_ts_ms": ts,
+                    "frame": frames,
+                }
             )
 
     return spread(media).mapInPandas(kernel, out_schema)
