@@ -303,6 +303,61 @@ def lsh_bucketed_pairs(
 # --- IVF (inverted-file) ANN ------------------------------------------------
 
 
+def refine_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd refinement of the coarse quantizer: assign (Arrow argmax
+    kernel) → per-list mean (grouped Arrow kernel) → repeat.
+
+    Each iteration costs one corpus scan + one shuffle of (centroid_id,
+    vector) — the unavoidable k-means data movement; the mean runs in
+    numpy via ``applyInPandas`` per list. Empty lists keep their previous
+    centroid. Returns the refined (id, vec) frame with the same schema.
+
+    Deliberately NOT behind the declared oracle query: distributed float
+    means depend on partition-order summation, so refined centroids are
+    not bit-reproducible by a second engine — the declared ``sim_ivf_topk``
+    keeps the seeded quantizer for exact oracle replay, and tests pin the
+    refinement by its EFFECT (recall vs brute force) instead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = centroids.select(id_col, vec_col).schema
+    cur = centroids.select(id_col, vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign_vectorized(
+            corpus.select(id_col, vec_col), cur, id_col, vec_col
+        )
+
+        def mean_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            M = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            return pd.DataFrame(
+                {
+                    id_col: [int(pdf["centroid_id"].iloc[0])],
+                    vec_col: [M.mean(axis=0).astype(np.float32)],
+                }
+            )
+
+        means = assigned.groupBy("centroid_id").applyInPandas(
+            mean_kernel, out_schema
+        )
+        # empty lists: fall back to the previous centroid
+        kept = cur.join(
+            means.select(F.col(id_col).alias("_mid")),
+            cur[id_col] == F.col("_mid"),
+            "left_anti",
+        )
+        cur = means.unionByName(kept)
+    return cur
+
+
 def seed_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -488,6 +543,7 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     k: int = 10,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k cosine search: probe the ``nprobe`` nearest
     inverted lists per query, exact-score only those lists.
@@ -496,8 +552,23 @@ def ivf_topk(
     brute force); the probe side is tiny and broadcast, so the only big
     data movement is the pruned corpus read. Bulk scoring (index build,
     candidate verify) runs on the Arrow/numpy fast path with an identical
-    fold order, so results stay bit-equal to the pure-expression form."""
+    fold order, so results stay bit-equal to the pure-expression form.
+
+    ``refine_iters`` > 0 runs Lloyd iterations on the seeded quantizer
+    (better-balanced lists → better recall at the same nprobe); the
+    default stays 0 so the declared oracle query remains exactly
+    replayable (see :func:`refine_centroids` on why refinement is not)."""
     centroids = seed_centroids(corpus, id_col, vec_col, n_centroids)
+    if refine_iters > 0:
+        refined = refine_centroids(
+            corpus, centroids, id_col, vec_col, iters=refine_iters
+        )
+        # tiny by construction — pin it so the two consumers below don't
+        # re-run the Lloyd chain
+        spark = corpus.sparkSession
+        centroids = spark.createDataFrame(
+            refined.collect(), refined.schema
+        )
     assigned = ivf_assign_vectorized(
         corpus.select(id_col, vec_col), centroids, id_col, vec_col
     )

@@ -201,3 +201,36 @@ def test_near_dup_groups_connected_components(spark):
         spark.createDataFrame([], "doc_a long, doc_b long")
     )
     assert empty.count() == 0
+
+
+def test_ivf_refined_centroids_improve_or_hold_recall(spark, embeddings):
+    """Lloyd refinement must actually move the quantizer and must not
+    degrade recall below the seeded baseline's floor."""
+    from land_registry_data_ingestion_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        refine_centroids,
+        seed_centroids,
+    )
+
+    seeded = seed_centroids(embeddings, n_centroids=16)
+    refined = refine_centroids(embeddings, seeded, iters=2)
+    assert refined.count() == 16
+    s = {r["vec_id"]: list(r["embedding"]) for r in seeded.collect()}
+    r = {r["vec_id"]: list(r["embedding"]) for r in refined.collect()}
+    assert set(r) == set(s)
+    assert any(s[k] != r[k] for k in s), "refinement did not move centroids"
+
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = {
+        (x["query_id"], x["neighbor_id"])
+        for x in brute_force_topk(embeddings, queries, k=10).collect()
+    }
+    approx = {
+        (x["query_id"], x["neighbor_id"])
+        for x in ivf_topk(
+            embeddings, queries, n_centroids=16, nprobe=4, k=10, refine_iters=2
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"refined IVF recall too low: {recall:.2f}"
