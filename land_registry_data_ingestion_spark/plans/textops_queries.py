@@ -103,6 +103,77 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _langid_hits_case() -> tuple[str, str]:
+    hits = ",\n               ".join(
+        f"len(list_filter({_TOKS_NORM}, t -> list_contains({_sw_list(lang)}, t))) AS h_{lang}"
+        for lang in sorted(LANG_STOPWORDS)
+    )
+    langs = sorted(LANG_STOPWORDS)
+    m = "greatest(" + ", ".join(f"h_{la}" for la in langs) + ")"
+    case = "CASE WHEN " + m + " = 0 THEN 'und' "
+    for la in langs[:-1]:
+        case += f"WHEN h_{la} = {m} THEN '{la}' "
+    case += f"ELSE '{langs[-1]}' END"
+    return hits, case
+
+
+@query(
+    "text_curate_corpus",
+    sql=f"""
+    WITH q AS (
+        SELECT doc_id,
+               {_NTOK} AS n_tokens,
+               length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                 * 1.0 / length(text) AS p_ratio,
+               len(list_filter({_TOKS_NORM},
+                   t -> list_contains({_sw_list('en')}, t))) * 1.0
+                 / greatest({_NTOK}, 1) AS sw_ratio
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, n_tokens,
+               ROUND(CASE
+                   WHEN n_tokens < 5 THEN 0.0
+                   WHEN p_ratio > 0.3 THEN 0.2
+                   ELSE least(1.0, 0.5 * least(n_tokens / 100.0, 1.0)
+                                   + 0.3 * (1.0 - p_ratio)
+                                   + 0.2 * least(sw_ratio * 5.0, 1.0))
+               END, 6) AS quality_score
+        FROM q
+    ),
+    langs AS (
+        SELECT doc_id, {_langid_hits_case()[1]} AS predicted_lang
+        FROM (SELECT doc_id, {_langid_hits_case()[0]} FROM documents)
+    ),
+    canon AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})
+    )
+    SELECT s.doc_id, s.n_tokens, s.quality_score, l.predicted_lang
+    FROM scored s
+    JOIN langs l USING (doc_id)
+    JOIN canon c USING (doc_id)
+    WHERE s.quality_score >= 0.5 AND s.n_tokens >= 5
+    """,
+)
+def text_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation filter a training-data pipeline runs:
+    exact-dedup keep-one ∧ quality_score ≥ 0.5 ∧ ≥5 tokens, annotated
+    with predicted language. One dedup shuffle + pure map stages —
+    the text column never moves after the fingerprint aggregate."""
+    from land_registry_data_ingestion_spark.operators.dedup import exact_dedup
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents
+    scored = with_language_id(with_quality_score(docs))
+    kept = (
+        scored.join(
+            exact_dedup(docs, "doc_id").select("doc_id"), "doc_id", "left_semi"
+        )
+        .filter((F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 5))
+    )
+    return kept.select("doc_id", "n_tokens", "quality_score", "predicted_lang")
+
+
 def _langid_sql() -> str:
     hits = ",\n               ".join(
         f"len(list_filter({_TOKS_NORM}, t -> list_contains({_sw_list(lang)}, t))) AS h_{lang}"

@@ -89,9 +89,10 @@ def test_no_python_udfs_or_cartesians_anywhere(spark):
     Sanctioned Python: Arrow-batched vectorized kernels (MapInPandas) for
     bulk vector scoring and multimodal decode — never BatchEvalPython /
     ArrowEvalPython row UDFs, which serialize scalar-at-a-time. An
-    unintended CartesianProduct is the classic silent O(n²) scale killer
-    (the intentional pair scans use broadcast nested-loop with one tiny
-    side, never a cartesian)."""
+    unintended CartesianProduct is the classic silent O(n²) scale killer.
+    Pair scans are hash joins on bucket/block keys (LSH buckets, the 2D
+    block-pair theta join); the only BroadcastNestedLoopJoins left have a
+    provably tiny broadcast side (bin-edge range join, top-k query set)."""
     offenders = []
     for name, spec in REGISTRY.items():
         plan = explain_str(spec.fn(spark, SF_CORRECTNESS), "simple")
