@@ -276,9 +276,25 @@ def minhash_near_duplicates(
         num_hashes,
         band_size,
     )
+    # Length-filter prune (AllPairs/PPJoin-style) BEFORE the arrays move:
+    # J(A,B) ≥ t ⟹ t·|B| ≤ |A| — candidates failing the size-ratio test
+    # are dropped while carrying only (id, n_shingles) ints, so the
+    # shingle arrays are only shuffled for pairs that can still qualify.
+    # Exact: provably no qualifying pair is pruned.
+    na = sh.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    nb = sh.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    sized = (
+        cands.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            (F.col("n_a") >= threshold * F.col("n_b"))
+            & (F.col("n_b") >= threshold * F.col("n_a"))
+        )
+        .select("doc_a", "doc_b")
+    )
     a = sh.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    joined = sized.join(a, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
