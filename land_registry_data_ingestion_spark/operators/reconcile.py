@@ -58,3 +58,28 @@ def reconcile(
     )
     counts = diff.groupBy("presence").agg(F.count("*").alias("n_rows"))
     return ReconcileResult(diff=diff, counts=counts)
+
+
+def repair_updates(
+    truth: DataFrame, target: DataFrame, op_col: str = "record_op"
+) -> DataFrame:
+    """The repair half of the reference's verify
+    (``database_verify.py:296-446``): rows present in the source-of-truth
+    file but not byte-identical in the target become an op='A' update
+    batch — feed it to ``cdc_merge`` for the same
+    update-if-different / insert-if-missing convergence the reference
+    runs row-by-row (it UPSERTS only; target-only rows are reported by
+    :func:`reconcile` but never deleted).
+
+    The anti-join is null-safe on every shared column, mirroring the
+    reconcile's NaN-equal comparison."""
+    from functools import reduce as _reduce
+
+    cols = [c for c in truth.columns if c in target.columns]
+    l = truth.select(*cols).alias("l")
+    r = target.select(*cols).alias("r")
+    cond = _reduce(
+        lambda a, b: a & b,
+        [F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}")) for c in cols],
+    )
+    return l.join(r, cond, "left_anti").withColumn(op_col, F.lit("A"))

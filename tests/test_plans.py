@@ -121,3 +121,47 @@ def test_reconcile_null_safe_join(spark):
     res = reconcile(left, right, on=["k", "name", "price"])
     counts = {r["presence"]: r["n_rows"] for r in res.counts.collect()}
     assert counts == {"both": 1, "left_only": 1, "right_only": 1}
+
+
+def test_repair_updates_converges_target_to_truth(spark):
+    """verify→repair loop: corrupt one row + drop one row in the target;
+    repair_updates + cdc_merge(op='A') must converge the target to the
+    truth (target-only rows are reported, never deleted — reference
+    semantics)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from land_registry_data_ingestion_spark.operators.merge import (
+        cdc_merge,
+        init_state,
+    )
+    from land_registry_data_ingestion_spark.operators.reconcile import (
+        reconcile,
+        repair_updates,
+    )
+
+    truth = spark.createDataFrame(
+        [("t1", 100, "X"), ("t2", 200, None), ("t3", 300, "Z")],
+        ["tuid", "price", "code"],
+    )
+    target_rows = spark.createDataFrame(
+        [("t1", 100, "X"), ("t2", 999, None)],  # t2 corrupt, t3 missing
+        ["tuid", "price", "code"],
+    )
+    ts = F.lit(datetime.datetime(2024, 1, 1))
+    target = init_state(target_rows, batch_timestamp=ts)
+
+    updates = repair_updates(truth, target_rows)
+    assert sorted(r["tuid"] for r in updates.collect()) == ["t2", "t3"]
+
+    repaired = cdc_merge(
+        target, updates, key_col="tuid", value_cols=["price", "code"],
+        batch_timestamp=F.lit(datetime.datetime(2024, 2, 1)),
+    ).new_state
+    got = reconcile(
+        truth, repaired.select("tuid", "price", "code"),
+        on=["tuid", "price", "code"],
+    )
+    counts = {r["presence"]: r["n_rows"] for r in got.counts.collect()}
+    assert counts == {"both": 3}
