@@ -8,6 +8,7 @@ reproduce the signatures bit-for-bit.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from land_registry_data_ingestion_spark.operators.dedup import (
     exact_dedup_groups,
@@ -249,3 +250,38 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only. Shuffle O(n·blocks)."""
     t = load_tables(spark, sf_dir)
     return simhash_near_duplicates(t.documents, "doc_id")
+
+
+@query(
+    "dedup_embedding_cosine",
+    sql="""
+    WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+          >= 0.4
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id_b FROM pairs)
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: semantic duplicate pairs from the
+    exact block-partitioned cosine self-join (``blocked_cosine_pairs`` —
+    corpus never broadcast, compute sharded on the block-pair key), then
+    keep-first survivors — a document is dropped iff a lower-id document
+    sits within the cosine threshold. Documents anti-join the loser set on
+    doc_id; text never moves, only (id, vector) pairs shuffle."""
+    from land_registry_data_ingestion_spark.operators.similarity import (
+        blocked_cosine_pairs,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pairs = blocked_cosine_pairs(t.embeddings, threshold=0.4)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return t.documents.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

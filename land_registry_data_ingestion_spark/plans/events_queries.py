@@ -137,3 +137,48 @@ def evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_session").cast("long").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "evt_asof_join",
+    sql="""
+    SELECT c.event_id, c.user_id,
+           v.event_id AS view_event_id,
+           epoch_us(c.ts) - epoch_us(v.ts) AS gap_us,
+           ROUND(v.value, 6) AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def evt_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the latest preceding view by the
+    same user (inclusive, inner — DuckDB ``ASOF JOIN`` semantics). Spark
+    has no native ASOF; :func:`...operators.asof.asof_join` re-expresses
+    it as union + one running-``last`` window pass — a single shuffle of
+    |clicks|+|views| rows, no range-join row explosion."""
+    from land_registry_data_ingestion_spark.operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir)
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = t.events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        clicks,
+        views,
+        on="user_id",
+        ts_col="ts",
+        value_cols={"event_id": "view_event_id", "value": "view_value"},
+        inclusive=True,
+        how="inner",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "view_event_id",
+        (F.unix_micros("ts") - F.unix_micros("ts_right")).alias("gap_us"),
+        F.round("view_value", 6).alias("view_value"),
+    )

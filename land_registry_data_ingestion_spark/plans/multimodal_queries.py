@@ -1,0 +1,53 @@
+"""Multimodal-plumbing query: hash-oracle coverage for the binary-column
+path (scale-out §8, ``operators/multimodal.py``).
+
+The container has no codecs and the testdata has no media table, so the
+query synthesizes one deterministically from ``documents`` — each row's
+text bytes become the opaque ``content`` blob, with a rotating
+media_type — and runs the real Arrow-batched ``mapInPandas`` feature
+kernel over it. The oracle recomputes byte length and SHA-256 in DuckDB,
+so the whole JVM→Arrow→pandas→JVM round trip (schema, batching, binary
+transport) is value-hash-checked, not just pytest-smoked. The ``feature``
+vector itself (md5-seeded fake embedding) stays out of the declared
+output: it is covered by ``tests/test_multimodal.py``, and its float
+array would only re-test the same kernel path the sha column already
+proves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from land_registry_data_ingestion_spark.operators.multimodal import extract_features
+from land_registry_data_ingestion_spark.plans.registry import query
+from land_registry_data_ingestion_spark.sources.parquet import load_tables
+
+_MEDIA_TYPE = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+
+@query(
+    "mm_feature_extract",
+    sql=f"""
+    SELECT doc_id AS media_id,
+           {_MEDIA_TYPE} AS media_type,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha256
+    FROM documents
+    """,
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction end-to-end: documents → synthetic
+    media table (text bytes as ``content``) → ``extract_features``'s
+    mapInPandas kernel → (n_bytes, sha256) per media row."""
+    t = load_tables(spark, sf_dir)
+    media = t.documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    feats = extract_features(media, dim=4)
+    return feats.select("media_id", "media_type", "n_bytes", "content_sha256")

@@ -85,6 +85,7 @@ def _load_all() -> None:
         dedup_queries,
         similarity_queries,
         events_queries,
+        multimodal_queries,
     )
 
     _LOADED = True

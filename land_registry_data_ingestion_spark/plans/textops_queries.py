@@ -219,3 +219,69 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic normalized-content fingerprint per document."""
     t = load_tables(spark, sf_dir)
     return with_fingerprint(t.documents).select("doc_id", "doc_fingerprint")
+
+
+# Deterministic PII enrichment: the synthetic corpus contains no PII, so
+# both engines append the same synthetic email / phone to a subset of
+# rows before redacting — the regexes then have real positives AND real
+# negatives to prove themselves on.
+_ENRICHED = """
+    CASE WHEN doc_id % 3 = 0
+         THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+         ELSE text END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' tel +44 7' || lpad(CAST(doc_id * 7919 % 100000000 AS VARCHAR), 8, '0')
+            ELSE '' END
+"""
+_EMAIL_RE_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE_SQL = "\\+[0-9][0-9 ()-]{6,}[0-9]"
+
+
+@query(
+    "text_redact_pii",
+    sql=f"""
+    WITH enriched AS (SELECT doc_id, {_ENRICHED} AS text FROM documents),
+    scrubbed AS (
+        SELECT doc_id, text,
+               regexp_replace(text, '{_EMAIL_RE_SQL}', '<EMAIL>', 'g') AS no_email
+        FROM enriched
+    )
+    SELECT doc_id,
+           regexp_replace(no_email, '{_PHONE_RE_SQL}', '<PHONE>', 'g') AS text_redacted,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE_SQL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(no_email, '{_PHONE_RE_SQL}')) AS BIGINT) AS n_phones
+    FROM scrubbed
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, then phones) as two codegen'd JVM regex
+    passes with per-row match counts — no UDF, no shuffle. Rows are first
+    deterministically enriched with synthetic PII on a subset (see
+    ``_ENRICHED``) so the oracle checks true positives and negatives."""
+    from land_registry_data_ingestion_spark.operators.textops import redact_pii
+
+    t = load_tables(spark, sf_dir)
+    enriched = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.col("text")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" tel +44 7"),
+                    F.lpad((F.col("doc_id") * 7919 % 100000000).cast("string"), 8, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(enriched).select(
+        "doc_id", "text_redacted", "n_emails", "n_phones"
+    )
