@@ -285,3 +285,81 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(enriched).select(
         "doc_id", "text_redacted", "n_emails", "n_phones"
     )
+
+
+@query(
+    "text_hash_split",
+    sql="""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 100 AS BIGINT) AS bucket,
+           CASE WHEN ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
+                THEN 'train'
+                WHEN ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+                THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment by content-free key hash
+    (md5-derived 60-bit int mod 100 → 80/10/10). Unlike ``df.sample``/
+    ``randomSplit`` this is reproducible across engines, runs, partitions
+    AND table growth: a document keeps its split forever, which is what
+    incremental training-data pipelines need. Pure codegen'd map — no
+    shuffle, no RNG state."""
+    from land_registry_data_ingestion_spark.operators.dedup import _md5_hash64
+
+    t = load_tables(spark, sf_dir)
+    bucket = (_md5_hash64(F.col("doc_id").cast("string"), "split") % 100).alias(
+        "bucket"
+    )
+    return t.documents.select("doc_id", bucket).select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "text_vocabulary",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_NORM}) AS token
+        FROM documents WHERE trim(text) <> ''
+    )
+    SELECT token,
+           COUNT(*) AS term_freq,
+           COUNT(DISTINCT doc_id) AS doc_freq
+    FROM toks
+    GROUP BY token
+    ORDER BY term_freq DESC, token
+    LIMIT 100
+    """,
+)
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by collection frequency with
+    document frequency — the first step of any tokenizer/TF-IDF build.
+    Explode → one partial-agg shuffle on token → ordered take; the
+    top-k never globally sorts the full vocabulary."""
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.filter(F.trim("text") != "").select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+            )
+        ).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_freq"), "token")
+        .limit(100)
+    )
