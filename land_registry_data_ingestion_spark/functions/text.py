@@ -84,12 +84,38 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     )
 
 
-def stopword_hits(col: Column, stopwords: list[str]) -> Column:
-    """Number of tokens that are in ``stopwords`` (with repeats).
+def token_set_hits(col: Column, words: list[str]) -> Column:
+    """Number of whitespace tokens of ``col`` (normalized) that are in
+    ``words``, with repeats — as ONE codegen'd ``regexp_count``.
 
-    The stopword set is ``F.lit(list)`` — a true array Literal — not
-    ``F.array(*lits)``: CreateArray is rebuilt on every evaluation, and
-    inside the filter lambda that means one fresh array per TOKEN."""
-    toks = tokens(normalize_text(col))
-    sw = F.lit(stopwords)
-    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    Equivalent to splitting and filtering by membership, but the HOF form
+    (``size(filter(split(...), t -> array_contains(...)))``) contains a
+    lambda, which excludes the whole projection from whole-stage codegen
+    and drops it to the interpreted evaluator — correct, but it pays a
+    per-session JIT warmup cliff (measured: several seconds of wall on
+    the first query that touches it) and boxes every token. The
+    lookaround pattern matches exactly full space-delimited tokens of the
+    normalized (single-spaced) text: ``(?<=^|\\s)(?:w1|w2|…)(?=\\s|$)``.
+    Lookarounds are Java-regex-only (RE2 lacks them) — fine, because the
+    DuckDB oracle states the semantics as ``list_filter`` membership and
+    the driver compares VALUES, not plans."""
+    return F.regexp_count(normalize_text(col), F.lit(token_set_pattern(words)))
+
+
+def token_set_pattern(words: list[str]) -> str:
+    """The exact-full-token alternation regex behind
+    :func:`token_set_hits`, for callers that already hold normalized
+    text (re-normalizing is idempotent but pays the collapse regex
+    again)."""
+    import re as _re
+
+    return (
+        r"(?<=^|\s)(?:"
+        + "|".join(sorted(_re.escape(w) for w in words))
+        + r")(?=\s|$)"
+    )
+
+
+def stopword_hits(col: Column, stopwords: list[str]) -> Column:
+    """Number of tokens that are in ``stopwords`` (with repeats)."""
+    return token_set_hits(col, stopwords)

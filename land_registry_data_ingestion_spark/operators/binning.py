@@ -58,3 +58,68 @@ def bin_into_intervals(
     bins = intervals_from_edges(edges, edge_col, lo_name, hi_name)
     cond = (value > F.col(lo_name)) & (value <= F.col(hi_name))
     return df.join(F.broadcast(bins), cond, "inner")
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probs: list[float],
+    out_col: str = "val",
+) -> DataFrame:
+    """Exact linearly-interpolated quantiles (type-7, the
+    ``quantile_cont`` / numpy default) per group — distributed.
+
+    Spark's built-in exact ``percentile`` aggregate buffers EVERY group
+    value in one aggregation state, so a 100 TB group OOMs an executor.
+    This form never holds more than a row at a time: one window sort per
+    group ranks the values (distributed sort-shuffle — spills, splits,
+    AQE-balances like any sort), a codegen'd filter keeps only the ≤ 2
+    boundary rows per (group, prob), and a tiny final aggregate
+    interpolates. Total shuffle: the sort of (group, value) pairs plus
+    O(groups × probs) rows.
+
+    Emits one row per (group, prob): ``group_cols…, pct, {out_col}``.
+    """
+    w = Window.partitionBy(*group_cols).orderBy("_v")
+    wn = Window.partitionBy(*group_cols)
+    ranked = (
+        df.select(*group_cols, F.col(value_col).cast("double").alias("_v"))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+    )
+    # keep a row iff it is a floor/ceil boundary of ANY requested prob
+    keep = None
+    for p in probs:
+        k = (F.col("_n") - 1) * F.lit(p)
+        c = (F.col("_rn") == F.floor(k) + 1) | (F.col("_rn") == F.ceil(k) + 1)
+        keep = c if keep is None else (keep | c)
+    kept = ranked.filter(keep)
+    # attribute each surviving row to the prob(s) it bounds, interpolate
+    tagged = kept.select(
+        *group_cols,
+        "_v",
+        "_rn",
+        "_n",
+        F.explode(F.array(*[F.lit(p) for p in probs])).alias("pct"),
+    )
+    k = (F.col("_n") - 1) * F.col("pct")
+    lo, hi = F.floor(k) + 1, F.ceil(k) + 1
+    frac = k - F.floor(k)
+    return (
+        tagged.filter((F.col("_rn") == lo) | (F.col("_rn") == hi))
+        .groupBy(*group_cols, "pct")
+        .agg(
+            F.max(F.when(F.col("_rn") == lo, F.col("_v"))).alias("_lo_v"),
+            F.max(F.when(F.col("_rn") == hi, F.col("_v"))).alias("_hi_v"),
+            F.first(frac).alias("_frac"),
+        )
+        .select(
+            *group_cols,
+            "pct",
+            (
+                F.col("_lo_v")
+                + F.col("_frac") * (F.col("_hi_v") - F.col("_lo_v"))
+            ).alias(out_col),
+        )
+    )

@@ -140,41 +140,79 @@ def blocked_cosine_pairs(
     rep = base.withColumn("g", F.explode(pair_groups)).select(
         F.col("g.gi").alias("gi"), F.col("g.gj").alias("gj"), "blk", "id", "vec"
     )
-    a = rep.select(
-        "gi", "gj",
-        F.col("blk").alias("blk_a"),
-        F.col("id").alias("id_a"),
-        F.col("vec").alias("vec_a"),
+    # Score INSIDE each block-pair group (applyInPandas): a pair with
+    # blocks (i, j) lives only in group (min, max), so emitting every
+    # in-group qualifying pair is exactly-once globally. The earlier form
+    # self-joined the replicas and shipped ~n²/2 (vec_a, vec_b) rows
+    # through the shuffle and Arrow before scoring — measured 53 s at 5k
+    # vectors; this form moves only the O(n·n_blocks) replicated rows and
+    # the surviving pairs, with the n²-compute done as an in-kernel
+    # sequential-fold matmul (bit-identical to the fold the oracle runs).
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"id_a {id_type}, id_b {id_type}, cosine double"
     )
-    b = rep.select(
-        "gi", "gj",
-        F.col("blk").alias("blk_b"),
-        F.col("id").alias("id_b"),
-        F.col("vec").alias("vec_b"),
-    )
-    # A pair with blocks (i, j) matches only in group (min(i,j), max(i,j)),
-    # with the a-side row required to sit in gi (or gj for the swapped
-    # orientation when gi != gj) — exactly-once without a distinct.
-    cands = (
-        a.join(b, ["gi", "gj"])
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (
-                ((F.col("blk_a") == F.col("gi")) & (F.col("blk_b") == F.col("gj")))
-                | (
-                    (F.col("gi") != F.col("gj"))
-                    & (F.col("blk_a") == F.col("gj"))
-                    & (F.col("blk_b") == F.col("gi"))
+    chunk = 2048  # bounds the (chunk × group) score matrix per step
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = int(pdf["gi"].iloc[0]), int(pdf["gj"].iloc[0])
+        out_a, out_b, out_c = [], [], []
+
+        def emit(ids_a, va, ids_b, vb, triangular: bool) -> None:
+            nb_norm = np.sqrt(_seq_pair_dots(vb, vb))
+            na_norm = np.sqrt(_seq_pair_dots(va, va))
+            for s in range(0, len(ids_a), chunk):
+                e = s + chunk
+                cos = np.round(
+                    _seq_cross_dots(va[s:e], vb)
+                    / np.multiply.outer(na_norm[s:e], nb_norm),
+                    6,
                 )
+                ii, jj = np.nonzero(cos >= threshold)
+                ia, ib = ids_a[s:e][ii], ids_b[jj]
+                keep = ia < ib if triangular else ia != ib
+                # orientation: emit (min, max) exactly once
+                lo = np.where(ia < ib, ia, ib)
+                hi = np.where(ia < ib, ib, ia)
+                if not triangular:
+                    # cross-block: every unordered pair appears once as
+                    # (i-side, j-side); keep all, just orient
+                    keep = np.ones(len(ia), dtype=bool)
+                out_a.append(lo[keep])
+                out_b.append(hi[keep])
+                out_c.append(cos[ii, jj][keep])
+
+        if gi == gj:
+            ids = pdf.loc[pdf["blk"] == gi, "id"].to_numpy()
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf.loc[pdf["blk"] == gi, "vec"]]
             )
+            if len(ids):
+                emit(ids, V, ids, V, triangular=True)
+        else:
+            mi, mj = pdf["blk"] == gi, pdf["blk"] == gj
+            ids_i = pdf.loc[mi, "id"].to_numpy()
+            ids_j = pdf.loc[mj, "id"].to_numpy()
+            if len(ids_i) and len(ids_j):
+                Vi = np.array([np.asarray(v, dtype=np.float64) for v in pdf.loc[mi, "vec"]])
+                Vj = np.array([np.asarray(v, dtype=np.float64) for v in pdf.loc[mj, "vec"]])
+                emit(ids_i, Vi, ids_j, Vj, triangular=False)
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
         )
-        .select("id_a", "id_b", "vec_a", "vec_b")
-    )
-    return (
-        cosine_score_pairs_vectorized(cands, "vec_a", "vec_b")
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+
+    return rep.groupBy("gi", "gj").applyInPandas(kernel, out_schema)
 
 
 def _hyperplane(dim: int, table: int, plane: int) -> list[float]:

@@ -558,3 +558,73 @@ def f_working_day_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("timestamp")
         .alias("publish_day"),
     )
+
+
+@query(
+    "agg_rollup",
+    sql="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS lvl,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation in one pass: ROLLUP(status, priority)
+    produces leaf, per-status, and grand-total rows from a single
+    shuffle (Spark expands grouping sets map-side; no re-scan per
+    level). GROUPING() flags disambiguate genuine NULL keys from
+    subtotal rows."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            (
+                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+            )
+            .cast("long")
+            .alias("lvl"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "lvl",
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+@query(
+    "agg_exact_quantiles",
+    sql="""
+    WITH qs AS (
+        SELECT o_orderstatus,
+               quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.9]) AS q
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 0.25 AS pct, ROUND(q[1], 4) AS val FROM qs
+    UNION ALL SELECT o_orderstatus, 0.5, ROUND(q[2], 4) FROM qs
+    UNION ALL SELECT o_orderstatus, 0.75, ROUND(q[3], 4) FROM qs
+    UNION ALL SELECT o_orderstatus, 0.9, ROUND(q[4], 4) FROM qs
+    """,
+)
+def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles via the distributed sort-rank-interpolate
+    operator (``grouped_exact_quantiles``) — bit-equal to DuckDB
+    ``quantile_cont`` (type-7 interpolation) without the built-in
+    ``percentile`` aggregate's buffer-every-value state."""
+    from land_registry_data_ingestion_spark.operators.binning import (
+        grouped_exact_quantiles,
+    )
+
+    t = load_tables(spark, sf_dir)
+    q = grouped_exact_quantiles(
+        t.orders, ["o_orderstatus"], "o_totalprice", [0.25, 0.5, 0.75, 0.9]
+    )
+    return q.select("o_orderstatus", "pct", F.round("val", 4).alias("val"))
