@@ -79,6 +79,9 @@ SCALE_SPEC = {
     # quadratic in bucket size at fixed (tables, planes); 20k vectors in
     # 256 buckets ≈ 3M candidate pairs — a bench, not a stall.
     "embeddings": ("vec_id", 10),
+    # remap user_id (not event_id): more users at the same per-user
+    # density — the realistic growth axis for keyed windows/as-of.
+    "events": ("user_id", 10),
 }
 SCALE_QUERIES = [
     "q1_delay_histogram_days",
@@ -92,13 +95,22 @@ SCALE_QUERIES = [
     "text_language_id",
     "sim_ivf_topk",
     "sim_lsh_ann_pairs",
+    "evt_asof_join",
+    "dedup_embedding_cosine",
 ]
 
 
 def build_scale_dir(spark, sf_dir: str) -> tuple[str, float, dict[str, int]]:
     """Replicate sf tables into a /tmp dir usable as an sf_dir. Cached —
-    rebuilt only when absent. Returns (dir, build_seconds, row counts)."""
+    rebuilt only when absent. Returns (dir, build_seconds, row counts).
+
+    Reads through the ``Tables`` loader (not raw ``spark.read.parquet``)
+    so events' TIMESTAMP(NANOS) column gets the same nanos→micros
+    conversion every query path uses; the replicated dir then holds plain
+    micros timestamps."""
     from pyspark.sql import functions as F
+
+    from land_registry_data_ingestion_spark.sources.parquet import load_tables
 
     spec_tag = "_".join(
         f"{name}{factor}" for name, (_, factor) in sorted(SCALE_SPEC.items())
@@ -110,8 +122,9 @@ def build_scale_dir(spark, sf_dir: str) -> tuple[str, float, dict[str, int]]:
     rows: dict[str, int] = {}
     start = time.perf_counter()
     if not os.path.exists(marker):
+        tables = load_tables(spark, sf_dir)
         for name, (key, factor) in SCALE_SPEC.items():
-            src = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+            src = tables.table(name)
             reps = spark.range(factor).select(F.col("id").alias("_rep"))
             scaled = src.crossJoin(reps).withColumn(
                 key, F.col(key) * KEY_STRIDE + F.col("_rep")
@@ -135,7 +148,17 @@ def main() -> None:
     spark = get_spark(
         app_name="lrdi-bench",
         master=f"local[{cpus}]",
-        extra_conf={"spark.sql.shuffle.partitions": str(max(int(cpus), 16))},
+        extra_conf={
+            "spark.sql.shuffle.partitions": str(max(int(cpus), 16)),
+            # The scale section (6M-row merges, 100k-doc minhash) runs many
+            # heavy queries in one JVM; 8g leaves it GC-bound by the tail
+            # queries (measured: text_quality_score 5s alone vs 56s late in
+            # the sequence). Bench is single-JVM local mode on a 128 GiB
+            # box — give it real headroom.
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "24g"
+            ),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     _load_all()
