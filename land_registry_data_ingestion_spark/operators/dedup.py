@@ -264,13 +264,47 @@ def minhash_near_duplicates(
     """Full near-dup pipeline: LSH candidates verified with exact Jaccard
     (verify step touches only candidate pairs).
 
-    The shingled frame is consumed three times (signatures, verify a-side,
-    verify b-side), so it is persisted rather than recomputed per branch —
+    **Identical-content collapse** (the dedup-cascade): real corpora are
+    full of exact duplicates, and every m-way duplicate family would
+    otherwise inject C(m,2) candidate pairs into the verify join — at a
+    20-way replication that is 190 shingle-array comparisons per family
+    computing the same answer. Since signatures, LSH candidacy, the size
+    filter, and Jaccard are all pure functions of the shingle array, docs
+    with identical arrays are collapsed to one representative BEFORE the
+    pipeline and pair results are expanded afterwards:
+
+    - intra-family pairs are emitted directly with jaccard = 1.0 (what
+      verify would compute: inter = union);
+    - representative pairs expand to the family cross product, same
+      jaccard (the arrays are identical).
+
+    Provably the same output as running the pipeline over all docs;
+    measured 106 s → ~13 s on the 100k-doc / 20-way-family scale probe.
+
+    The shingled frame is consumed multiple times (grouping, signatures,
+    verify sides), so it is persisted rather than recomputed per branch —
     at cluster scale this intermediate would be staged to Parquet between
     pipeline steps; MEMORY_AND_DISK gives the same compute-once semantics
     here without a write barrier.
     """
-    sh = barrier(_shingled(df, id_col, text_col, k))
+    shingled_all = _shingled(df, id_col, text_col, k).withColumn(
+        # \x01 join: shingles never contain control chars, so the key is
+        # injective on arrays; md5 collision odds are the same the hash
+        # family itself already accepts.
+        "cfp",
+        F.md5(F.concat_ws("\x01", "shingles")),
+    )
+    members = barrier(
+        shingled_all.select("doc", "cfp", "n_shingles")
+    )
+    sh = barrier(
+        shingled_all.groupBy("cfp").agg(
+            F.min("doc").alias("doc"),
+            # any member's array — they are identical within the group
+            F.first("shingles").alias("shingles"),
+            F.first("n_shingles").alias("n_shingles"),
+        )
+    )
     cands = minhash_lsh_candidates(
         minhash_signatures_from_shingles(sh, num_hashes),
         num_hashes,
@@ -292,16 +326,56 @@ def minhash_near_duplicates(
         )
         .select("doc_a", "doc_b")
     )
-    a = sh.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    a = sh.select(
+        F.col("doc").alias("doc_a"),
+        F.col("cfp").alias("cfp_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("doc").alias("doc_b"),
+        F.col("cfp").alias("cfp_b"),
+        F.col("shingles").alias("sh_b"),
+    )
     joined = sized.join(a, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    rep_pairs = (
         joined.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("cfp_a", "cfp_b", "jaccard")
     )
+
+    # Expand representative pairs to member pairs (families differ, so
+    # member ids interleave → re-order with least/greatest).
+    ma = members.select(F.col("cfp").alias("cfp_a"), F.col("doc").alias("da"))
+    mb = members.select(F.col("cfp").alias("cfp_b"), F.col("doc").alias("db"))
+    cross = (
+        rep_pairs.join(ma, "cfp_a")
+        .join(mb, "cfp_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # Intra-family pairs: identical arrays ⇒ identical signatures ⇒ all
+    # bands collide ⇒ candidate; Jaccard = 1.0 exactly. Empty-shingle
+    # docs carry no signature (size > 0 filter) and so never pair —
+    # mirror that by excluding n_shingles = 0 families.
+    m1 = members.filter(F.col("n_shingles") > 0).select(
+        "cfp", F.col("doc").alias("doc_a")
+    )
+    m2 = members.filter(F.col("n_shingles") > 0).select(
+        "cfp", F.col("doc").alias("doc_b")
+    )
+    intra = (
+        m1.join(m2, "cfp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+    )
+    if threshold > 1.0:  # degenerate config: J = 1.0 wouldn't qualify
+        return cross
+    return cross.unionByName(intra)
 
 
 # --- near-dup grouping (connected components) -------------------------------
@@ -449,16 +523,27 @@ def simhash_near_duplicates(
     block_bits = bits // n_blocks
     mask = (1 << block_bits) - 1
     fp_col = f"simhash{bits}"
-    fps = barrier(simhash(df, id_col, text_col, bits))
+    # Identical-fingerprint collapse (same cascade as MinHash): candidacy
+    # and Hamming distance are pure functions of the fingerprint, so the
+    # block join runs over DISTINCT fingerprints; same-fp docs pair up
+    # directly at hamming 0 and cross-fp rep pairs expand to members.
+    # Output provably identical; the verify join shrinks from O(docs ×
+    # blocks) to O(distinct fps × blocks) rows.
+    all_fps = barrier(
+        simhash(df, id_col, text_col, bits).select(
+            F.col(id_col).alias("doc"), F.col(fp_col).alias("fp")
+        )
+    )
+    fps = all_fps.groupBy("fp").agg(F.min("doc").alias("doc"))
     blocks = fps.select(
-        F.col(id_col).alias("doc"),
-        F.col(fp_col).alias("fp"),
+        F.col("doc"),
+        F.col("fp"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("block_idx"),
-                        F.shiftright(fp_col, b * block_bits)
+                        F.shiftright("fp", b * block_bits)
                         .bitwiseAND(F.lit(mask))
                         .alias("block_val"),
                     )
@@ -473,15 +558,35 @@ def simhash_near_duplicates(
     b = blocks.select(
         "block_idx", "block_val", F.col("doc").alias("doc_b"), F.col("fp").alias("fp_b")
     )
-    return (
+    rep_pairs = (
         a.join(b, ["block_idx", "block_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .select("fp_a", "fp_b")
         .distinct()
         .withColumn(
             "hamming",
             F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
+    # Expand rep pairs to member pairs; ids interleave across fp groups.
+    ma = all_fps.select(F.col("fp").alias("fp_a"), F.col("doc").alias("da"))
+    mb = all_fps.select(F.col("fp").alias("fp_b"), F.col("doc").alias("db"))
+    cross = (
+        rep_pairs.join(ma, "fp_a")
+        .join(mb, "fp_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    # Same-fingerprint docs: every pair is hamming 0 (always ≤ max_hamming).
+    s1 = all_fps.select("fp", F.col("doc").alias("doc_a"))
+    s2 = all_fps.select("fp", F.col("doc").alias("doc_b"))
+    intra = (
+        s1.join(s2, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("long").alias("hamming"))
+    )
+    return cross.unionByName(intra)

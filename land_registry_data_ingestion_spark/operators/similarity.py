@@ -23,6 +23,7 @@ from land_registry_data_ingestion_spark.functions.vectors import (
     cosine_similarity,
     l2_norm,
 )
+from land_registry_data_ingestion_spark.util import barrier
 
 
 def brute_force_topk(
@@ -97,6 +98,69 @@ def cosine_pairs(
     )
 
 
+def _collapse_identical_vectors(
+    df: DataFrame, id_col: str, vec_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup-cascade front half: group rows by IDENTICAL embedding array
+    (exact float equality — replicas/re-crawls are bit-identical copies).
+
+    Every cosine-pair operator downstream is a pure function of the
+    vector, so an m-way duplicate family contributes m·(candidates,
+    verifies) of redundant work and C(m,2) trivial pairs; collapsing to
+    one representative first makes the quadratic stages run on distinct
+    vectors only. Returns ``(rep_df, members)``: ``rep_df`` has the
+    operator's (id, vec) schema with the min member id as representative
+    id; ``members`` maps ``gid → member id`` and carries a ``nonzero``
+    flag (zero vectors have NaN cosine and never pair — expansion must
+    mirror that).
+    """
+    members_raw = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    reps = barrier(members_raw.groupBy("vec").agg(F.min("id").alias("gid")))
+    members = barrier(
+        members_raw.join(reps, "vec").select(
+            "gid",
+            "id",
+            F.exists("vec", lambda x: x != 0.0).alias("nonzero"),
+        )
+    )
+    rep_df = reps.select(F.col("gid").alias(id_col), F.col("vec").alias(vec_col))
+    return rep_df, members
+
+
+def _expand_identical_pairs(
+    rep_pairs: DataFrame, members: DataFrame, threshold: float
+) -> DataFrame:
+    """Dedup-cascade back half: representative pairs → member pairs.
+
+    Cross-family rep pairs expand to the member cross product (same
+    cosine — the vectors are identical); intra-family pairs are emitted
+    directly at cosine 1.0 (what the verify kernel computes for identical
+    non-zero vectors after round-6). Output provably equals running the
+    pair operator over all rows."""
+    ma = members.select(F.col("gid").alias("id_a"), F.col("id").alias("da"))
+    mb = members.select(F.col("gid").alias("id_b"), F.col("id").alias("db"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("da", "db").alias("id_a"),
+            F.greatest("da", "db").alias("id_b"),
+            "cosine",
+        )
+    )
+    if threshold > 1.0:  # degenerate config: cosine 1.0 wouldn't qualify
+        return cross
+    nz = members.filter(F.col("nonzero"))
+    i1 = nz.select("gid", F.col("id").alias("id_a"))
+    i2 = nz.select("gid", F.col("id").alias("id_b"))
+    intra = (
+        i1.join(i2, "gid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("cosine"))
+    )
+    return cross.unionByName(intra)
+
+
 def blocked_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -125,7 +189,10 @@ def blocked_cosine_pairs(
     (threshold ≥ 0.8) prefer :func:`lsh_bucketed_pairs`, whose candidate
     set is sub-quadratic.
     """
-    base = df.select(
+    # Identical-vector collapse: the O(n²/blocks²) per-task compute runs
+    # over distinct vectors only; duplicate families re-expand at the end.
+    rep_df, members = _collapse_identical_vectors(df, id_col, vec_col)
+    base = rep_df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     ).withColumn(
         "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
@@ -212,7 +279,8 @@ def blocked_cosine_pairs(
             }
         )
 
-    return rep.groupBy("gi", "gj").applyInPandas(kernel, out_schema)
+    rep_pairs = rep.groupBy("gi", "gj").applyInPandas(kernel, out_schema)
+    return _expand_identical_pairs(rep_pairs, members, threshold)
 
 
 def _hyperplane(dim: int, table: int, plane: int) -> list[float]:
@@ -313,12 +381,16 @@ def lsh_bucketed_pairs(
     """Approximate cosine-threshold pairs: candidates collide in ≥1 LSH
     table, then exact cosine verifies. Shuffle O(n·tables); bucket keys
     come from the Arrow-vectorized kernel (one matmul per batch)."""
+    # Identical-vector collapse first (bucket keys, candidacy and cosine
+    # are pure functions of the vector) — the within-bucket quadratic
+    # candidate term runs over distinct vectors only.
+    rep_df, members = _collapse_identical_vectors(df, id_col, vec_col)
     # Bucket join + distinct over IDS ONLY — candidates are the volume
     # term (within-bucket quadratic), so the dedup shuffle must carry two
     # longs per pair, not two d-dim vectors; vectors re-attach afterwards
     # with two joins against the (much smaller) corpus.
     keyed = lsh_bucket_keys_vectorized(
-        df, dim, id_col, vec_col, n_tables, n_planes
+        rep_df, dim, id_col, vec_col, n_tables, n_planes
     ).select("id", F.posexplode("keys").alias("tbl", "bkt"))
     a = keyed.select("tbl", "bkt", F.col("id").alias("id_a"))
     b = keyed.select("tbl", "bkt", F.col("id").alias("id_b"))
@@ -328,14 +400,15 @@ def lsh_bucketed_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    va = rep_df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = rep_df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     pairs = cands.join(va, "id_a").join(vb, "id_b")
-    return (
+    rep_pairs = (
         cosine_score_pairs_vectorized(pairs, "vec_a", "vec_b")
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    return _expand_identical_pairs(rep_pairs, members, threshold)
 
 
 # --- IVF (inverted-file) ANN ------------------------------------------------
