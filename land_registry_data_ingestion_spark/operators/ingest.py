@@ -137,6 +137,20 @@ class IngestStore:
         writer.parquet(location)
         return int(obs.get["n_rows"])
 
+    # -- merge hooks (overridden by ManifestStore for incremental writes) --
+
+    def current_for_merge(self, updates: DataFrame, key_col: str):
+        """State to feed ``cdc_merge`` plus opaque carry-over info.
+
+        The base store merges against the FULL current state and carries
+        nothing; :class:`~..operators.state.ManifestStore` restricts to the
+        partitions the batch can touch and carries the rest by reference."""
+        return self.current_state(), None
+
+    def write_merged(self, new_state: DataFrame, location: str, carry) -> int:
+        """Persist a merged state; returns the total row count."""
+        return self.write_state(new_state, location)
+
 
 def sha256_of_file(path: str, chunk: int = 1 << 20) -> str:
     """F1: content hash of a staged file (driver-side, streamed — the file
@@ -257,7 +271,7 @@ def ingest_monthly_update(
 
     updates = read_price_paid_csv(store.spark, csv_path, n_columns=n_columns)
     _assert_unique(updates, "transaction_unique_id", "monthly update batch")
-    current = store.current_state()
+    current, carry = store.current_for_merge(updates, "transaction_unique_id")
     if validate_current:
         _assert_unique(current, "transaction_unique_id", "current state")
     value_cols = [
@@ -295,7 +309,7 @@ def ingest_monthly_update(
             f"RuntimeError, database_updater.py:1011-1013)"
         )
     location = store.state_path(sha)
-    row_count = store.write_state(result.new_state, location)
+    row_count = store.write_merged(result.new_state, location, carry)
     store.spark.createDataFrame(stats_rows, merge_outcome_stats(result.outcomes).schema).withColumn(
         "run_id", F.lit(run_id)
     ).coalesce(1).write.mode("append").parquet(

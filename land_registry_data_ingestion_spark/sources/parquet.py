@@ -68,10 +68,24 @@ class Tables:
                     df = df.withColumn(
                         "ts", F.timestamp_micros(F.expr("ts div 1000"))
                     )
-                self._cache[name] = df
+                self._cache[name] = self._normalize_ntz(df)
             else:
-                self._cache[name] = self.spark.read.parquet(path)
+                self._cache[name] = self._normalize_ntz(
+                    self.spark.read.parquet(path)
+                )
         return self._cache[name]
+
+    @staticmethod
+    def _normalize_ntz(df: DataFrame) -> DataFrame:
+        # Parquet TIMESTAMP(isAdjustedToUTC=false) arrives as
+        # TIMESTAMP_NTZ, which functions like unix_micros reject. With the
+        # session timezone pinned UTC (above) the cast to the regular
+        # timestamp type is value-preserving, and every query sees ONE
+        # timestamp type regardless of how a given sf_dir was written.
+        ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+        for c in ntz:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        return df
 
     def register_views(self) -> None:
         """Register every table as a temp view for ``spark.sql`` access."""
