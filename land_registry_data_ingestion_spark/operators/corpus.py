@@ -1,0 +1,293 @@
+"""Corpus-level curation operators for a training-data pipeline.
+
+Beyond per-document scoring (textops.py) and near-dup mining (dedup.py),
+a pretraining pipeline needs corpus-wide passes: benchmark
+decontamination, cross-document segment dedup (the C4 "remove repeated
+three-sentence spans" rule), deterministic stratified sampling for data
+mixing, and sequence packing (concat-then-chunk) that turns documents
+into fixed-budget training sequences.
+
+Every operator here is expressed as declarative DataFrame ops — the 100 TB
+shapes are one-or-two-shuffle plans with the text column pruned as early
+as possible, and the small side (benchmark shingle set, per-term document
+frequencies) broadcast so the corpus itself never moves for a lookup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from land_registry_data_ingestion_spark.functions.text import (
+    normalize_text,
+    token_count,
+    tokens,
+    word_shingles,
+)
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: count, per corpus document, the distinct
+    word ``k``-gram shingles it shares with the benchmark set.
+
+    The shape that survives 100 TB: the benchmark side (eval suites are
+    MB-scale) collapses to a DISTINCT shingle set and is **broadcast**, so
+    the corpus text is shingled in place — map-side hash-join, no shuffle
+    of the corpus — and the only shuffle is the per-document hit count
+    (map-side combinable, two longs per row). Real pipelines use k=8..13
+    grams; k is a parameter, the test corpus is tiny word-soup so the
+    declared query uses k=3 for signal.
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+        )
+        .distinct()
+    )
+    doc_sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bench_shingles"))
+    )
+    n = F.coalesce(F.col("n_bench_shingles"), F.lit(0).cast("long"))
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            n.alias("n_bench_shingles"),
+            (n > 0).alias("is_contaminated"),
+        )
+    )
+
+
+def _segments(text: Column, seg_len: int) -> Column:
+    """Fixed-length word segments of the normalized text (the last one may
+    be short). Built from slices of ONE tokenization — no per-segment
+    re-split."""
+    toks = tokens(normalize_text(text))
+    n = F.size(toks)
+    n_seg = F.ceil(n / F.lit(float(seg_len))).cast("int")
+    return F.when(
+        normalize_text(text) == "", F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_seg),
+            lambda i: F.array_join(
+                F.slice(toks, (i - 1) * seg_len + 1, seg_len), " "
+            ),
+        )
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_len: int = 10,
+) -> DataFrame:
+    """Cross-document segment dedup (C4-style): of every repeated
+    ``seg_len``-word segment, keep exactly ONE occurrence corpus-wide —
+    the one in the smallest (doc, position) — and rebuild each document
+    from its surviving segments.
+
+    Two shuffles, both of (ids + one segment string), never whole
+    documents: (1) a window keyed on the segment picks the canonical
+    occurrence; (2) a group-by on the document id reassembles the text in
+    position order. A globally hot segment (boilerplate) makes one heavy
+    window partition; its size is bounded by the number of documents
+    containing it, and AQE skew-split handles the straggler — the
+    row_number needs a total order per segment so it cannot be salted
+    without a second pass.
+    """
+    seg_rows = df.select(
+        F.col(id_col),
+        F.posexplode(_segments(F.col(text_col), seg_len)).alias("pos", "seg"),
+    )
+    w = Window.partitionBy("seg").orderBy(id_col, "pos")
+    ranked = seg_rows.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, F.struct("pos", "seg"))
+    return ranked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)), lambda x: x["seg"]),
+            " ",
+        ).alias("clean_text"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped_segments"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_per_mille: dict[str, int],
+    default_per_mille: int,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic stratified sampling for data mixing: keep a row iff
+    ``md5_hash(salt|id) % 1000 < rate[stratum]``.
+
+    Unlike ``df.sample``/``rand()`` the decision is a pure function of the
+    row id — re-runs, retries and multi-engine replays (the DuckDB oracle)
+    select the SAME rows, and changing one stratum's rate does not
+    reshuffle another's sample. Pure map stage: no shuffle, no state.
+    """
+    from land_registry_data_ingestion_spark.operators.dedup import _md5_hash64
+
+    rate = None
+    for stratum, r in sorted(rates_per_mille.items()):
+        cond = F.col(strat_col) == stratum
+        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
+    rate = (
+        rate.otherwise(default_per_mille)
+        if rate is not None
+        else F.lit(default_per_mille)
+    )
+    bucket = _md5_hash64(F.col(id_col).cast("string"), salt) % 1000
+    return df.filter(bucket < rate)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    part_col: str = "source",
+    order_col: str = "doc_id",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing, concat-then-chunk (GPT-style): within each shard
+    (``part_col``), documents are laid end-to-end in ``order_col`` order
+    and the token stream is cut every ``budget`` tokens; each document
+    reports the training sequence its first token lands in and the offset
+    within it.
+
+    One window per shard — embarrassingly parallel across shards, which is
+    exactly how packing runs at scale (a global order would serialize the
+    corpus through one task). The running sum shuffles only
+    (shard, order, n_tokens) — the text never moves.
+    """
+    n = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_n = df.select(F.col(part_col), F.col(id_col), n.alias("n_tokens"))
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return with_n.select(
+        part_col,
+        id_col,
+        "n_tokens",
+        F.floor(start / budget).alias("seq_id"),
+        (start % budget).cast("long").alias("seq_offset"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-``top_k`` TF-IDF terms per document (keyword extraction).
+
+    tf = term count in the document; idf = ln(N / df_term) over the
+    corpus. Shuffle ledger: one explode→agg keyed (doc, term); the per-term
+    document frequencies and the corpus size are tiny aggregates
+    **broadcast** back (the corpus-term frame never re-shuffles for the
+    lookup); one window keyed on the document ranks its own terms.
+    Ordering ties break on the rounded score then the term, so the top-k
+    set is deterministic across engines.
+    """
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(tokens(normalize_text(F.col(text_col)))).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")), 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """BM25 ranking of the corpus against a bag of query terms.
+
+    Okapi BM25 with the +1 idf smoothing:
+    ``idf = ln((N - df + 0.5) / (df + 0.5) + 1)``,
+    ``score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``.
+
+    The corpus-wide statistics (document frequencies for the handful of
+    query terms, N, avgdl) are one tiny aggregate broadcast everywhere;
+    per-document term frequencies come from one explode→filter→agg pass in
+    which non-query terms are dropped BEFORE the shuffle — at 100 TB the
+    shuffled volume is O(matching docs × |terms|), not O(tokens). Top-n is
+    a TakeOrderedAndProject (per-partition heaps, no global sort).
+    """
+    term_arr = F.array(*[F.lit(t) for t in sorted(terms)])
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(normalize_text(F.col(text_col)))).alias("term")
+    ).filter(F.array_contains(term_arr, F.col("term")))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(token_count(F.col(text_col))).alias("avgdl"),
+    )
+    dl = df.select(F.col(id_col), token_count(F.col(text_col)).alias("dl"))
+    idf = F.log((F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0)
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .join(dl, id_col)
+        .withColumn(
+            "contrib",
+            idf
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    scored = per_term.groupBy(id_col).agg(
+        F.round(F.sum("contrib"), 6).alias("bm25")
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    return (
+        scored.orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(top_n)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )

@@ -743,3 +743,43 @@ def normalize_vectors(
     vec = F.col(vec_col).cast("array<double>")
     norm = l2_norm(F.col(vec_col))
     return df.withColumn(out_col, F.transform(vec, lambda x: x / norm))
+
+
+def knn_classify(
+    corpus: DataFrame,
+    probes: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """k-NN label prediction: majority label of the top-``k`` cosine
+    neighbors from the labeled corpus; ties break on the smaller label.
+
+    The corpus never shuffles for the search (probes broadcast, exact
+    top-k — swap in ``ivf_topk`` for the ANN path at scale); the vote is
+    an aggregate over the tiny (probes × k) neighbor frame, which is then
+    broadcast into the label lookup so the labeled corpus doesn't shuffle
+    for the join either.
+    """
+    tk = brute_force_topk(corpus, probes, id_col=id_col, vec_col=vec_col, k=k)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col)
+    )
+    votes = (
+        labels.join(F.broadcast(tk), "neighbor_id")
+        .groupBy("query_id", label_col)
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc(label_col)
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("query_id").alias(id_col),
+            F.col(label_col).alias("predicted_label"),
+            "n_votes",
+        )
+    )

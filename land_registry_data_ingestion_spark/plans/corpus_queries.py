@@ -1,0 +1,247 @@
+"""Corpus-curation queries over ``documents`` (scale-out §8): benchmark
+decontamination, cross-document segment dedup, stratified sampling,
+sequence packing, TF-IDF keyword extraction, and BM25 search.
+
+Oracle parity notes: both engines tokenize the same normalized text, rank
+on ROUNDED scores (ties broken by term / id), and emit BIGINT counts, so
+the driver's value hash compares bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from land_registry_data_ingestion_spark.operators.corpus import (
+    bm25_search,
+    decontaminate,
+    pack_sequences,
+    segment_dedup,
+    stratified_sample,
+    tfidf_top_terms,
+)
+from land_registry_data_ingestion_spark.plans.registry import query
+from land_registry_data_ingestion_spark.sources.parquet import load_tables
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split_regex({_NORM}, '\\s+')"
+_NTOK_RAW = (
+    "CAST(CASE WHEN trim(text) = '' THEN 0"
+    " ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)"
+)
+
+# Word-3-gram shingles (mirrors functions/text.py::word_shingles).
+_SHINGLES = f"""
+    SELECT doc_id,
+           CASE WHEN len(w) >= 3
+                THEN list_distinct(list_transform(
+                    generate_series(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                ELSE []::VARCHAR[] END AS shingles
+    FROM (SELECT doc_id, {_TOKS} AS w FROM documents)
+"""
+
+# Every 17th document stands in for the held-out eval benchmark.
+_BENCH_PRED = "doc_id % 17 = 0"
+
+
+@query(
+    "text_decontaminate",
+    sql=f"""
+    WITH sh AS ({_SHINGLES}),
+    bench AS (
+        SELECT DISTINCT unnest(shingles) AS shingle
+        FROM sh WHERE {_BENCH_PRED}
+    ),
+    hits AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_shingles
+        FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh) d
+        JOIN bench USING (shingle)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_bench_shingles, 0) AS n_bench_shingles,
+           COALESCE(h.n_bench_shingles, 0) > 0 AS is_contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-document count of distinct word
+    3-gram shingles shared with the benchmark subset (doc_id % 17 = 0).
+    Benchmark shingle set broadcast; corpus never shuffles for the probe."""
+    t = load_tables(spark, sf_dir)
+    bench = t.documents.filter(F.col("doc_id") % 17 == 0)
+    return decontaminate(t.documents, bench, k=3)
+
+
+@query(
+    "text_segment_dedup",
+    sql=f"""
+    WITH segs AS (
+        SELECT doc_id,
+               CASE WHEN norm = '' THEN []::VARCHAR[]
+                    ELSE list_transform(
+                        generate_series(1, CAST(ceil(len(w) / 10.0) AS INT)),
+                        i -> array_to_string(w[(i-1)*10+1 : i*10], ' '))
+               END AS segments
+        FROM (SELECT doc_id, {_NORM} AS norm, {_TOKS} AS w FROM documents)
+    ),
+    seg_rows AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(segments))) - 1 AS pos,
+               unnest(segments) AS seg
+        FROM segs
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY seg ORDER BY doc_id, pos
+        ) AS rn
+        FROM seg_rows
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
+                    '') AS clean_text,
+           CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT)
+               AS n_dropped_segments
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document segment dedup: every repeated 10-word
+    segment survives only at its smallest (doc, position); documents are
+    rebuilt from their surviving segments."""
+    t = load_tables(spark, sf_dir)
+    return segment_dedup(t.documents, seg_len=10)
+
+
+_SAMPLE_BUCKET = (
+    "('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    " % 1000"
+)
+
+
+@query(
+    "text_stratified_sample",
+    sql=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_SAMPLE_BUCKET} < CASE lang
+        WHEN 'en' THEN 300 WHEN 'zh' THEN 800 ELSE 600 END
+    """,
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for data mixing: downsample
+    over-represented strata (en → 30%) and keep more of the rare ones
+    (zh → 80%, default 60%) — decisions are a pure hash of the doc id, so
+    replays and other engines select identical rows. Pure map, no
+    shuffle."""
+    t = load_tables(spark, sf_dir)
+    sampled = stratified_sample(
+        t.documents, {"en": 300, "zh": 800}, default_per_mille=600
+    )
+    return sampled.select("doc_id", "lang", "source")
+
+
+@query(
+    "text_pack_sequences",
+    sql=f"""
+    SELECT source, doc_id, n_tokens,
+           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % 512 AS BIGINT) AS seq_offset
+    FROM (
+        SELECT source, doc_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM (SELECT source, doc_id, {_NTOK_RAW} AS n_tokens FROM documents)
+    )
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk): per source shard, documents
+    are laid end-to-end in doc_id order and cut every 512 tokens; each doc
+    reports its training-sequence id and offset. One window per shard —
+    embarrassingly parallel, text column never shuffles."""
+    t = load_tables(spark, sf_dir)
+    return pack_sequences(t.documents, budget=512)
+
+
+@query(
+    "text_tfidf_topterms",
+    sql=f"""
+    WITH tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               ROUND(tf.tf * ln(n.n_docs / df_t), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (keyword extraction). Per-term
+    document frequencies and the corpus size are broadcast; the only big
+    shuffles are the (doc, term) count and the per-doc ranking window."""
+    t = load_tables(spark, sf_dir)
+    return tfidf_top_terms(t.documents, top_k=3)
+
+
+_BM25_TERMS = ["merge", "spark", "window"]
+
+
+@query(
+    "text_bm25_search",
+    sql=f"""
+    WITH tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+        WHERE term IN ('merge', 'spark', 'window')
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY term
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               AVG({_NTOK_RAW}) AS avgdl
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, {_NTOK_RAW} AS dl FROM documents),
+    scored AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        JOIN dl ON tf.doc_id = dl.doc_id
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25, CAST(ROW_NUMBER() OVER (
+        ORDER BY bm25 DESC, doc_id
+    ) AS BIGINT) AS rank
+    FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the query bag {merge, spark, window} (k1=1.2,
+    b=0.75, +1-smoothed idf). Non-query terms are dropped before any
+    shuffle; corpus stats broadcast; top-n via per-partition heaps."""
+    t = load_tables(spark, sf_dir)
+    return bm25_search(t.documents, _BM25_TERMS, top_n=20)

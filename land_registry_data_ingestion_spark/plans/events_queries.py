@@ -182,3 +182,110 @@ def evt_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("ts") - F.unix_micros("ts_right")).alias("gap_us"),
         F.round("view_value", 6).alias("view_value"),
     )
+
+
+@query(
+    "evt_funnel",
+    sql="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+)
+def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: a user advances a stage
+    only with an event at-or-after their entry into the previous stage.
+
+    Each stage is one aggregate keyed on user_id joined to the (shrinking)
+    survivor set of the previous stage — all three shuffles carry only
+    (user_id, ts); at scale the survivor frames are far smaller than the
+    event log and broadcast-join into the next stage's filter."""
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return _stage(v, "1_view").unionAll(_stage(c, "2_click")).unionAll(
+        _stage(p, "3_purchase")
+    )
+
+
+@query(
+    "evt_retention",
+    sql="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN first_seen f ON a.user_id = f.user_id
+    WHERE date_diff('day', f.cohort_day, a.day) <= 13
+    GROUP BY 1, 2
+    """,
+)
+def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    on each subsequent active day (offset ≤ 13). Two aggregates and one
+    join, all keyed on user_id — one shuffle partitioning reused; the
+    (cohort, offset) re-key aggregates an already-distinct tiny frame."""
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    offset = F.datediff("day", "cohort_day").cast("long")
+    return (
+        active.join(first_seen, "user_id")
+        .withColumn("day_offset", offset)
+        .filter(F.col("day_offset") <= 13)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )

@@ -86,6 +86,7 @@ def _load_all() -> None:
         similarity_queries,
         events_queries,
         multimodal_queries,
+        corpus_queries,
     )
 
     _LOADED = True

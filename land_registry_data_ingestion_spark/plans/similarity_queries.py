@@ -198,3 +198,45 @@ def sim_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a subset of the exact answer with useful recall."""
     t = load_tables(spark, sf_dir)
     return lsh_bucketed_pairs(t.embeddings, dim=_DIM, threshold=0.4)
+
+
+@query(
+    "sim_knn_classify",
+    sql=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+               {_cos_sql('q.embedding', 'c.embedding')} AS cosine
+        FROM embeddings q JOIN embeddings c ON c.vec_id % 23 != 0
+        WHERE q.vec_id % 23 = 0
+    ),
+    topk AS (
+        SELECT query_id, label FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+            ) AS rn FROM scored
+        ) WHERE rn <= 5
+    ),
+    votes AS (
+        SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+        FROM topk GROUP BY query_id, label
+    )
+    SELECT query_id AS vec_id, label AS predicted_label, n_votes FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY n_votes DESC, label
+        ) AS rn FROM votes
+    ) WHERE rn = 1
+    """,
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction (k=5) for probe vectors (vec_id % 23 = 0)
+    against the labeled remainder: majority label of the top-5 cosine
+    neighbors, ties to the smaller label. Probes broadcast over the
+    corpus; the vote is an aggregate of the tiny neighbor frame."""
+    from land_registry_data_ingestion_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probes = t.embeddings.filter(F.col("vec_id") % 23 == 0)
+    corpus = t.embeddings.filter(F.col("vec_id") % 23 != 0)
+    return knn_classify(corpus, probes, k=5)
