@@ -61,6 +61,11 @@ HEADLINE = [
     "evt_asof_join",
     "dedup_embedding_cosine",
     "text_redact_pii",
+    "text_decontaminate",
+    "text_segment_dedup",
+    "text_bm25_search",
+    "dedup_semantic",
+    "evt_funnel",
 ]
 
 
@@ -97,6 +102,9 @@ SCALE_QUERIES = [
     "sim_lsh_ann_pairs",
     "evt_asof_join",
     "dedup_embedding_cosine",
+    "text_decontaminate",
+    "text_segment_dedup",
+    "dedup_semantic",
 ]
 
 
@@ -115,8 +123,12 @@ def build_scale_dir(spark, sf_dir: str) -> tuple[str, float, dict[str, int]]:
     spec_tag = "_".join(
         f"{name}{factor}" for name, (_, factor) in sorted(SCALE_SPEC.items())
     )
+    # The source sf_dir is part of the cache key: without it, a scale dir
+    # replicated from sf0.001 would silently serve a later sf0.1 run.
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
     out_dir = os.path.join(
-        os.environ.get("TMPDIR", "/tmp"), f"lrdi_bench_scale_{spec_tag}"
+        os.environ.get("TMPDIR", "/tmp"),
+        f"lrdi_bench_scale_{sf_tag}_{spec_tag}",
     )
     marker = os.path.join(out_dir, "_DONE")
     rows: dict[str, int] = {}
@@ -175,12 +187,22 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     REGISTRY["agg_scalar_max"].fn(spark, sf_dir).collect()
 
+    # Two runs per query, report the min: at sf0.1 the first execution of
+    # an expression-heavy plan is dominated by one-time JIT/codegen
+    # compilation (measured: dedup_simhash 7.9 s cold vs 2.6 s warm, same
+    # plan), which says nothing about engine throughput. min-of-2 reports
+    # the steady-state cost the cluster would pay; the scale section below
+    # is the data-dominated complement.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
-        start = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = None
+        for _ in range(2):
+            start = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = time.perf_counter() - start
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
 
     scale: dict | None = None
     if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
@@ -203,6 +225,8 @@ def main() -> None:
         "metric": "headline_queries_total_wall_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "runs_per_query": 2,
+        "agg": "min",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -783,3 +783,72 @@ def knn_classify(
             "n_votes",
         )
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space, then drop any vector whose cosine to a LOWER-id
+    vector in the SAME cluster reaches the threshold — near-duplicate
+    meaning, not near-duplicate text.
+
+    The cluster scoping is what scales: pair search runs inside clusters
+    only, so the quadratic term is per-cluster, never corpus-wide, and the
+    cluster count grows with the corpus (√n rule) to bound cluster size.
+    The assignment is a map-only Arrow kernel (centroids broadcast by
+    closure); the within-cluster self-join is a plain hash join on
+    ``centroid_id`` whose pair frame carries only ids before vectors
+    re-attach for the vectorized cosine verify.
+
+    Deterministic and oracle-replayable: seeded centroids (smallest ids),
+    ties to the smaller centroid, drop rule keyed on id order.
+
+    Identical-vector collapse (the dedup-cascade) runs first: cosine and
+    cluster assignment are pure functions of the vector, so an m-way
+    exact-duplicate family joins the quadratic stage once, not m times.
+    The member-level answer is reconstructed exactly: a non-representative
+    member always has its (lower-id, cosine-1.0, same-cluster) rep, so it
+    is a duplicate by the rule; the rep itself is a duplicate iff a
+    lower-id rep in its cluster reaches the threshold — and "lower-id
+    rep" ⟺ "lower-id member of another family", because reps are family
+    minima. (Zero vectors have NaN cosines and never qualify; the
+    ``nonzero`` flag mirrors that for intra-family drops.)
+    """
+    assert threshold <= 1.0, "intra-family expansion assumes cos 1.0 passes"
+    rep_df, members = _collapse_identical_vectors(
+        corpus.select(id_col, vec_col), id_col, vec_col
+    )
+    # Seeds come from the RAW corpus (smallest ids overall, duplicates and
+    # all) so a second engine replays the identical quantizer.
+    cents = seed_centroids(corpus, id_col, vec_col, n_clusters)
+    assigned = ivf_assign_vectorized(rep_df, cents, id_col, vec_col)
+    a = assigned.select(
+        "centroid_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = assigned.select(
+        "centroid_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    pairs = a.join(b, "centroid_id").filter(F.col("id_a") < F.col("id_b"))
+    rep_dropped = (
+        cosine_score_pairs_vectorized(pairs, "vec_a", "vec_b")
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias("gid"))
+        .distinct()
+        .withColumn("_rep_dropped", F.lit(True))
+    )
+    mem = members.join(
+        assigned.select(F.col(id_col).alias("gid"), "centroid_id"), "gid"
+    )
+    dup = ((F.col("id") != F.col("gid")) & F.col("nonzero")) | F.coalesce(
+        F.col("_rep_dropped"), F.lit(False)
+    )
+    return mem.join(rep_dropped, "gid", "left").select(
+        F.col("id").alias(id_col),
+        "centroid_id",
+        dup.alias("is_duplicate"),
+    )

@@ -289,3 +289,39 @@ def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
     )
+
+
+@query(
+    "evt_anomaly_zscore",
+    sql="""
+    WITH stats AS (
+        SELECT event_type, AVG(value) AS mu, STDDEV(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs((e.value - s.mu) / s.sigma) > 3
+    """,
+)
+def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier detection: events whose value is >3 sample standard
+    deviations from their type's mean. Per-type stats are one tiny
+    aggregate broadcast into a map-side filter — the event log itself
+    never shuffles (a window over event_type would funnel the whole log
+    through a handful of partitions)."""
+    t = load_tables(spark, sf_dir)
+    stats = t.events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        t.events.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 4).alias("zscore"),
+        )
+    )

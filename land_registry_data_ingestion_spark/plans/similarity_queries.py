@@ -240,3 +240,45 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = t.embeddings.filter(F.col("vec_id") % 23 == 0)
     corpus = t.embeddings.filter(F.col("vec_id") % 23 != 0)
     return knn_classify(corpus, probes, k=5)
+
+
+@query(
+    "dedup_semantic",
+    sql=f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    assign AS (
+        SELECT vec_id, embedding, cid AS centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assign a JOIN assign b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.4
+    )
+    SELECT a.vec_id, a.centroid_id,
+           (d.vec_id IS NOT NULL) AS is_duplicate
+    FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster the embedding space (Arrow
+    map-only assignment, deterministic seeded centroids), then mark any
+    vector with cosine ≥ 0.4 to a lower-id vector in the SAME cluster as
+    a semantic duplicate. Cluster scoping keeps the quadratic term
+    per-cluster — the corpus-wide pair space is never enumerated."""
+    from land_registry_data_ingestion_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return semantic_dedup(t.embeddings, n_clusters=16, threshold=0.4)
