@@ -25,6 +25,7 @@ from land_registry_data_ingestion_spark.functions.text import (
     tokens,
     word_shingles,
 )
+from land_registry_data_ingestion_spark.util import barrier, spread
 
 
 def decontaminate(
@@ -45,15 +46,24 @@ def decontaminate(
     grams; k is a parameter, the test corpus is tiny word-soup so the
     declared query uses k=3 for signal.
     """
+    # barrier() before every explode of a HOF-built array: Generate
+    # re-evaluates an inlined child expression per OUTPUT row (~#shingles
+    # × the tokenizer) — measured 23 s vs 5 s at the 100k-doc probe.
+    # spread() keeps the CPU-bound shingling off a single input split.
     bench_sh = (
-        benchmark.select(
-            F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+        barrier(
+            spread(benchmark).select(
+                word_shingles(F.col(text_col), k).alias("shingles")
+            )
         )
+        .select(F.explode("shingles").alias("shingle"))
         .distinct()
     )
-    doc_sh = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
-    )
+    doc_sh = barrier(
+        spread(df).select(
+            F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles")
+        )
+    ).select(id_col, F.explode("shingles").alias("shingle"))
     hits = (
         doc_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy(id_col)
@@ -110,10 +120,11 @@ def segment_dedup(
     row_number needs a total order per segment so it cannot be salted
     without a second pass.
     """
-    seg_rows = df.select(
-        F.col(id_col),
-        F.posexplode(_segments(F.col(text_col), seg_len)).alias("pos", "seg"),
-    )
+    seg_rows = barrier(
+        spread(df).select(
+            F.col(id_col), _segments(F.col(text_col), seg_len).alias("segments")
+        )
+    ).select(id_col, F.posexplode("segments").alias("pos", "seg"))
     w = Window.partitionBy("seg").orderBy(id_col, "pos")
     ranked = seg_rows.withColumn("rn", F.row_number().over(w))
     kept = F.when(F.col("rn") == 1, F.struct("pos", "seg"))
@@ -209,9 +220,14 @@ def tfidf_top_terms(
     Ordering ties break on the rounded score then the term, so the top-k
     set is deterministic across engines.
     """
-    tf = (
-        df.select(
-            F.col(id_col), F.explode(tokens(normalize_text(F.col(text_col)))).alias("term")
+    # tf is consumed twice (scores + document frequencies) — barrier it so
+    # the explode/aggregate pass runs once; spread() parallelizes the
+    # tokenizer over single-split inputs.
+    tf = barrier(
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
         )
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -257,10 +273,16 @@ def bm25_search(
     a TakeOrderedAndProject (per-partition heaps, no global sort).
     """
     term_arr = F.array(*[F.lit(t) for t in sorted(terms)])
-    tok = df.select(
-        F.col(id_col), F.explode(tokens(normalize_text(F.col(text_col)))).alias("term")
-    ).filter(F.array_contains(term_arr, F.col("term")))
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tok = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.array_contains(term_arr, F.col("term")))
+    )
+    # consumed twice (per-doc tf and per-term df) — one pass via barrier
+    tf = barrier(tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     stats = df.agg(
         F.count(F.lit(1)).alias("n_docs"),
