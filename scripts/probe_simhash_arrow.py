@@ -66,7 +66,9 @@ def simhash_arrow(
                 fps[i] = int((bits_set << shifts).sum())
             yield pd.DataFrame({id_col: ids, f"simhash{bits}": fps})
 
-    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+    from land_registry_data_ingestion_spark.util import spread
+
+    return spread(df.select(id_col, text_col)).mapInPandas(kernel, out_schema)
 
 
 def main() -> None:
