@@ -141,7 +141,12 @@ def build_scale_dir(spark, sf_dir: str) -> tuple[str, float, dict[str, int]]:
             scaled = src.crossJoin(reps).withColumn(
                 key, F.col(key) * KEY_STRIDE + F.col("_rep")
             ).drop("_rep")
-            scaled.write.mode("overwrite").parquet(
+            # One file per core: a single-file table reads as ONE split
+            # (these stay under one row group), serializing every
+            # CPU-bound map stage — real-scale inputs have thousands of
+            # splits, so the bench layout should parallelize too.
+            n_files = int(spark.sparkContext.defaultParallelism)
+            scaled.repartition(n_files).write.mode("overwrite").parquet(
                 os.path.join(out_dir, f"{name}.parquet")
             )
         with open(marker, "w") as f:

@@ -42,9 +42,13 @@ def exact_dedup_groups(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> DataFrame:
     """Group rows by normalized-content fingerprint: one row per distinct
-    content with the canonical (min) id and the duplicate count."""
+    content with the canonical (min) id and the duplicate count.
+
+    spread(): the md5-of-normalized-text map is CPU-bound; a small-file
+    input (single split) would serialize it — no-op at real scale."""
     return (
-        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("doc_fingerprint"))
+        spread(df)
+        .select(F.col(id_col), fingerprint(F.col(text_col)).alias("doc_fingerprint"))
         .groupBy("doc_fingerprint")
         .agg(
             F.min(id_col).alias("canonical_id"),

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from land_registry_data_ingestion_spark.util import spread
 from land_registry_data_ingestion_spark.functions.text import (
     fingerprint,
     normalize_text,
@@ -39,9 +40,9 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
         bpe_ish_token_count,
     )
 
-    return df.withColumn("n_tokens", token_count(F.col(text_col))).withColumn(
-        "n_bpe_tokens", bpe_ish_token_count(F.col(text_col))
-    )
+    return spread(df).withColumn(
+        "n_tokens", token_count(F.col(text_col))
+    ).withColumn("n_bpe_tokens", bpe_ish_token_count(F.col(text_col)))
 
 
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -57,7 +58,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     the producer expressions are non-cheap and multiply-referenced.
     """
     text = F.col(text_col)
-    base = df.select(
+    base = spread(df).select(
         "*",
         token_count(text).alias("n_tokens"),
         F.length(text).cast("long").alias("n_chars_measured"),
@@ -133,7 +134,7 @@ def with_language_id(
     # token_set_hits keeps the whole stage in codegen.)
     text = F.col(text_col)
     langs = sorted(LANG_STOPWORDS)
-    normed = df.select("*", normalize_text(text).alias("_norm"))
+    normed = spread(df).select("*", normalize_text(text).alias("_norm"))
 
     def _hits(lang: str) -> Column:
         return F.regexp_count(
@@ -158,7 +159,7 @@ def with_language_id(
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic content fingerprint of the normalized text (F1-style
     content hashing applied to documents)."""
-    return df.withColumn("doc_fingerprint", fingerprint(F.col(text_col)))
+    return spread(df).withColumn("doc_fingerprint", fingerprint(F.col(text_col)))
 
 
 # PII scrubbing — both patterns are plain character-class regexes (no
