@@ -628,3 +628,49 @@ def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.orders, ["o_orderstatus"], "o_totalprice", [0.25, 0.5, 0.75, 0.9]
     )
     return q.select("o_orderstatus", "pct", F.round("val", 4).alias("val"))
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+@query(
+    "rel_profile_table",
+    sql="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def rel_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (ANALYZE-style data quality stats): per-column row,
+    null and exact distinct counts in ONE scan.
+
+    The multi-column ``count_distinct`` aggregate plans as a single
+    Expand + hash-aggregate — columns× row inflation, but one pass over
+    the table and partial aggregation before the shuffle; the per-column
+    UNION the oracle states would scan the table columns× times. The
+    profile row is then unpivoted driver-free via ``stack``."""
+    t = load_tables(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"nd_{c}"))
+    one = t.orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (column_name, n_nulls, n_distinct)",
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct")
