@@ -215,12 +215,20 @@ def main() -> None:
         scale_timings: dict[str, float] = {}
         for name in SCALE_QUERIES:
             spec = REGISTRY[name]
-            start = time.perf_counter()
-            spec.fn(spark, scale_dir).write.format("noop").mode("overwrite").save()
-            scale_timings[name] = round(time.perf_counter() - start, 3)
+            best = None
+            for _ in range(2):  # min-of-2, same rationale as headline
+                start = time.perf_counter()
+                spec.fn(spark, scale_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                elapsed = time.perf_counter() - start
+                best = elapsed if best is None else min(best, elapsed)
+            scale_timings[name] = round(best, 3)
         scale = {
             "rows": rows,
             "build_sec": build_sec,
+            "runs_per_query": 2,
+            "agg": "min",
             "total_sec": round(sum(scale_timings.values()), 3),
             "queries": scale_timings,
         }

@@ -247,7 +247,7 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     WITH cents AS (
         SELECT vec_id AS cid, embedding AS cvec
-        FROM embeddings ORDER BY vec_id LIMIT 16
+        FROM embeddings ORDER BY vec_id LIMIT 64
     ),
     assign AS (
         SELECT vec_id, embedding, cid AS centroid_id FROM (
@@ -281,4 +281,4 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir)
-    return semantic_dedup(t.embeddings, n_clusters=16, threshold=0.4)
+    return semantic_dedup(t.embeddings, n_clusters=64, threshold=0.4)
