@@ -1,0 +1,119 @@
+"""Edge-case tests for corpus curation operators (oracle queries cover
+the main paths; these pin boundary behavior the sf tables don't hit)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from land_registry_data_ingestion_spark.operators.corpus import (
+    decontaminate,
+    pack_sequences,
+    segment_dedup,
+    stratified_sample,
+)
+from land_registry_data_ingestion_spark.operators.similarity import knn_classify
+from land_registry_data_ingestion_spark.util import release_caches
+
+
+@pytest.fixture(autouse=True)
+def _release(spark):
+    yield
+    release_caches()
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_decontaminate_empty_benchmark(spark):
+    docs = _docs(spark, [(1, "a b c d"), (2, "x y z w")])
+    bench = docs.filter(F.lit(False))
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench).collect()}
+    assert all(not out[d]["is_contaminated"] for d in (1, 2))
+    assert all(out[d]["n_bench_shingles"] == 0 for d in (1, 2))
+
+
+def test_decontaminate_counts_distinct_shared_shingles(spark):
+    # doc 3 shares exactly the two 3-gram shingles of "a b c d" ("a b c",
+    # "b c d"); doc 4 shares nothing.
+    docs = _docs(spark, [(3, "a b c d zz"), (4, "p q r s")])
+    bench = _docs(spark, [(9, "a b c d")])
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench).collect()}
+    assert out[3]["n_bench_shingles"] == 2 and out[3]["is_contaminated"]
+    assert out[4]["n_bench_shingles"] == 0 and not out[4]["is_contaminated"]
+
+
+def test_segment_dedup_keeps_first_occurrence_only(spark):
+    seg = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    docs = _docs(
+        spark,
+        [
+            (1, f"{seg} unique1 tail"),
+            (2, f"{seg} other2 words"),  # repeated leading segment
+        ],
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(docs).collect()}
+    assert out[1]["clean_text"].startswith(seg)
+    assert out[1]["n_dropped_segments"] == 0
+    # doc 2 lost the repeated segment but kept its own remainder
+    assert out[2]["n_dropped_segments"] == 1
+    assert out[2]["clean_text"] == "other2 words"
+
+
+def test_segment_dedup_duplicate_within_one_doc(spark):
+    seg = " ".join(f"t{i}" for i in range(10))
+    docs = _docs(spark, [(1, f"{seg} {seg}")])
+    row = segment_dedup(docs).collect()[0]
+    assert row["n_dropped_segments"] == 1
+    assert row["clean_text"] == seg
+
+
+def test_pack_sequences_chunking(spark):
+    df = spark.createDataFrame(
+        [("s", i, " ".join(["w"] * 300)) for i in range(4)],
+        ["source", "doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, budget=512, part_col="source").collect()
+    }
+    # cumulative starts: 0, 300, 600, 900 → seq ids 0,0,1,1
+    assert [rows[i]["seq_id"] for i in range(4)] == [0, 0, 1, 1]
+    assert [rows[i]["seq_offset"] for i in range(4)] == [0, 300, 88, 388]
+
+
+def test_stratified_sample_rate_zero_and_full(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(200)],
+        ["doc_id", "lang"],
+    )
+    kept = stratified_sample(df, {"en": 0, "zh": 1000}, default_per_mille=0)
+    langs = {r["lang"] for r in kept.collect()}
+    assert langs == {"zh"}
+    assert kept.count() == 100
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    # probe 100 sits exactly between two labeled families: 3 votes for
+    # label 1 (closest) vs 2 for label 7 → majority wins.
+    def v(x, y):
+        return [float(x), float(y)]
+
+    corpus = spark.createDataFrame(
+        [
+            (1, v(1, 0), 1),
+            (2, v(0.99, 0.1), 1),
+            (3, v(0.98, 0.15), 1),
+            (4, v(0, 1), 7),
+            (5, v(0.1, 0.99), 7),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    probes = spark.createDataFrame(
+        [(100, v(0.9, 0.2))], ["vec_id", "embedding"]
+    )
+    out = knn_classify(corpus, probes, k=5).collect()
+    assert len(out) == 1
+    assert out[0]["predicted_label"] == 1
+    assert out[0]["n_votes"] == 3
