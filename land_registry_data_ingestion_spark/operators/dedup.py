@@ -292,6 +292,12 @@ def minhash_near_duplicates(
     pipeline steps; MEMORY_AND_DISK gives the same compute-once semantics
     here without a write barrier.
     """
+    # Deliberately NOT a shared barrier on the fat shingled frame: caching
+    # the 140-string arrays for 100k docs costs more (block-store
+    # materialization + memory pressure) than recomputing the 1.2 s
+    # shingle map for the collapse — measured 4.2 s total with the map run
+    # twice vs 13-25 s with the shared cache. Only the two skinny frames
+    # (id projection, collapsed reps) are barriered.
     shingled_all = _shingled(df, id_col, text_col, k).withColumn(
         # \x01 join: shingles never contain control chars, so the key is
         # injective on arrays; md5 collision odds are the same the hash
