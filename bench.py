@@ -66,6 +66,7 @@ HEADLINE = [
     "text_bm25_search",
     "dedup_semantic",
     "evt_funnel",
+    "text_pipeline_pack",
 ]
 
 
@@ -105,6 +106,7 @@ SCALE_QUERIES = [
     "text_decontaminate",
     "text_segment_dedup",
     "dedup_semantic",
+    "text_pipeline_pack",
 ]
 
 

@@ -245,3 +245,86 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; corpus stats broadcast; top-n via per-partition heaps."""
     t = load_tables(spark, sf_dir)
     return bm25_search(t.documents, _BM25_TERMS, top_n=20)
+
+
+@query(
+    "text_pipeline_pack",
+    sql=f"""
+    WITH segs AS (
+        SELECT doc_id,
+               CASE WHEN norm = '' THEN []::VARCHAR[]
+                    ELSE list_transform(
+                        generate_series(1, CAST(ceil(len(w) / 10.0) AS INT)),
+                        i -> array_to_string(w[(i-1)*10+1 : i*10], ' '))
+               END AS segments
+        FROM (SELECT doc_id, {_NORM} AS norm, {_TOKS} AS w FROM documents)
+    ),
+    seg_rows AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(segments))) - 1 AS pos,
+               unnest(segments) AS seg
+        FROM segs
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY seg ORDER BY doc_id, pos
+        ) AS rn
+        FROM seg_rows
+    ),
+    clean AS (
+        SELECT doc_id,
+               COALESCE(string_agg(seg, ' ' ORDER BY pos)
+                        FILTER (WHERE rn = 1), '') AS clean_text
+        FROM ranked GROUP BY doc_id
+    ),
+    kept AS (
+        SELECT d.source, c.doc_id,
+               CAST(CASE WHEN c.clean_text = '' THEN 0
+                    ELSE len(string_split_regex(c.clean_text, '\\s+'))
+               END AS BIGINT) AS n_tokens
+        FROM clean c JOIN documents d ON c.doc_id = d.doc_id
+        WHERE CASE WHEN c.clean_text = '' THEN 0
+                   ELSE len(string_split_regex(c.clean_text, '\\s+')) END >= 20
+          AND ('0x' || substr(md5('sample|' || CAST(c.doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 1000 < CASE d.lang
+              WHEN 'en' THEN 300 WHEN 'zh' THEN 800 ELSE 600 END
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % 512 AS BIGINT) AS seq_offset
+    FROM (
+        SELECT source, doc_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM kept
+    )
+    """,
+)
+def text_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline, end to end in ONE declarative plan:
+    cross-document segment dedup → minimum-length filter on the CLEANED
+    text → deterministic stratified sampling → sequence packing per source
+    shard.
+
+    This is the flagship shape of the engine: four corpus passes fuse into
+    a single DAG Catalyst optimizes as one query — the text column exists
+    in exactly two shuffles (the segment window and the doc reassembly),
+    every later stage carries only ids + counts, and the final packing
+    window runs shard-parallel. The stages are the same operators declared
+    individually (``text_segment_dedup``, ``text_stratified_sample``,
+    ``text_pack_sequences``), so their per-stage oracles triangulate this
+    composition."""
+    from land_registry_data_ingestion_spark.functions.text import token_count
+
+    t = load_tables(spark, sf_dir)
+    clean = segment_dedup(t.documents, seg_len=10)
+    joined = clean.join(t.documents.select("doc_id", "lang", "source"), "doc_id")
+    kept = joined.filter(token_count(F.col("clean_text")) >= 20)
+    sampled = stratified_sample(
+        kept, {"en": 300, "zh": 800}, default_per_mille=600
+    )
+    return pack_sequences(
+        sampled, budget=512, part_col="source", text_col="clean_text"
+    )
