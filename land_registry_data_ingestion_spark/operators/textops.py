@@ -189,3 +189,55 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         .cast("long")
         .alias("n_phones"),
     )
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style (Rae et al. 2021) document quality rules as one
+    codegen'd projection — each rule an independent boolean so downstream
+    policy can mix them, plus the conjunction ``passes_gopher``:
+
+    - word count in [10, 100_000]  (paper: [50, 100k]; the synthetic docs
+      are short, the bound is a parameter of the rule battery, not logic)
+    - mean word length in [2, 10]
+    - symbol-to-word ratio ≤ 0.1 (``#`` and ``...``-style symbols)
+    - ≥ 70% of words contain at least one alphabetic character
+
+    Pure map stage: one tokenizer evaluation shared by all rules via an
+    intermediate projection (same CollapseProject reasoning as
+    ``with_quality_score``), zero shuffle, zero Python.
+    """
+    text = F.col(text_col)
+    n_tok = token_count(text)
+    # Full-token-with-alpha matches via lookarounds (Java-regex-only; the
+    # DuckDB oracle states the same semantics as a list_filter — the
+    # driver compares VALUES, not plans; same precedent as
+    # functions/text.py::token_set_hits).
+    alpha_pat = r"(?<=^|\s)[^\s]*[A-Za-z][^\s]*(?=\s|$)"
+    base = spread(df).select(
+        "*",
+        n_tok.alias("_n_tok"),
+        F.length(F.regexp_replace(normalize_text(text), r"\s", "")).alias(
+            "_n_word_chars"
+        ),
+        F.regexp_count(text, F.lit(r"#|\.\.\.")).alias("_n_symbols"),
+        F.regexp_count(normalize_text(text), F.lit(alpha_pat)).alias(
+            "_n_alpha_words"
+        ),
+    )
+    n = F.greatest(F.col("_n_tok"), F.lit(1))
+    mean_len = F.col("_n_word_chars") / n
+    rules = {
+        "rule_word_count": F.col("_n_tok").between(10, 100_000),
+        "rule_mean_word_len": mean_len.between(2.0, 10.0),
+        "rule_symbol_ratio": (F.col("_n_symbols") / n) <= 0.1,
+        "rule_alpha_words": (F.col("_n_alpha_words") / n) >= 0.7,
+    }
+    keep = [c for c in base.columns if not c.startswith("_")]
+    out = base.select(
+        *keep,
+        *[col.alias(name) for name, col in rules.items()],
+    )
+    passes = None
+    for name in rules:
+        passes = F.col(name) if passes is None else passes & F.col(name)
+    return out.withColumn("passes_gopher", passes)

@@ -363,3 +363,48 @@ def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("term_freq"), "token")
         .limit(100)
     )
+
+
+@query(
+    "text_gopher_filters",
+    sql=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               {_NTOK} AS n_tok,
+               len(regexp_replace({_NORM}, '\\s', '', 'g')) AS n_word_chars,
+               len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols,
+               len(list_filter({_TOKS_NORM},
+                   t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha_words
+        FROM documents
+    )
+    SELECT doc_id,
+           n_tok BETWEEN 10 AND 100000 AS rule_word_count,
+           (n_word_chars / greatest(n_tok, 1)) BETWEEN 2.0 AND 10.0
+               AS rule_mean_word_len,
+           (n_symbols / greatest(n_tok, 1)) <= 0.1 AS rule_symbol_ratio,
+           (n_alpha_words / greatest(n_tok, 1)) >= 0.7 AS rule_alpha_words,
+           (n_tok BETWEEN 10 AND 100000)
+               AND ((n_word_chars / greatest(n_tok, 1)) BETWEEN 2.0 AND 10.0)
+               AND ((n_symbols / greatest(n_tok, 1)) <= 0.1)
+               AND ((n_alpha_words / greatest(n_tok, 1)) >= 0.7)
+               AS passes_gopher
+    FROM feats
+    """,
+)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule battery (word count, mean word length,
+    symbol ratio, alphabetic-word fraction) as independent boolean flags
+    plus their conjunction — one codegen'd map stage, zero shuffle."""
+    from land_registry_data_ingestion_spark.operators.textops import (
+        gopher_quality_flags,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return gopher_quality_flags(t.documents).select(
+        "doc_id",
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_symbol_ratio",
+        "rule_alpha_words",
+        "passes_gopher",
+    )
