@@ -186,6 +186,30 @@ class ManifestStore(IngestStore):
         self._write_manifest(location, self._scan_part_counts(parts_dir) + carry)
         return int(obs.get["n_rows"]) + sum(e["row_count"] for e in carry)
 
+    # -- time travel ----------------------------------------------------
+
+    def state_as_of(self, run_id: str) -> DataFrame:
+        """Read the state exactly as accepted by ``run_id`` (snapshot
+        isolation for free: manifests are immutable and partitions are
+        content-addressed per run, so any un-vacuumed historical state is
+        one manifest read away — the table-format time-travel idea).
+
+        Complements ``operators/rewind.py`` (which reconstructs history
+        from audit columns even under the rewrite store): this is an O(1)
+        pointer lookup, that is an O(data) reconstruction."""
+        rows = (
+            self.file_log()
+            .filter(
+                (F.col("run_id") == run_id) & (F.col("decision") == "archive")
+            )
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            raise KeyError(f"no accepted run {run_id!r} in the ledger")
+        entries = self._manifest_entries(rows[0]["state_location"])
+        return self._read_parts([e["path"] for e in entries])
+
     # -- garbage collection --------------------------------------------
 
     def vacuum(self, keep_runs: int = 2) -> list[str]:

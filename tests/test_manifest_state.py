@@ -203,3 +203,19 @@ def test_insert_only_batch_reads_no_old_partitions(spark, stores, tmp_path):
     snap_parts = mani._parts_dir(snap_row["state_location"])
     for y in (2015, 2016, 2017):
         assert entries[y].startswith(snap_parts)
+
+
+def test_state_as_of_time_travel(spark, stores, tmp_path):
+    """Any un-vacuumed accepted run is readable as-of: the snapshot run's
+    state must be re-readable unchanged after a later merge."""
+    _, mani = stores
+    snap = _write(tmp_path, "s.csv", SNAP)
+    upd = _write(tmp_path, "m.csv", MONTHLY)
+    ingest_snapshot(mani, snap, "r1", now=datetime.datetime(2024, 1, 1))
+    before = _rows(mani.current_state())
+    ingest_monthly_update(mani, upd, "r2", now=datetime.datetime(2024, 2, 1))
+
+    assert _rows(mani.state_as_of("r1")) == before
+    assert _rows(mani.state_as_of("r2")) == _rows(mani.current_state())
+    with pytest.raises(KeyError):
+        mani.state_as_of("no-such-run")
