@@ -20,6 +20,10 @@ def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
     an extra exchange it didn't strictly need, in return for never
     serializing the map stage.
     """
+    if df.isStreaming:
+        # micro-batch parallelism is the source/state-store partitioning's
+        # job; an unconditional repartition would add a shuffle per batch
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism * min_factor
     try:
         n_files = len(df.inputFiles())
