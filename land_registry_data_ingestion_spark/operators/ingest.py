@@ -42,7 +42,10 @@ from land_registry_data_ingestion_spark.operators.merge import (
     merge_outcome_stats,
     validate_unique,
 )
-from land_registry_data_ingestion_spark.sources.csv import read_price_paid_csv
+from land_registry_data_ingestion_spark.sources.csv import (
+    read_price_paid_csv,
+    read_price_paid_csv_with_rejects,
+)
 
 FILE_LOG_SCHEMA = T.StructType(
     [
@@ -171,6 +174,7 @@ def ingest_snapshot(
     run_id: str,
     n_columns: int = 16,
     now: datetime.datetime | None = None,
+    strict: bool = True,
 ) -> dict:
     """Full-snapshot ingestion: hash → dedup decision → load → ledger.
 
@@ -194,7 +198,7 @@ def ingest_snapshot(
         store._append_log(row)
         return row
 
-    df = read_price_paid_csv(store.spark, csv_path, n_columns=n_columns)
+    df = _read_gated(store, csv_path, n_columns, strict)
     _assert_unique(df, "transaction_unique_id", "snapshot file")
     state = init_state(df.drop("record_op"), batch_timestamp=F.lit(now))
     location = store.state_path(sha)
@@ -212,6 +216,30 @@ def ingest_snapshot(
     }
     store._append_log(row)
     return row
+
+
+def _read_gated(
+    store: IngestStore, csv_path: str, n_columns: int, strict: bool
+) -> DataFrame:
+    """Read the staged file; under ``strict`` (default) reject the batch
+    if any row's price/date failed its cast — the reference crashes on
+    such rows (DB constraint), this engine refuses with samples instead
+    of silently nulling values into state."""
+    if not strict:
+        return read_price_paid_csv(store.spark, csv_path, n_columns=n_columns)
+    df, rejects = read_price_paid_csv_with_rejects(
+        store.spark, csv_path, n_columns=n_columns
+    )
+    bad = rejects.limit(5).collect()
+    if bad:
+        sample = ", ".join(
+            f"{r['transaction_unique_id']}({r['reject_reason']})" for r in bad
+        )
+        raise ValueError(
+            f"malformed values in {csv_path} (e.g. {sample}) — batch "
+            f"rejected before any state was written"
+        )
+    return df
 
 
 def _assert_unique(df: DataFrame, key_col: str, what: str) -> None:
@@ -234,6 +262,7 @@ def ingest_monthly_update(
     n_columns: int = 16,
     now: datetime.datetime | None = None,
     validate_current: bool = False,
+    strict: bool = True,
 ) -> dict:
     """Incremental A/C/D ingestion: CDC-merge into the current snapshot,
     write a new content-addressed state, append ledger + outcome counters.
@@ -269,7 +298,7 @@ def ingest_monthly_update(
         store._append_log(row)
         return row
 
-    updates = read_price_paid_csv(store.spark, csv_path, n_columns=n_columns)
+    updates = _read_gated(store, csv_path, n_columns, strict)
     _assert_unique(updates, "transaction_unique_id", "monthly update batch")
     current, carry = store.current_for_merge(updates, "transaction_unique_id")
     if validate_current:

@@ -53,6 +53,50 @@ def read_price_paid_csv(
     return finalize_price_paid(raw, date_format=date_format)
 
 
+def read_price_paid_csv_with_rejects(
+    spark: SparkSession,
+    path: str,
+    n_columns: int = 16,
+    date_format: str = TRANSACTION_DATE_FORMAT,
+) -> tuple[DataFrame, DataFrame]:
+    """Like :func:`read_price_paid_csv` but ALSO returns the rows the
+    strict casts silently nulled — ``(records, rejects)``.
+
+    The reference crashes mid-load on a malformed value (DB constraint /
+    pandas cast error); a 100 TB pipeline can do better than both
+    crashing and silently nulling: quarantine. ``rejects`` carries the
+    business key, the offending raw values, and a ``reject_reason``
+    (bad_price / bad_date) — one extra filter over the SAME scan, no
+    second file pass. Rows failing the CSV grammar itself (wrong column
+    count) surface as all-null business keys in PERMISSIVE mode and are
+    caught by the same null checks downstream.
+    """
+    raw = spark.read.csv(
+        path,
+        schema=price_paid_raw_schema(n_columns),
+        header=False,
+        quote='"',
+        escape='"',
+        mode="PERMISSIVE",
+    )
+    records = finalize_price_paid(raw, date_format=date_format)
+    bad_price = F.col("price").isNotNull() & F.col("price").try_cast(
+        "long"
+    ).isNull()
+    bad_date = F.col("transaction_date_raw").isNotNull() & F.try_to_timestamp(
+        F.col("transaction_date_raw"), F.lit(date_format)
+    ).isNull()
+    rejects = raw.filter(bad_price | bad_date).select(
+        "transaction_unique_id",
+        F.col("price").alias("price_raw"),
+        "transaction_date_raw",
+        F.when(bad_price, "bad_price")
+        .otherwise("bad_date")
+        .alias("reject_reason"),
+    )
+    return records, rejects
+
+
 def finalize_price_paid(
     raw: DataFrame, date_format: str = TRANSACTION_DATE_FORMAT
 ) -> DataFrame:

@@ -52,3 +52,46 @@ def test_bad_rows_yield_nulls_not_errors(spark):
     row = df.collect()[0]
     assert row["price"] is None
     assert row["transaction_date"] is None
+
+
+def test_rejects_capture_bad_price_and_date(spark, tmp_path):
+    from land_registry_data_ingestion_spark.sources.csv import (
+        read_price_paid_csv_with_rejects,
+    )
+
+    lines = [
+        '"{T1}","100000","2015-01-05 00:00","SW1A 1AA","T","N","F","10","",'
+        '"S","","L","D","C","A","A"',
+        '"{T2}","not-a-number","2015-01-05 00:00","SW1A 1AA","T","N","F","10",'
+        '"","S","","L","D","C","A","A"',
+        '"{T3}","100000","05/01/2015","SW1A 1AA","T","N","F","10","","S","",'
+        '"L","D","C","A","A"',
+    ]
+    p = tmp_path / "bad.csv"
+    p.write_text("\n".join(lines) + "\n")
+    records, rejects = read_price_paid_csv_with_rejects(spark, str(p))
+    got = {r["transaction_unique_id"]: r["reject_reason"] for r in rejects.collect()}
+    assert got == {"{T2}": "bad_price", "{T3}": "bad_date"}
+    assert records.count() == 3  # records frame still carries all rows
+
+
+def test_strict_ingest_rejects_malformed_batch(spark, tmp_path):
+    import datetime
+
+    import pytest
+
+    from land_registry_data_ingestion_spark.operators.ingest import (
+        IngestStore,
+        ingest_snapshot,
+    )
+
+    p = tmp_path / "bad.csv"
+    p.write_text(
+        '"{T9}","oops","2015-01-05 00:00","SW1A 1AA","T","N","F","10","","S",'
+        '"","L","D","C","A","A"\n'
+    )
+    store = IngestStore(spark=spark, root=str(tmp_path / "root"))
+    with pytest.raises(ValueError, match="bad_price"):
+        ingest_snapshot(store, str(p), "r1", now=datetime.datetime(2024, 1, 1))
+    # nothing was written: no ledger, no state
+    assert store.last_accepted() is None
