@@ -23,7 +23,7 @@ from land_registry_data_ingestion_spark.functions.vectors import (
     cosine_similarity,
     l2_norm,
 )
-from land_registry_data_ingestion_spark.util import barrier
+from land_registry_data_ingestion_spark.util import barrier, spread
 
 
 def brute_force_topk(
@@ -851,4 +851,118 @@ def semantic_dedup(
         F.col("id").alias(id_col),
         "centroid_id",
         dup.alias("is_duplicate"),
+    )
+
+
+def kmeans_parallel_init(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    rounds: int = 3,
+    oversample: int | None = None,
+) -> DataFrame:
+    """Deterministic k-means|| initialization (Bahmani et al., VLDB'12)
+    for the IVF coarse quantizer — spread seeds ACROSS the data instead
+    of the first-k-ids heuristic, without k-means++'s k sequential
+    passes.
+
+    Each round scans the corpus once: every point's cosine distance to
+    its nearest current center prices a sampling threshold
+    ``l · d(x)/Σd``, and the point joins the center set when its
+    DETERMINISTIC coin — ``md5(round|id)`` mapped to [0, 1) — falls under
+    it (no RNG state; replays and other engines draw identical samples).
+    The oversampled set (≈ ``l · rounds`` centers) is then cut to
+    ``n_centroids`` by the standard weight step: each candidate weighs
+    the points it attracts, heaviest-first with id tie-break.
+
+    Distributed shape: distances via the same Arrow argmax kernel as the
+    index build (centers broadcast by closure, map-only); per-round the
+    only driver traffic is the (small) new-center sample and one scalar
+    Σd; the weight step is one more assignment pass + a count aggregate.
+
+    Not oracle-declared: the declared ``sim_ivf_topk`` keeps the seeded
+    quantizer for exact DuckDB replay; tests pin this init by its EFFECT
+    (balance/recall) and by determinism across runs.
+    """
+    l = oversample or (2 * n_centroids)
+    base = corpus.select(id_col, vec_col)
+
+    centers = seed_centroids(base, id_col, vec_col, 1)  # {min-id vector}
+    for r in range(rounds):
+        assigned = _nearest_cosine_distance(base, centers, id_col, vec_col)
+        total = assigned.agg(F.sum("dist").alias("s")).collect()[0]["s"]
+        if not total:
+            break  # every point coincides with a center already
+        coin = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"kmpar{r}|"), F.col(id_col).cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(1 << 60))
+        )
+        picked = assigned.filter(
+            coin < (F.lit(float(l)) * F.col("dist") / F.lit(float(total)))
+        ).select(id_col, vec_col)
+        centers = centers.unionByName(picked).dropDuplicates([id_col])
+
+    # weight step: heaviest candidates win (id tie-break), exactly k out
+    weights = (
+        ivf_assign_vectorized(base, centers, id_col, vec_col)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranked = (
+        centers.join(
+            weights, centers[id_col] == weights["centroid_id"], "left"
+        )
+        .select(
+            id_col, vec_col, F.coalesce("w", F.lit(0)).alias("w")
+        )
+        .orderBy(F.desc("w"), F.asc(id_col))
+        .limit(n_centroids)
+    )
+    return ranked.select(id_col, vec_col)
+
+
+def _nearest_cosine_distance(
+    corpus: DataFrame, centers: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, vec, dist): cosine distance (1 − cos) to the nearest current
+    center — same Arrow kernel shape as ``ivf_assign_vectorized``."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in centers.select(id_col, vec_col).collect()
+    )
+    C = np.array([v for _, v in rows], dtype=np.float64)
+    cnorm = np.sqrt(_seq_pair_dots(C, C))
+    out_schema = T.StructType(
+        list(corpus.select(id_col, vec_col).schema.fields)
+        + [T.StructField("dist", T.DoubleType(), False)]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            vnorm = np.sqrt(_seq_pair_dots(M, M))
+            cos = np.round(
+                _seq_cross_dots(M, C) / np.multiply.outer(vnorm, cnorm), 6
+            )
+            yield pdf.assign(dist=1.0 - cos.max(axis=1))
+
+    return spread(corpus.select(id_col, vec_col)).mapInPandas(
+        kernel, out_schema
     )
