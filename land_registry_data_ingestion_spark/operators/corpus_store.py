@@ -33,12 +33,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from land_registry_data_ingestion_spark.functions.text import fingerprint
-from land_registry_data_ingestion_spark.operators.dedup import exact_dedup
+from land_registry_data_ingestion_spark.functions.text import (
+    fingerprint,
+    word_shingles,
+)
+from land_registry_data_ingestion_spark.operators.dedup import (
+    exact_dedup,
+    lsh_bands,
+    minhash_near_duplicates,
+    minhash_signatures,
+)
 
 INDEX_SCHEMA = T.StructType(
     [
         T.StructField("doc_fingerprint", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+    ]
+)
+
+BANDS_SCHEMA = T.StructType(
+    [
+        T.StructField("band_idx", T.IntegerType(), False),
+        T.StructField("band_hash", T.StringType(), False),
         T.StructField("doc_id", T.LongType(), False),
     ]
 )
@@ -75,9 +91,31 @@ class CorpusStore:
             return self.spark.createDataFrame([], INDEX_SCHEMA)
         return self.spark.read.schema(INDEX_SCHEMA).parquet(*dirs)
 
-    def corpus(self) -> DataFrame:
-        """All accepted documents so far."""
+    def corpus(self, schema_like: DataFrame | None = None) -> DataFrame:
+        """All accepted documents so far; empty (with ``schema_like``'s
+        schema) before the first accepted batch."""
+        if not os.path.isdir(self._corpus_dir):
+            if schema_like is None:
+                raise FileNotFoundError("no accepted batches yet")
+            return self.spark.createDataFrame([], schema_like.schema)
         return self.spark.read.parquet(os.path.join(self._corpus_dir, "batch=*"))
+
+    @property
+    def _bands_dir(self) -> str:
+        return os.path.join(self.root, "bands")
+
+    def bands(self, exclude_batch: int | str | None = None) -> DataFrame:
+        """Persisted LSH bands of accepted documents (near-dup mode)."""
+        if not os.path.isdir(self._bands_dir):
+            return self.spark.createDataFrame([], BANDS_SCHEMA)
+        dirs = [
+            os.path.join(self._bands_dir, d)
+            for d in sorted(os.listdir(self._bands_dir))
+            if d.startswith("batch=") and d != f"batch={exclude_batch}"
+        ]
+        if not dirs:
+            return self.spark.createDataFrame([], BANDS_SCHEMA)
+        return self.spark.read.schema(BANDS_SCHEMA).parquet(*dirs)
 
     def ingest_batch(
         self,
@@ -85,11 +123,25 @@ class CorpusStore:
         batch_id: int | str,
         id_col: str = "doc_id",
         text_col: str = "text",
+        near_dup: bool = False,
+        threshold: float = 0.5,
+        num_hashes: int = 16,
+        band_size: int = 4,
     ) -> dict:
         """Accept a crawl batch: intra-batch exact dedup (keep min id per
         content), then drop documents whose fingerprint the corpus already
         holds, then land the survivors + their index rows under this
-        batch id. Returns counters for the run ledger."""
+        batch id. Returns counters for the run ledger.
+
+        ``near_dup=True`` additionally drops NEAR-duplicates, both
+        intra-batch (full MinHash+LSH pipeline over the batch) and against
+        the accumulated corpus: the store persists the LSH bands of every
+        accepted document, a new batch's bands probe them with one
+        (band_idx, band_hash) join, and only the candidate (new, old)
+        pairs pay an exact-Jaccard verify — old texts are fetched by id
+        from the corpus for just those candidates. The corpus is never
+        re-signed and never re-shuffled wholesale; incremental cost is
+        O(batch × bands) + O(candidates)."""
         n_received = docs.count()
         batch_unique = exact_dedup(docs, id_col, text_col)
         keyed = batch_unique.withColumn(
@@ -100,6 +152,11 @@ class CorpusStore:
             "doc_fingerprint",
             "left_anti",
         )
+        n_near_intra = n_near_known = 0
+        if near_dup:
+            fresh, n_near_intra, n_near_known = self._drop_near_dups(
+                fresh, batch_id, id_col, text_col, threshold, num_hashes, band_size
+            )
         accepted_dir = os.path.join(self._corpus_dir, f"batch={batch_id}")
         fresh.drop("doc_fingerprint").write.mode("overwrite").parquet(accepted_dir)
         # Index rows derive from the WRITTEN corpus partition (one cheap
@@ -113,12 +170,99 @@ class CorpusStore:
         ).write.mode("overwrite").parquet(
             os.path.join(self._index_dir, f"batch={batch_id}")
         )
+        if near_dup:
+            accepted_sigs = minhash_signatures(
+                accepted.withColumnRenamed(id_col, "doc"),
+                "doc",
+                text_col,
+                num_hashes=num_hashes,
+            )
+            lsh_bands(accepted_sigs, num_hashes, band_size).select(
+                "band_idx",
+                "band_hash",
+                F.col("doc").cast("long").alias("doc_id"),
+            ).write.mode("overwrite").parquet(
+                os.path.join(self._bands_dir, f"batch={batch_id}")
+            )
         n_accepted = accepted.count()
         n_batch_unique = batch_unique.count()
-        return {
+        out = {
             "batch_id": str(batch_id),
             "n_received": n_received,
             "n_intra_batch_dups": n_received - n_batch_unique,
-            "n_known_dups": n_batch_unique - n_accepted,
+            "n_known_dups": n_batch_unique - n_near_intra - n_near_known - n_accepted,
             "n_accepted": n_accepted,
         }
+        if near_dup:
+            out["n_near_dups_intra"] = n_near_intra
+            out["n_near_dups_known"] = n_near_known
+        return out
+
+    def _drop_near_dups(
+        self,
+        fresh: DataFrame,
+        batch_id: int | str,
+        id_col: str,
+        text_col: str,
+        threshold: float,
+        num_hashes: int,
+        band_size: int,
+    ) -> tuple[DataFrame, int, int]:
+        """Near-dup removal for a batch: (1) keep-one per intra-batch
+        near-dup family; (2) drop survivors whose bands collide with a
+        stored document AND verify at exact Jaccard ≥ threshold."""
+        from land_registry_data_ingestion_spark.util import barrier
+
+        fresh = barrier(fresh)
+        # (1) intra-batch: pairs → drop the larger id of each pair
+        pairs = minhash_near_duplicates(
+            fresh, id_col, text_col, threshold=threshold,
+            num_hashes=num_hashes, band_size=band_size,
+        )
+        losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        survivors = barrier(fresh.join(losers, id_col, "left_anti"))
+        n_intra = fresh.count() - survivors.count()
+
+        # (2) cross-batch: band collisions against the stored index
+        stored = self.bands(exclude_batch=batch_id)
+        new_sigs = minhash_signatures(
+            survivors.withColumnRenamed(id_col, "doc"), "doc", text_col,
+            num_hashes=num_hashes,
+        )
+        cands = (
+            lsh_bands(new_sigs, num_hashes, band_size)
+            .join(
+                stored.withColumnRenamed("doc_id", "old_doc"),
+                ["band_idx", "band_hash"],
+            )
+            .select(F.col("doc").alias("new_doc"), "old_doc")
+            .distinct()
+        )
+        # exact verify on candidates only: old texts fetched by id
+        new_sh = survivors.select(
+            F.col(id_col).alias("new_doc"),
+            word_shingles(F.col(text_col)).alias("sh_new"),
+        )
+        old_sh = (
+            self.corpus(schema_like=survivors.drop("doc_fingerprint"))
+            .join(
+                F.broadcast(cands.select("old_doc").distinct()),
+                F.col(id_col) == F.col("old_doc"),
+            )
+            .select(
+                "old_doc",
+                word_shingles(F.col(text_col)).alias("sh_old"),
+            )
+        )
+        inter = F.size(F.array_intersect("sh_new", "sh_old"))
+        union = F.size("sh_new") + F.size("sh_old") - inter
+        near_known = (
+            cands.join(new_sh, "new_doc")
+            .join(old_sh, "old_doc")
+            .filter(F.round(inter / union, 6) >= threshold)
+            .select(F.col("new_doc").alias(id_col))
+            .distinct()
+        )
+        out = barrier(survivors.join(near_known, id_col, "left_anti"))
+        n_known = survivors.count() - out.count()
+        return out, n_intra, n_known

@@ -218,14 +218,16 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def lsh_bands(
     signatures: DataFrame, num_hashes: int = 16, band_size: int = 4
 ) -> DataFrame:
-    """LSH banding: docs sharing any band of the signature become a
-    candidate pair. Join key is (band_idx, band_hash) — shuffle volume is
-    rows × bands, never rows²."""
+    """Banded signature rows ``(doc, band_idx, band_hash)`` — the LSH
+    join key. Exposed separately so an INCREMENTAL consumer
+    (``corpus_store.CorpusStore``) can persist the bands of accepted
+    documents and probe new batches against them without re-signing the
+    whole corpus."""
     n_bands = num_hashes // band_size
-    bands = signatures.select(
+    return signatures.select(
         "doc",
         F.explode(
             F.array(
@@ -247,6 +249,15 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select("doc", "band.band_idx", "band.band_hash")
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, num_hashes: int = 16, band_size: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a
+    candidate pair. Join key is (band_idx, band_hash) — shuffle volume is
+    rows × bands, never rows²."""
+    bands = lsh_bands(signatures, num_hashes, band_size)
     a = bands.select("band_idx", "band_hash", F.col("doc").alias("doc_a"))
     b = bands.select("band_idx", "band_hash", F.col("doc").alias("doc_b"))
     return (
