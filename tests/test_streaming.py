@@ -190,3 +190,67 @@ def test_watermark_drops_late_events_across_batches(spark, tmp_path):
     assert ("10:00", 3) not in emitted
     assert ("11:00", 1) in emitted
     assert ("12:00", 1) in emitted
+
+
+def test_streaming_session_window_merges_and_splits(spark, tmp_path):
+    """Native session_window streaming agg (the streaming-native form of
+    the batch gap-sessionization in evt_sessionize): events within the
+    gap merge into one growing session, a quiet period splits sessions,
+    and sessions finalize (append mode) only after the watermark clears
+    their end — including merging a session ACROSS micro-batches."""
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema("ts timestamp, user string")
+            .json(str(src))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.session_window("ts", "30 minutes").alias("s"), "user")
+            .agg(F.count("*").alias("n_events"))
+        )
+        out: list = []
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _id: out.extend(b.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (
+                r["user"],
+                r["s"]["start"].strftime("%H:%M"),
+                r["s"]["end"].strftime("%H:%M"),
+                r["n_events"],
+            )
+            for r in out
+        }
+
+    def write(name, *rows):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps({"ts": f"2024-01-01 {t}:00", "user": u})
+                for t, u in rows
+            )
+        )
+
+    # batch 1: two events 20 min apart → one open session for u1
+    write("b1.json", ("10:00", "u1"), ("10:20", "u1"))
+    assert run() == set()  # session still open, nothing finalized
+
+    # batch 2: 10:40 EXTENDS the same session across batches (gap < 30);
+    # 13:00 starts a new one and advances the watermark to 12:50, which
+    # finalizes the first session as ONE merged row [10:00, 11:10)
+    write("b2.json", ("10:40", "u1"), ("13:00", "u1"))
+    got2 = run()
+    assert got2 == {("u1", "10:00", "11:10", 3)}
+
+    # batch 3: advance the watermark far enough to flush the 13:00 session
+    write("b3.json", ("15:00", "u1"))
+    got3 = run()
+    assert ("u1", "13:00", "13:30", 1) in got3
