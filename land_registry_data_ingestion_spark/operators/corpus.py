@@ -313,3 +313,50 @@ def bm25_search(
         .limit(top_n)
         .withColumn("rank", F.row_number().over(w).cast("long"))
     )
+
+
+def lm_perplexity_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality score: train a unigram LM on
+    the corpus itself (add-1 smoothed), score each document by its mean
+    token negative log-likelihood — gibberish and boilerplate-stuffed
+    documents sit in the tail of the score distribution.
+
+    ``nll = mean_t( -ln (c_t + 1) / (N + V) )`` over the document's
+    tokens, where ``c_t`` is the corpus count of token ``t``, ``N`` total
+    tokens, ``V`` vocabulary size.
+
+    Shuffle ledger: one explode → (doc, term) pass feeds BOTH the LM
+    counts (term-keyed agg, broadcast back — the per-term table is
+    vocabulary-sized, thousands of times smaller than the corpus) and the
+    per-doc mean (doc-keyed agg with map-side combine). The corpus text
+    is tokenized once behind a barrier. A real deployment would train the
+    LM on a reference corpus (wikipedia) and broadcast it the same way —
+    the plan is identical, only the counts frame's source changes.
+    """
+    tok = barrier(
+        spread(df).select(
+            F.col(id_col),
+            F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
+        )
+    )
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    stats = tok.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_distinct("term").alias("v"),
+    )
+    scored = (
+        tok.join(F.broadcast(counts), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "nll",
+            -F.log((F.col("c") + 1.0) / (F.col("n_total") + F.col("v"))),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("nll"), 6).alias("lm_nll"),
+        F.count(F.lit(1)).cast("long").alias("n_scored_tokens"),
+    )

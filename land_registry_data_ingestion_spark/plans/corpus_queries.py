@@ -328,3 +328,37 @@ def text_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         sampled, budget=512, part_col="source", text_col="clean_text"
     )
+
+
+@query(
+    "text_lm_perplexity",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    counts AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+        FROM tok
+    )
+    SELECT doc_id,
+           ROUND(AVG(-ln((c + 1.0) / (n_total + v))), 6) AS lm_nll,
+           CAST(COUNT(*) AS BIGINT) AS n_scored_tokens
+    FROM tok JOIN counts USING (term) CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (CCNet-style): corpus-trained add-1
+    smoothed LM, per-document mean token negative log-likelihood. One
+    tokenize pass feeds both the broadcast LM table and the per-doc
+    mean."""
+    from land_registry_data_ingestion_spark.operators.corpus import (
+        lm_perplexity_score,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return lm_perplexity_score(t.documents)
