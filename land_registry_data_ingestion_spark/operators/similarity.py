@@ -966,3 +966,164 @@ def _nearest_cosine_distance(
     return spread(corpus.select(id_col, vec_col)).mapInPandas(
         kernel, out_schema
     )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+) -> list:
+    """Deterministic PQ codebooks: subspace ``s``'s codebook is the
+    ``n_codes`` smallest-id vectors' s-th sub-vectors (same no-RNG seeding
+    contract as ``seed_centroids`` — a second engine rebuilds the
+    identical quantizer; k-means|| / Lloyd refinement slots in per
+    subspace at cluster scale). Returns an (m, n_codes, d/m) float64
+    numpy array."""
+    import numpy as np
+
+    rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(n_codes).collect()
+    )
+    V = np.array([v for _, v in rows], dtype=np.float64)
+    d = V.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    sub = d // m
+    return np.stack([V[:, s * sub : (s + 1) * sub] for s in range(m)])
+
+
+def _sub_d2(X, C):
+    """(n, sub) × (k, sub) → (n, k) squared L2 via the same sequential
+    dot folds the oracle states: d² = x·x − 2·x·c + c·c, each dot a
+    left-to-right fold, rounded to 6 dp."""
+    import numpy as np
+
+    xx = _seq_pair_dots(X, X)
+    cc = _seq_pair_dots(C, C)
+    xc = _seq_cross_dots(X, C)
+    return np.round(xx[:, None] - 2.0 * xc + cc[None, :], 6)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only PQ encoding: each vector becomes ``m`` small codes
+    (nearest codebook entry per subspace, ties to the smaller code).
+    8 bytes of codes replace 256 bytes of floats — the compressed corpus
+    is what ships to the search tier at scale."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    m, n_codes, sub = books.shape
+    out_schema = T.StructType(
+        [
+            corpus.schema[id_col],
+            T.StructField("codes", T.ArrayType(T.IntegerType(), False), False),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                d2 = _sub_d2(M[:, s * sub : (s + 1) * sub], books[s])
+                codes[:, s] = np.argmin(d2, axis=1)  # first min → smaller code
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": list(codes)}
+            )
+
+    return spread(corpus.select(id_col, vec_col)).mapInPandas(kernel, out_schema)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 10,
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance (ADC): queries stay
+    full-precision, the corpus is its 8-byte codes; each query
+    precomputes an (m × n_codes) distance table and a neighbor's distance
+    is m table lookups — no floats move for the corpus side at all.
+
+    Scale shape: encoding is map-only; the scored frame carries only
+    (query, neighbor, approx_d2); top-k is a per-query window over a
+    frame the size of queries × corpus codes (at real scale, fold an IVF
+    coarse quantizer in front to prune the scan, exactly as ivf_topk).
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    books = pq_codebooks(corpus, id_col, vec_col, m, n_codes)
+    sub = books.shape[2]
+    q_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in queries.select(id_col, vec_col).collect()
+    )
+    q_ids = np.array([i for i, _ in q_rows], dtype=np.int64)
+    Q = np.array([v for _, v in q_rows], dtype=np.float64)
+    # ADC tables: (n_queries, m, n_codes), rounded like the oracle
+    tables = np.stack(
+        [
+            _sub_d2(Q[:, s * sub : (s + 1) * sub], books[s])
+            for s in range(m)
+        ],
+        axis=1,
+    )
+
+    codes = pq_encode(corpus, books, id_col, vec_col)
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("approx_d2", T.DoubleType(), False),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            n = len(pdf)
+            nq = len(q_ids)
+            # lookup: approx[q, i] = Σ_s tables[q, s, C[i, s]]
+            approx = np.zeros((nq, n))
+            for s in range(C.shape[1]):
+                approx += tables[:, s, :][:, C[:, s]]
+            approx = np.round(approx, 6)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n),
+                    "neighbor_id": np.tile(ids, nq),
+                    "approx_d2": approx.reshape(-1),
+                }
+            )
+
+    scored = codes.mapInPandas(score, out_schema).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d2"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_d2", "rank")
+    )

@@ -282,3 +282,78 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return semantic_dedup(t.embeddings, n_clusters=64, threshold=0.4)
+
+
+def _pq_sql(m: int = 8, n_codes: int = 16, sub: int = 8, k: int = 10) -> str:
+    """DuckDB replay of deterministic PQ + ADC search: seeded codebooks
+    (first n_codes ids' sub-vectors), per-subspace encode by rounded L2
+    argmin (ties to the smaller code), query distance tables, approximate
+    distance = sum of m table lookups."""
+    subspaces = ", ".join(f"({s})" for s in range(m))
+    def d2(x_lo, c): return (
+        f"ROUND(list_dot_product({x_lo}, {x_lo})"
+        f" - 2 * list_dot_product({x_lo}, {c})"
+        f" + list_dot_product({c}, {c}), 6)"
+    )
+    x_sub = f"CAST(e.embedding[s.s*{sub}+1 : s.s*{sub}+{sub}] AS DOUBLE[])"
+    q_sub = f"CAST(q.embedding[s.s*{sub}+1 : s.s*{sub}+{sub}] AS DOUBLE[])"
+    c_sub = "b.cvec"
+    return f"""
+    WITH subs(s) AS (VALUES {subspaces}),
+    books AS (
+        SELECT s.s, c.code, CAST(c.embedding[s.s*{sub}+1 : s.s*{sub}+{sub}]
+               AS DOUBLE[]) AS cvec
+        FROM (
+            SELECT embedding, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                   AS INT) AS code
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_codes})
+        ) c CROSS JOIN subs s
+    ),
+    encoded AS (
+        SELECT vec_id, s, code FROM (
+            SELECT e.vec_id, s.s, b.code,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id, s.s
+                       ORDER BY {d2(x_sub, c_sub)} ASC, b.code ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN subs s
+            JOIN books b ON b.s = s.s
+        ) WHERE rn = 1
+    ),
+    dtab AS (
+        SELECT q.vec_id AS query_id, s.s, b.code,
+               {d2(q_sub, c_sub)} AS dt
+        FROM embeddings q CROSS JOIN subs s
+        JOIN books b ON b.s = s.s
+        WHERE q.vec_id < 10
+    ),
+    scored AS (
+        SELECT d.query_id, enc.vec_id AS neighbor_id,
+               ROUND(SUM(d.dt), 6) AS approx_d2
+        FROM encoded enc
+        JOIN dtab d ON d.s = enc.s AND d.code = enc.code
+        WHERE enc.vec_id != d.query_id
+        GROUP BY d.query_id, enc.vec_id
+    )
+    SELECT query_id, neighbor_id, approx_d2, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY approx_d2 ASC, neighbor_id ASC
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("sim_pq_topk", sql=_pq_sql())
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 (asymmetric distance): the corpus
+    compresses to 8 one-byte codes per vector (map-only encode, seeded
+    per-subspace codebooks), queries keep full precision and score a
+    neighbor with 8 distance-table lookups — the memory-bound ANN path
+    (32x compression) that IVF composes with at cluster scale. Oracle
+    replays the identical quantizer, codes and tables."""
+    from land_registry_data_ingestion_spark.operators.similarity import pq_topk
+
+    t = load_tables(spark, sf_dir)
+    probes = t.embeddings.filter(F.col("vec_id") < 10)
+    return pq_topk(t.embeddings, probes, m=8, n_codes=16, k=10)
