@@ -67,6 +67,8 @@ HEADLINE = [
     "dedup_semantic",
     "evt_funnel",
     "text_pipeline_pack",
+    "sim_pq_topk",
+    "text_lm_perplexity",
 ]
 
 
@@ -107,6 +109,8 @@ SCALE_QUERIES = [
     "text_segment_dedup",
     "dedup_semantic",
     "text_pipeline_pack",
+    "sim_pq_topk",
+    "text_lm_perplexity",
 ]
 
 
