@@ -28,6 +28,7 @@ from __future__ import annotations
 import datetime
 import hashlib
 import os
+import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -97,6 +98,51 @@ class IngestStore:
         self.spark.createDataFrame([row], FILE_LOG_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(self.file_log_path)
+
+    def compact_file_log(self) -> int:
+        """Ledger maintenance: every run appends one tiny ``coalesce(1)``
+        parquet file to ``file_log/``; at daily cadence that is 365 small
+        files a year, all scanned by every ``last_accepted()`` call.
+        Rewrites the ledger as a single file via staging-dir swap (write
+        next to the live dir, two renames, remove the old) so a crash at
+        any point leaves either the old or the new complete ledger on
+        disk. Returns the number of ledger rows carried over.
+
+        The reference has no analogue — its ledger is mutable DB rows —
+        but at parquet-ledger cadence this is the same maintenance Delta/
+        Iceberg call checkpoint/rewrite-manifests."""
+        if not os.path.isdir(self.file_log_path):
+            return 0
+        tmp = self.file_log_path + ".compacting"
+        old = self.file_log_path + ".old"
+        for stale in (tmp, old):
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+        df = self.spark.read.schema(FILE_LOG_SCHEMA).parquet(self.file_log_path)
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("n_rows")).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        os.rename(self.file_log_path, old)
+        os.rename(tmp, self.file_log_path)
+        shutil.rmtree(old)
+        return int(obs.get["n_rows"])
+
+    def maybe_compact_file_log(self, max_files: int = 64) -> bool:
+        """Compact when the ledger dir has fragmented past ``max_files``
+        parquet parts — an O(listdir) probe, so callers can run it every
+        cycle. Returns True when a compaction ran."""
+        if not os.path.isdir(self.file_log_path):
+            return False
+        n = sum(
+            1
+            for f in os.listdir(self.file_log_path)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        if n <= max_files:
+            return False
+        self.compact_file_log()
+        return True
 
     def last_accepted(self) -> dict | None:
         """Latest archive-decision row (W3: max_by over the ledger)."""

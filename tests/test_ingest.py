@@ -5,6 +5,7 @@ the snapshot, reconcile-clean after load."""
 from __future__ import annotations
 
 import datetime
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -209,3 +210,56 @@ def test_ingest_never_rereads_state_for_row_count(spark, store, tmp_path, monkey
     )
     assert row2["row_count"] == 4  # 3 + insert (delete is soft)
     assert row2["state_location"] not in read_paths
+
+
+def test_compact_file_log_bounds_files_and_preserves_latest(spark, store, tmp_path):
+    """100 appended runs end as a bounded file count with last_accepted()
+    (and the full ledger contents) unchanged."""
+    import datetime as _dt
+
+    for i in range(100):
+        store._append_log(
+            {
+                "run_id": f"r{i:03d}",
+                "source_path": f"/staged/{i}.csv",
+                "file_kind": "complete",
+                "sha256": f"{i:064x}",
+                "decision": "archive" if i % 3 == 0 else "garbage_collect",
+                "row_count": i if i % 3 == 0 else None,
+                "state_location": f"/state/{i}" if i % 3 == 0 else None,
+                "run_datetime": _dt.datetime(2024, 1, 1) + _dt.timedelta(days=i),
+            }
+        )
+    parts = lambda: sum(  # noqa: E731
+        1
+        for f in os.listdir(store.file_log_path)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    assert parts() == 100
+    before_last = store.last_accepted()
+    before_rows = sorted(r["run_id"] for r in store.file_log().collect())
+
+    assert store.compact_file_log() == 100
+    assert parts() == 1
+    assert store.last_accepted() == before_last
+    assert sorted(r["run_id"] for r in store.file_log().collect()) == before_rows
+
+    # the threshold probe: under the bound → no-op, over → compacts
+    assert store.maybe_compact_file_log(max_files=64) is False
+    for i in range(100, 170):
+        store._append_log(
+            {
+                "run_id": f"r{i:03d}",
+                "source_path": f"/staged/{i}.csv",
+                "file_kind": "monthly",
+                "sha256": f"{i:064x}",
+                "decision": "garbage_collect",
+                "row_count": None,
+                "state_location": None,
+                "run_datetime": _dt.datetime(2024, 1, 1) + _dt.timedelta(days=i),
+            }
+        )
+    assert parts() == 71
+    assert store.maybe_compact_file_log(max_files=64) is True
+    assert parts() == 1
+    assert store.file_log().count() == 170

@@ -8,18 +8,24 @@ import os
 
 import pytest
 
-from land_registry_data_ingestion_spark.operators.ingest import IngestStore
 from land_registry_data_ingestion_spark.operators.pipeline import (
+    make_store,
     run_monthly_cycle,
     run_snapshot_cycle,
 )
+from land_registry_data_ingestion_spark.operators.state import ManifestStore
 from tests.test_fetch import FlakyTransport
 from tests.test_ingest import MONTHLY, SNAP1
 
 
 @pytest.fixture()
 def store(spark, tmp_path):
-    return IngestStore(spark=spark, root=str(tmp_path / "store"))
+    # The pipeline's default store is the incremental ManifestStore; the
+    # whole cycle suite runs against it so the default path is what is
+    # exercised end-to-end.
+    s = make_store(spark, str(tmp_path / "store"))
+    assert isinstance(s, ManifestStore)
+    return s
 
 
 def test_snapshot_cycle_archives_staged_file(spark, store, tmp_path):
