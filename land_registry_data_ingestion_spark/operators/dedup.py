@@ -252,12 +252,40 @@ def lsh_bands(
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, num_hashes: int = 16, band_size: int = 4
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a
     candidate pair. Join key is (band_idx, band_hash) — shuffle volume is
-    rows × bands, never rows²."""
+    rows × bands, never rows².
+
+    ``max_band_df`` bounds bucket fan-out: a bucket of m docs emits
+    C(m,2) candidate pairs, so ONE degenerate band value (boilerplate- or
+    template-dominated corpora — docs whose sampled shingles coincide
+    without the docs being near-duplicates) can go quadratic even though
+    total bucket count stays linear. Buckets holding more than
+    ``max_band_df`` docs are dropped before the self-join — the analogue
+    of ``ngram_jaccard_pairs``' ``max_shingle_df`` one level up. Recall
+    note: a TRUE near-dup family of m > max_band_df identical-signature
+    docs normally still pairs via the exact-content collapse in
+    :func:`minhash_near_duplicates` (identical docs never reach the
+    banded join at all); the cap only risks pairs whose sole common band
+    is a hot one, which at sensible caps (≥ 64) are overwhelmingly
+    coincidence pairs the verify step would reject anyway. Default off —
+    declared-query semantics (and their oracles) are exact."""
     bands = lsh_bands(signatures, num_hashes, band_size)
+    if max_band_df is not None:
+        # ids-only aggregate + semi join on the same key the candidate
+        # join shuffles on — no extra data movement of consequence.
+        ok = (
+            bands.groupBy("band_idx", "band_hash")
+            .agg(F.count("*").alias("band_df"))
+            .filter(F.col("band_df") <= max_band_df)
+            .select("band_idx", "band_hash")
+        )
+        bands = bands.join(ok, ["band_idx", "band_hash"], "left_semi")
     a = bands.select("band_idx", "band_hash", F.col("doc").alias("doc_a"))
     b = bands.select("band_idx", "band_hash", F.col("doc").alias("doc_b"))
     return (
@@ -276,6 +304,7 @@ def minhash_near_duplicates(
     num_hashes: int = 16,
     band_size: int = 4,
     threshold: float = 0.5,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified with exact Jaccard
     (verify step touches only candidate pairs).
@@ -305,32 +334,36 @@ def minhash_near_duplicates(
     """
     # Deliberately NOT a shared barrier on the fat shingled frame: caching
     # the 140-string arrays for 100k docs costs more (block-store
-    # materialization + memory pressure) than recomputing the 1.2 s
-    # shingle map for the collapse — measured 4.2 s total with the map run
-    # twice vs 13-25 s with the shared cache. Only the two skinny frames
-    # (id projection, collapsed reps) are barriered.
-    shingled_all = _shingled(df, id_col, text_col, k).withColumn(
+    # materialization + memory pressure) than recomputing the shingle map
+    # — measured 4.2 s total with the map run twice vs 13-25 s with the
+    # shared cache. Only the skinny frames (id projection, collapsed
+    # reps) are barriered, and the second shingle pass runs over the
+    # REPRESENTATIVES ONLY (collapse-factor× less text than the round-2
+    # shape, which re-shingled every member into the groupBy and shuffled
+    # all members' shingle arrays; here only rep ids cross the join and
+    # only rep arrays are ever built).
+    shingled_ids = _shingled(df, id_col, text_col, k).withColumn(
         # \x01 join: shingles never contain control chars, so the key is
         # injective on arrays; md5 collision odds are the same the hash
         # family itself already accepts.
         "cfp",
         F.md5(F.concat_ws("\x01", "shingles")),
-    )
-    members = barrier(
-        shingled_all.select("doc", "cfp", "n_shingles")
+    ).select("doc", "cfp", "n_shingles")
+    members = barrier(shingled_ids)
+    rep_ids = members.groupBy("cfp").agg(F.min("doc").alias("doc")).select("doc")
+    reps = df.join(
+        rep_ids.withColumnRenamed("doc", id_col), id_col, "left_semi"
     )
     sh = barrier(
-        shingled_all.groupBy("cfp").agg(
-            F.min("doc").alias("doc"),
-            # any member's array — they are identical within the group
-            F.first("shingles").alias("shingles"),
-            F.first("n_shingles").alias("n_shingles"),
+        _shingled(reps, id_col, text_col, k).join(
+            members.select("doc", "cfp"), "doc"
         )
     )
     cands = minhash_lsh_candidates(
         minhash_signatures_from_shingles(sh, num_hashes),
         num_hashes,
         band_size,
+        max_band_df=max_band_df,
     )
     # Length-filter prune (AllPairs/PPJoin-style) BEFORE the arrays move:
     # J(A,B) ≥ t ⟹ t·|B| ≤ |A| — candidates failing the size-ratio test

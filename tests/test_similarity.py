@@ -46,6 +46,51 @@ def test_minhash_finds_planted_near_duplicate(spark):
     assert all(p == (1, 2) for p in pairs)
 
 
+def test_minhash_band_df_cap_bounds_hot_buckets(spark):
+    """A hot band bucket (many DISTINCT docs sharing one band) emits
+    C(m,2) candidates; ``max_band_df`` drops the bucket. Exact duplicate
+    families are immune — they pair via the content collapse, which the
+    cap must never touch."""
+    from land_registry_data_ingestion_spark.operators.dedup import (
+        lsh_bands,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    # 12 near-identical docs (one token differs) → identical or
+    # near-identical signatures → at least one hot bucket of ~12 reps.
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(i, base + f" tail{i}") for i in range(12)], ["doc_id", "text"]
+    )
+    sigs = minhash_signatures(docs, "doc_id").cache()
+    hot = (
+        lsh_bands(sigs)
+        .groupBy("band_idx", "band_hash")
+        .count()
+        .agg({"count": "max"})
+        .collect()[0][0]
+    )
+    assert hot >= 10  # the corpus really does produce a hot bucket
+    uncapped = minhash_lsh_candidates(sigs).count()
+    capped = minhash_lsh_candidates(sigs, max_band_df=4).count()
+    assert uncapped > capped  # the hot bucket stopped fanning out
+    # a generous cap (≥ bucket size) changes nothing
+    assert minhash_lsh_candidates(sigs, max_band_df=64).count() == uncapped
+    sigs.unpersist()
+
+    # exact 6-way duplicate family: pairs survive ANY cap via the collapse
+    fam = spark.createDataFrame(
+        [(i, base) for i in range(6)] + [(99, "unrelated " * 30)],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_near_duplicates(
+        fam, "doc_id", threshold=0.5, max_band_df=1
+    ).collect()
+    assert len(pairs) == 15  # C(6,2), all jaccard 1.0
+    assert all(r["jaccard"] == 1.0 for r in pairs)
+
+
 @pytest.fixture(scope="module")
 def embeddings(spark):
     return load_tables(spark, SF_CORRECTNESS).embeddings
