@@ -100,24 +100,57 @@ def extract_features(
     return pruned.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+def _pil_image():
+    """Optional real codec: PIL when installed, else None (the container
+    this engine is developed in has no image libraries — the real path is
+    exercised wherever PIL exists, see tests/test_multimodal.py)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def resize_images(
     media: DataFrame, width: int, height: int, decode_stub: bool = True
 ) -> DataFrame:
     """Resize the image rows; non-image rows pass through untouched.
 
-    Output schema == input schema (content replaced, meta updated)."""
+    Output schema == input schema (content replaced, meta updated).
+    ``decode_stub=False`` uses a REAL decode→resize→re-encode (PNG) via
+    PIL when importable on the executors; without PIL it raises
+    ``NotImplementedError`` at the exact point a deployment must supply
+    the codec. The Spark-side shape (pruned Arrow batches, pass-through
+    of non-image rows, schema stability) is identical in both modes."""
+
+    def _real_resize(b: bytes | None):
+        import io
+
+        Image = _pil_image()
+        if Image is None:
+            raise NotImplementedError("real image resize requires PIL")
+        if not b:
+            return b
+        with Image.open(io.BytesIO(bytes(b))) as im:
+            out = io.BytesIO()
+            im.resize((width, height)).save(out, format="PNG")
+            return out.getvalue()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             mask = pdf["media_type"] == "image"
             if mask.any():
-                if not decode_stub:
-                    raise NotImplementedError("real image resize requires PIL")
-                # deterministic fake: re-hash content to the target size
-                pdf.loc[mask, "content"] = pdf.loc[mask, "content"].map(
-                    lambda b: hashlib.sha256(b or b"").digest()
-                    * (1 + width * height // 32)
-                )
+                if decode_stub:
+                    # deterministic fake: re-hash content to the target size
+                    pdf.loc[mask, "content"] = pdf.loc[mask, "content"].map(
+                        lambda b: hashlib.sha256(b or b"").digest()
+                        * (1 + width * height // 32)
+                    )
+                else:
+                    pdf.loc[mask, "content"] = pdf.loc[mask, "content"].map(
+                        _real_resize
+                    )
                 pdf.loc[mask, "meta_width"] = width
                 pdf.loc[mask, "meta_height"] = height
             yield pdf

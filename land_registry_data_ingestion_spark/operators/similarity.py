@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -161,12 +163,26 @@ def _expand_identical_pairs(
     return cross.unionByName(intra)
 
 
+# Auto-sizing target: distinct vectors per hash block. Bounds the
+# per-group kernel at ~2·this many rows, i.e. an 8192² score matrix
+# worst-case per task (chunked), independent of corpus size.
+_BLOCK_TARGET_ROWS = 4096
+
+
+def _auto_n_blocks(n_reps: int, parallelism: int) -> int:
+    """Block count for :func:`blocked_cosine_pairs`: ⌈n/4096⌉ keeps every
+    group's kernel bounded; the √parallelism floor keeps small corpora
+    spread across the cluster (group count ≈ blocks²/2 ≈ cores/2)."""
+    floor = max(1, math.isqrt(parallelism))
+    return max(floor, math.ceil(n_reps / _BLOCK_TARGET_ROWS))
+
+
 def blocked_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact cosine-threshold self-join as a 2D block-partitioned theta
     join (Okcan & Riedewald's 1-bucket style): no broadcast of the corpus,
@@ -178,7 +194,17 @@ def blocked_cosine_pairs(
     pair only in the group addressed by its own two blocks — no distinct
     needed). Shuffle is O(n·n_blocks) vectors via a plain hash join on the
     group key; per-task compute is O((n/n_blocks)²) exact cosines on the
-    Arrow fast path. Pick ``n_blocks ≈ sqrt(cluster cores)`` at scale.
+    Arrow fast path.
+
+    ``n_blocks=None`` (default) derives the block count from the DISTINCT
+    vector count so a 100× input cannot silently build an O((n/8)²) task:
+    blocks scale as ⌈n/4096⌉ (floored at √parallelism so small corpora
+    still spread over the cluster), bounding every group's kernel at ~8k
+    vectors regardless of corpus size — replication (and thus shuffle)
+    grows as n·⌈n/4096⌉, the unavoidable O(n²/B) cost of an exact
+    threshold self-join. The result is identical for ANY block count
+    (each unordered pair scores in exactly one group), so the parameter
+    is purely physical.
 
     Why exact-blocked rather than LSH here: at a permissive threshold like
     0.4 the equivalent distance radius on the unit sphere is
@@ -192,6 +218,12 @@ def blocked_cosine_pairs(
     # Identical-vector collapse: the O(n²/blocks²) per-task compute runs
     # over distinct vectors only; duplicate families re-expand at the end.
     rep_df, members = _collapse_identical_vectors(df, id_col, vec_col)
+    if n_blocks is None:
+        # rep_df is barriered by the collapse, so this count fills the
+        # cache the block assignment below reads — not an extra pass.
+        n_blocks = _auto_n_blocks(
+            rep_df.count(), df.sparkSession.sparkContext.defaultParallelism
+        )
     base = rep_df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     ).withColumn(

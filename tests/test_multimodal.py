@@ -55,3 +55,43 @@ def test_sample_video_frames_cadence(media):
 def test_stub_gate_raises(media):
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         extract_features(media, decode_stub=False).collect()
+
+
+def test_resize_images_real_codec_when_pil_present(spark):
+    """Real decode→resize→re-encode path: green wherever PIL is
+    installed, skipped in codec-less containers (this one)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from land_registry_data_ingestion_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (8, 6), (200, 10, 10)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(buf.getvalue()), 8, 6, None, None)],
+        MEDIA_SCHEMA,
+    )
+    out = resize_images(media, 4, 3, decode_stub=False).collect()[0]
+    assert (out["meta_width"], out["meta_height"]) == (4, 3)
+    with PIL_Image.open(io.BytesIO(bytes(out["content"]))) as im:
+        assert im.size == (4, 3)
+
+
+def test_resize_images_real_path_raises_without_pil(media):
+    """Without PIL the real path must fail loudly at the codec point,
+    not silently produce stub output."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed — covered by the real-codec test")
+    except ImportError:
+        pass
+    from land_registry_data_ingestion_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    with pytest.raises(Exception, match="NotImplementedError|requires PIL"):
+        resize_images(media, 4, 3, decode_stub=False).collect()

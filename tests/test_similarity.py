@@ -156,6 +156,31 @@ def test_blocked_cosine_pairs_matches_bruteforce(spark, embeddings):
             ).collect()
         }
         assert blocked == exact, f"mismatch at n_blocks={n_blocks}"
+    # auto-sizing (n_blocks=None) must give the identical result too
+    auto = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in blocked_cosine_pairs(embeddings, threshold=0.4).collect()
+    }
+    assert auto == exact
+
+
+def test_blocked_cosine_auto_blocks_scale_with_corpus():
+    """The auto-derived block count grows linearly with the distinct-vector
+    count (bounded per-group kernels at any input size) and never drops
+    below the √parallelism floor (small corpora still parallelize)."""
+    from land_registry_data_ingestion_spark.operators.similarity import (
+        _BLOCK_TARGET_ROWS,
+        _auto_n_blocks,
+    )
+
+    assert _auto_n_blocks(100, 32) == 5  # floor: isqrt(32)
+    assert _auto_n_blocks(100, 1) == 1
+    assert _auto_n_blocks(50_000, 32) == 13  # ceil(50k/4096)
+    # 100× the input → ~100× the blocks, so per-group stays ~constant
+    n1 = _auto_n_blocks(1_000_000, 1024)
+    n2 = _auto_n_blocks(100_000_000, 1024)
+    assert n2 >= 99 * n1
+    assert 100_000_000 / n2 <= _BLOCK_TARGET_ROWS
 
 
 def test_blocked_cosine_pairs_plan_has_no_broadcast_nested_loop(spark, embeddings):
