@@ -360,3 +360,103 @@ def lm_perplexity_score(
         F.round(F.avg("nll"), 6).alias("lm_nll"),
         F.count(F.lit(1)).cast("long").alias("n_scored_tokens"),
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    top_n: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists (Cormack et al.):
+    ``score(d) = Σ_lists 1/(k + rank_list(d))``, absent-from-a-list
+    contributing 0. The standard way to combine a lexical (BM25) and a
+    semantic (embedding ANN) ranking without score calibration — ranks
+    are comparable, raw scores are not.
+
+    Scale shape: both inputs are top-n lists (already reduced by their
+    producers), so the fusion is a full-outer join of two ~top_n-row
+    frames plus one TakeOrderedAndProject — driver-scale work regardless
+    of corpus size; the heavy lifting stays in the producers."""
+    a = ranked_a.select(F.col(id_col), F.col(rank_col).alias("rank_a"))
+    b = ranked_b.select(F.col(id_col), F.col(rank_col).alias("rank_b"))
+    fused = (
+        a.join(b, id_col, "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (F.lit(k_rrf) + F.col("rank_a")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(k_rrf) + F.col("rank_b")), F.lit(0.0)),
+                6,
+            ),
+        )
+        .select(id_col, "rank_a", "rank_b", "rrf")
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc(id_col))
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(top_n)
+        .withColumn("fused_rank", F.row_number().over(w).cast("long"))
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target_filter: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    documents are featurized as hashed token counts, a target and a raw
+    unigram bucket distribution are estimated (add-1 smoothed), and each
+    document scores ``log w(d) = Σ_t ln p_target(b(t)) − ln p_raw(b(t))``
+    — sampling ∝ exp(log_weight) tilts the raw corpus toward the target
+    domain. Bucket hash is md5-derived so any engine replays it.
+
+    Shuffle ledger at 100 TB: one explode → (doc, bucket) pass, barriered,
+    feeds (a) the bucket×class histogram — AT MOST ``2·n_buckets`` rows
+    after map-side combine, broadcast back — and (b) the per-document sum
+    (doc-keyed agg). Text is tokenized once; nothing corpus-sized is ever
+    broadcast or collected."""
+    is_target = df.select(
+        F.col(id_col), target_filter.cast("boolean").alias("is_target")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    tok = barrier(
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
+        )
+        .withColumn("bucket", bucket)
+        .drop("term")
+        .join(is_target, id_col)
+    )
+    hist = tok.groupBy("bucket").agg(
+        F.sum(F.col("is_target").cast("long")).alias("c_t"),
+        F.sum((~F.col("is_target")).cast("long")).alias("c_r"),
+    )
+    totals = hist.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
+    )
+    ratio = (
+        hist.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "log_ratio",
+            F.log((F.col("c_t") + 1.0) / (F.col("n_t") + F.lit(n_buckets)))
+            - F.log((F.col("c_r") + 1.0) / (F.col("n_r") + F.lit(n_buckets))),
+        )
+        .select("bucket", "log_ratio")
+    )
+    return tok.join(F.broadcast(ratio), "bucket").groupBy(id_col).agg(
+        F.round(F.sum("log_ratio"), 6).alias("log_weight"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.first("is_target").alias("is_target"),
+    )

@@ -362,3 +362,50 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return lm_perplexity_score(t.documents)
+
+
+@query(
+    "text_dsir_weights",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(term), 1, 8))::BIGINT % 256 AS bucket,
+               lang = 'en' AS is_target
+        FROM (SELECT doc_id, lang, unnest({_TOKS}) AS term FROM documents
+              WHERE {_NORM} != '')
+    ),
+    hist AS (
+        SELECT bucket,
+               SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t,
+               SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS c_r
+        FROM tok GROUP BY bucket
+    ),
+    totals AS (SELECT SUM(c_t) AS n_t, SUM(c_r) AS n_r FROM hist),
+    ratio AS (
+        SELECT bucket,
+               ln((c_t + 1.0) / (n_t + 256)) - ln((c_r + 1.0) / (n_r + 256))
+                   AS log_ratio
+        FROM hist CROSS JOIN totals
+    )
+    SELECT doc_id,
+           ROUND(SUM(log_ratio), 6) AS log_weight,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           BOOL_OR(is_target) AS is_target
+    FROM tok JOIN ratio USING (bucket)
+    GROUP BY doc_id
+    """,
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights for tilting the raw corpus toward the
+    English-language target slice: hashed-unigram (256-bucket) target/raw
+    distributions, add-1 smoothed, per-doc summed log ratio. The bucket
+    histogram is ≤2·256 rows broadcast back over one barriered
+    (doc, bucket) explode — nothing corpus-sized moves twice."""
+    from land_registry_data_ingestion_spark.operators.corpus import (
+        dsir_importance_weights,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return dsir_importance_weights(
+        t.documents, target_filter=F.col("lang") == "en"
+    )

@@ -99,6 +99,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "text_lm_perplexity",
     # New this round — not yet checked anywhere.
     "cdc_state_as_of",
+    "sim_hybrid_rrf",
+    "text_dsir_weights",
     # Checked in round 1 but dropped by the round-2 window.
     "sim_cosine_pairs",
     "sim_topk_bruteforce",

@@ -357,3 +357,86 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     probes = t.embeddings.filter(F.col("vec_id") < 10)
     return pq_topk(t.embeddings, probes, m=8, n_codes=16, k=10)
+
+
+_RRF_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_RRF_TOKS = f"string_split_regex({_RRF_NORM}, '\\s+')"
+_RRF_NTOK = (
+    "CAST(CASE WHEN trim(text) = '' THEN 0"
+    " ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)"
+)
+
+
+@query(
+    "sim_hybrid_rrf",
+    sql=f"""
+    WITH tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest({_RRF_TOKS}) AS term FROM documents)
+        WHERE term IN ('merge', 'spark', 'window')
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY term
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG({_RRF_NTOK}) AS avgdl
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, {_RRF_NTOK} AS dl FROM documents),
+    bm AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        JOIN dl ON tf.doc_id = dl.doc_id
+        GROUP BY tf.doc_id
+    ),
+    lex AS (
+        SELECT doc_id, CAST(ROW_NUMBER() OVER (
+            ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank_a
+        FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50
+    ),
+    sem AS (
+        SELECT doc_id, CAST(ROW_NUMBER() OVER (
+            ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank_b
+        FROM (
+            SELECT c.vec_id AS doc_id, {_COS.replace("a.embedding", "q.embedding").replace("b.embedding", "c.embedding")} AS cosine
+            FROM embeddings c JOIN embeddings q
+              ON q.vec_id = 0 AND c.vec_id != 0
+        ) ORDER BY cosine DESC, doc_id LIMIT 50
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.rank_a, s.rank_b,
+               ROUND(COALESCE(1.0 / (60 + l.rank_a), 0)
+                     + COALESCE(1.0 / (60 + s.rank_b), 0), 6) AS rrf
+        FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, rank_a, rank_b, rrf,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+               AS fused_rank
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 for the bag {merge, spark, window}
+    fused with the exact cosine top-50 around probe vector 0 (doc ids and
+    vec ids are aligned in the corpus) by reciprocal-rank fusion
+    (score = Σ 1/(60+rank)). Each leg is produced by its scale-path
+    operator (term-pruned BM25, broadcast-probe top-k); the fusion itself
+    joins two 50-row frames — driver-scale at any corpus size."""
+    from land_registry_data_ingestion_spark.operators.corpus import (
+        bm25_search,
+        rrf_fuse,
+    )
+
+    t = load_tables(spark, sf_dir)
+    lex = bm25_search(t.documents, ["merge", "spark", "window"], top_n=50)
+    probe = t.embeddings.filter(F.col("vec_id") == 0)
+    sem = brute_force_topk(t.embeddings, probe, k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(lex, sem, id_col="doc_id", top_n=20)
