@@ -69,6 +69,8 @@ HEADLINE = [
     "text_pipeline_pack",
     "sim_pq_topk",
     "text_lm_perplexity",
+    "sim_hybrid_rrf",
+    "text_dsir_weights",
 ]
 
 
@@ -111,6 +113,7 @@ SCALE_QUERIES = [
     "text_pipeline_pack",
     "sim_pq_topk",
     "text_lm_perplexity",
+    "text_dsir_weights",
 ]
 
 

@@ -44,7 +44,6 @@ from land_registry_data_ingestion_spark.operators.merge import (
     validate_unique,
 )
 from land_registry_data_ingestion_spark.sources.csv import (
-    read_price_paid_csv,
     read_price_paid_csv_with_rejects,
 )
 
@@ -244,8 +243,7 @@ def ingest_snapshot(
         store._append_log(row)
         return row
 
-    df = _read_gated(store, csv_path, n_columns, strict)
-    _assert_unique(df, "transaction_unique_id", "snapshot file")
+    df = _gate_batch(store, csv_path, n_columns, strict, "snapshot file")
     state = init_state(df.drop("record_op"), batch_timestamp=F.lit(now))
     location = store.state_path(sha)
     row_count = store.write_state(state, location)
@@ -264,34 +262,9 @@ def ingest_snapshot(
     return row
 
 
-def _read_gated(
-    store: IngestStore, csv_path: str, n_columns: int, strict: bool
-) -> DataFrame:
-    """Read the staged file; under ``strict`` (default) reject the batch
-    if any row's price/date failed its cast — the reference crashes on
-    such rows (DB constraint), this engine refuses with samples instead
-    of silently nulling values into state."""
-    if not strict:
-        return read_price_paid_csv(store.spark, csv_path, n_columns=n_columns)
-    df, rejects = read_price_paid_csv_with_rejects(
-        store.spark, csv_path, n_columns=n_columns
-    )
-    bad = rejects.limit(5).collect()
-    if bad:
-        sample = ", ".join(
-            f"{r['transaction_unique_id']}({r['reject_reason']})" for r in bad
-        )
-        raise ValueError(
-            f"malformed values in {csv_path} (e.g. {sample}) — batch "
-            f"rejected before any state was written"
-        )
-    return df
-
-
 def _assert_unique(df: DataFrame, key_col: str, what: str) -> None:
-    """Fail the run on duplicate business keys — the ≤1-row-per-key
-    invariant the reference enforces via ``.one()`` crashing. Sample keys
-    are surfaced so the rejection is actionable."""
+    """Standalone uniqueness probe for frames of untrusted provenance
+    (``validate_current=True``); batch files get the fused gate below."""
     dups = validate_unique(df, key_col).limit(5).collect()
     if dups:
         sample = ", ".join(str(r[key_col]) for r in dups)
@@ -299,6 +272,60 @@ def _assert_unique(df: DataFrame, key_col: str, what: str) -> None:
             f"duplicate {key_col} in {what} (e.g. {sample}) — "
             f"refusing to merge; the full-outer join would fan out"
         )
+
+
+def _gate_batch(
+    store: IngestStore, csv_path: str, n_columns: int, strict: bool, what: str
+) -> DataFrame:
+    """Read the staged file and enforce every batch invariant in ONE
+    aggregate pass over one parse:
+
+    - ``strict`` (default): no row's price/date failed its cast — the
+      reference crashes on such rows (DB constraint); this engine refuses
+      with samples instead of silently nulling values into state;
+    - ≤1 row per business key — the invariant the reference enforces via
+      ``.one()`` crashing; a duplicate would fan out the merge join.
+
+    Both checks collapse into a single scan-wide aggregate (count /
+    count_distinct / conditional counts — partial-aggregated, so the
+    shuffle is one row per task, unlike the groupBy-on-key probe this
+    replaces). The happy path therefore costs exactly two parses of the
+    staged CSV per run: this gate and the state write. Sample rows for
+    the error message are fetched by a targeted query only on the
+    failure path."""
+    key = "transaction_unique_id"
+    df, rejects = read_price_paid_csv_with_rejects(
+        store.spark, csv_path, n_columns=n_columns
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col(key)).alias("n_keys"),
+    ]
+    if strict:
+        aggs.append(
+            F.sum(
+                (F.col("price").isNull() | F.col("transaction_date").isNull())
+                .cast("long")
+            ).alias("n_bad")
+        )
+    g = df.agg(*aggs).collect()[0]
+    if strict and g["n_bad"]:
+        bad = rejects.limit(5).collect()  # failure path only
+        sample = ", ".join(
+            f"{r['transaction_unique_id']}({r['reject_reason']})" for r in bad
+        ) or "all-null after cast: grammar-broken or missing fields"
+        raise ValueError(
+            f"malformed values in {csv_path} (e.g. {sample}) — batch "
+            f"rejected before any state was written"
+        )
+    if g["n_keys"] < g["n_rows"]:
+        dups = validate_unique(df, key).limit(5).collect()  # failure path only
+        sample = ", ".join(str(r[key]) for r in dups)
+        raise ValueError(
+            f"duplicate {key} in {what} (e.g. {sample}) — "
+            f"refusing to merge; the full-outer join would fan out"
+        )
+    return df
 
 
 def ingest_monthly_update(
@@ -344,8 +371,9 @@ def ingest_monthly_update(
         store._append_log(row)
         return row
 
-    updates = _read_gated(store, csv_path, n_columns, strict)
-    _assert_unique(updates, "transaction_unique_id", "monthly update batch")
+    updates = _gate_batch(
+        store, csv_path, n_columns, strict, "monthly update batch"
+    )
     current, carry = store.current_for_merge(updates, "transaction_unique_id")
     if validate_current:
         _assert_unique(current, "transaction_unique_id", "current state")
