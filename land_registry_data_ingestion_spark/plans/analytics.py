@@ -225,6 +225,10 @@ def q5_smoothed_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional semantics over sorted rows, exactly the reference's
     ``rolling(window=7, center=True)`` (normalized_delay.ipynb cell 42)."""
     normalized = q4_normalized_delay(spark, sf_dir)
+    # Unpartitioned window = one task, which is safe ONLY because the input
+    # is the aggregated delay axis (~400 rows at any data scale — bounded by
+    # the distinct delay values, not the row count). Do not reuse this window
+    # shape over an unaggregated input.
     w = Window.orderBy("delay_days").rowsBetween(-3, 3)
     return normalized.select(
         "delay_days",

@@ -409,3 +409,76 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_weights(
         t.documents, target_filter=F.col("lang") == "en"
     )
+
+
+@query(
+    "text_token_budget_sample",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               md5('budget|' || CAST(doc_id AS VARCHAR)) AS k,
+               {_NTOK_RAW} AS n_tokens
+        FROM documents
+    ),
+    b AS (
+        SELECT source, CAST(floor(sum(n_tokens) / 2) AS BIGINT) AS budget
+        FROM tok GROUP BY source
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY k
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cum_tokens
+        FROM tok
+    )
+    SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens
+    FROM c JOIN b USING (source)
+    WHERE c.cum_tokens <= b.budget
+    """,
+)
+def text_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing: every source keeps a deterministic
+    hash-ordered prefix of its documents worth at most half its token
+    mass — the shape of a data-mixture rebalance (down-sample dominant
+    sources to a token target, stable under corpus growth because the
+    order key is a per-doc hash, not arrival order).
+
+    The running total is NOT the single-task-per-group window DuckDB runs:
+    it is the two-pass chunked prefix sum (``grouped_running_sum``) —
+    per-(source, chunk) local cumsums in parallel, a tiny per-source
+    offset table broadcast back — bit-equal on integer token counts, and
+    the per-group scan stays parallel even when one source dominates a
+    100 TB corpus."""
+    from land_registry_data_ingestion_spark.functions.text import token_count
+    from land_registry_data_ingestion_spark.operators.prefixsum import (
+        grouped_running_sum,
+        hex_prefix_chunks,
+    )
+    from land_registry_data_ingestion_spark.util import spread
+
+    t = load_tables(spark, sf_dir)
+    tok = spread(t.documents).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat(F.lit("budget|"), F.col("doc_id").cast("string"))
+        ).alias("k"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    budgets = tok.groupBy("source").agg(
+        F.floor(F.sum("n_tokens") / 2).cast("long").alias("budget")
+    )
+    cum = grouped_running_sum(
+        tok,
+        group_cols=["source"],
+        order_col="k",
+        value_col="n_tokens",
+        chunk_expr=hex_prefix_chunks(F.col("k"), 64),
+        out_col="cum_tokens",
+    )
+    return (
+        cum.join(F.broadcast(budgets), "source")
+        .where(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )

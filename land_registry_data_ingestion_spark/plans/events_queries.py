@@ -325,3 +325,82 @@ def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("zscore"),
         )
     )
+
+
+@query(
+    "evt_range_join",
+    sql="""
+    WITH iv AS (
+        SELECT event_id AS purchase_id, ts AS lo,
+               ts + INTERVAL 30 MINUTE AS hi
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT purchase_id, CAST(count(*) AS BIGINT) AS n_events_30m
+    FROM iv JOIN events e ON e.ts >= iv.lo AND e.ts <= iv.hi
+    GROUP BY purchase_id
+    """,
+)
+def evt_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with NO equi key: for every purchase, how many events
+    (any user) land in the 30 minutes that follow it. The naive plan is a
+    nested-loop/cartesian compare of every event against every interval;
+    the declared plan is ``bucketed_range_join`` — intervals exploded to
+    the 30-minute buckets they overlap, a plain equi-join on the bucket
+    id, then the exact BETWEEN re-check — so the comparison volume is
+    per-bucket, not |events|·|purchases|, and AQE can split hot buckets.
+    The plan gate (tests/test_plans.py) proves no CartesianProduct /
+    BroadcastNestedLoopJoin survives."""
+    from land_registry_data_ingestion_spark.operators.rangejoin import (
+        bucketed_range_join,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select(F.col("ts").alias("ev_ts"))
+    iv = t.events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"),
+    )
+    joined = bucketed_range_join(
+        ev, iv, left_ts_col="ev_ts", lo_col="lo", hi_col="hi", bucket_s=1800
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("*").alias("n_events_30m")
+    )
+
+
+@query(
+    "evt_rolling_24h",
+    sql="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_24h,
+           ROUND(sum(value) OVER w, 6) AS sum_value_24h
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def evt_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based (RANGE) rolling aggregate: per user, the count and value
+    sum of that user's events in the trailing 24 hours, inclusive. Unlike
+    the rows-based W2 window, the frame is defined on the time axis, so
+    both engines order by second-truncated epoch (timestamp→long is a
+    floor for positive epochs, matching DuckDB's floor(epoch(ts))) and
+    events in the same second are peers on both sides. One shuffle on
+    user_id; frame scan is bounded by the 24 h horizon per user, which is
+    the property that holds at any event volume."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-86400, 0)
+    )
+    return t.events.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_24h"),
+        F.round(F.sum("value").over(w), 6).alias("sum_value_24h"),
+    )

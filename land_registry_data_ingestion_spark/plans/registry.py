@@ -101,6 +101,10 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "cdc_state_as_of",
     "sim_hybrid_rrf",
     "text_dsir_weights",
+    "evt_range_join",
+    "evt_rolling_24h",
+    "sim_kmeans_clusters",
+    "text_token_budget_sample",
     # Checked in round 1 but dropped by the round-2 window.
     "sim_cosine_pairs",
     "sim_topk_bruteforce",

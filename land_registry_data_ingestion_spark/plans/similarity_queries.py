@@ -440,3 +440,70 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("doc_id"), "rank"
     )
     return rrf_fuse(lex, sem, id_col="doc_id", top_n=20)
+
+
+@query(
+    "sim_kmeans_clusters",
+    sql=f"""
+    WITH c AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    d AS (
+        SELECT e.vec_id, c.cid,
+               ROUND(
+                 list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])))),
+                 6) AS cos
+        FROM embeddings e CROSS JOIN c
+    ),
+    a AS (
+        SELECT vec_id, cid, cos, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY cos DESC, cid ASC
+        ) AS rn
+        FROM d
+    )
+    SELECT cid AS centroid_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           ROUND(AVG(cos), 6) AS avg_cos
+    FROM a WHERE rn = 1
+    GROUP BY cid
+    """,
+)
+def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means cluster profile (k = 8, deterministic smallest-id
+    seeds): every vector is assigned to its max-cosine centroid (ties to
+    the smallest centroid id) and each cluster reports its size and mean
+    member-to-centroid cosine. Assignment and scoring run on the Arrow
+    fast path (``ivf_assign_vectorized`` — centroids collected, small by
+    construction, corpus streamed map-only), so the corpus never shuffles
+    until the k-row final aggregate; cluster scale is O(n·k) work with
+    zero joins on the corpus side. Seeds can be refined with
+    ``refine_centroids`` / ``kmeans_parallel_init`` (recall-tested flags
+    of the IVF index); the declared query keeps the RNG-free seeding so a
+    second engine rebuilds the identical clustering."""
+    from land_registry_data_ingestion_spark.operators.similarity import (
+        cosine_score_pairs_vectorized,
+        ivf_assign_vectorized,
+        seed_centroids,
+    )
+
+    t = load_tables(spark, sf_dir)
+    cent = seed_centroids(t.embeddings, n_centroids=8)
+    assigned = ivf_assign_vectorized(
+        t.embeddings.select("vec_id", "embedding"), cent
+    )
+    cvecs = cent.select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    scored = cosine_score_pairs_vectorized(
+        assigned.join(F.broadcast(cvecs), "centroid_id"),
+        "embedding",
+        "cvec",
+        "cos",
+    )
+    return scored.groupBy("centroid_id").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.avg("cos"), 6).alias("avg_cos"),
+    )

@@ -1,0 +1,147 @@
+"""Unit tests for the bucketed range join and the distributed prefix sum.
+
+Both operators claim bit-equality with their naive single-task forms —
+these tests prove it on adversarial small frames (boundary timestamps,
+uneven chunks, one dominant group), and gate the range join's plan
+against nested-loop fallbacks.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from land_registry_data_ingestion_spark.operators.prefixsum import (
+    grouped_running_sum,
+    hex_prefix_chunks,
+)
+from land_registry_data_ingestion_spark.operators.rangejoin import (
+    bucketed_range_join,
+)
+
+
+def _events(spark, n=200, seed=7):
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=rng.randrange(0, 7 * 86400)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "ev_id long, ev_ts timestamp")
+
+
+def _intervals(spark, n=40, seed=11):
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(n):
+        lo = base + dt.timedelta(seconds=rng.randrange(0, 7 * 86400))
+        rows.append((i, lo, lo + dt.timedelta(seconds=rng.randrange(0, 4 * 3600))))
+    return spark.createDataFrame(rows, "iv_id long, lo timestamp, hi timestamp")
+
+
+def _naive(left, right):
+    return left.join(
+        right,
+        (F.col("ev_ts") >= F.col("lo")) & (F.col("ev_ts") <= F.col("hi")),
+    )
+
+
+@pytest.mark.parametrize("bucket_s", [60, 3600, 86400])
+def test_range_join_matches_naive_at_any_bucket_width(spark, bucket_s):
+    left, right = _events(spark), _intervals(spark)
+    got = sorted(
+        bucketed_range_join(left, right, "ev_ts", "lo", "hi", bucket_s)
+        .select("ev_id", "iv_id")
+        .collect()
+    )
+    want = sorted(_naive(left, right).select("ev_id", "iv_id").collect())
+    assert got == want and len(want) > 0
+
+
+def test_range_join_bounds_inclusive_and_exactly_once(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # events exactly at lo, at hi, just outside either bound, and an
+    # interval spanning multiple buckets (hi - lo >> bucket_s)
+    left = spark.createDataFrame(
+        [
+            (1, t0),
+            (2, t0 + dt.timedelta(seconds=7200)),
+            (3, t0 - dt.timedelta(microseconds=1)),
+            (4, t0 + dt.timedelta(seconds=7200, microseconds=1)),
+        ],
+        "ev_id long, ev_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, t0, t0 + dt.timedelta(seconds=7200))],
+        "iv_id long, lo timestamp, hi timestamp",
+    )
+    got = sorted(
+        r.ev_id
+        for r in bucketed_range_join(left, right, "ev_ts", "lo", "hi", 600)
+        .select("ev_id")
+        .collect()
+    )
+    assert got == [1, 2]  # inclusive bounds, no duplicates from explode
+
+
+def test_range_join_rejects_overlapping_columns(spark):
+    df = _events(spark)
+    with pytest.raises(ValueError, match="disjoint"):
+        bucketed_range_join(df, df, "ev_ts", "ev_ts", "ev_ts", 60)
+
+
+def test_range_join_plan_is_equi_join(spark):
+    plan = bucketed_range_join(
+        _events(spark), _intervals(spark), "ev_ts", "lo", "hi", 3600
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grouped_running_sum_matches_single_task_window(spark):
+    rng = random.Random(3)
+    rows = []
+    for i in range(500):
+        # one dominant group — the case the chunked plan exists for
+        g = "big" if rng.random() < 0.8 else f"g{rng.randrange(4)}"
+        rows.append((g, i, rng.randrange(1, 1000)))
+    df = spark.createDataFrame(rows, "g string, doc_id long, v long").withColumn(
+        "k", F.md5(F.col("doc_id").cast("string"))
+    )
+    got = grouped_running_sum(
+        df, ["g"], "k", "v", hex_prefix_chunks(F.col("k"), 64), "cum"
+    )
+    want = df.withColumn(
+        "cum", F.sum("v").over(Window.partitionBy("g").orderBy("k"))
+    )
+    assert sorted(got.select("g", "doc_id", "cum").collect()) == sorted(
+        want.select("g", "doc_id", "cum").collect()
+    )
+
+
+def test_grouped_running_sum_single_chunk_degenerates_gracefully(spark):
+    df = spark.createDataFrame(
+        [("a", i, 1) for i in range(10)], "g string, doc_id long, v long"
+    ).withColumn("k", F.md5(F.col("doc_id").cast("string")))
+    got = grouped_running_sum(
+        df, ["g"], "k", "v", hex_prefix_chunks(F.col("k"), 1), "cum"
+    )
+    assert sorted(r.cum for r in got.collect()) == list(range(1, 11))
+
+
+def test_hex_prefix_chunks_monotone_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(300)], "doc_id long"
+    ).withColumn("k", F.md5(F.col("doc_id").cast("string")))
+    rows = df.select("k", hex_prefix_chunks(F.col("k"), 64).alias("c")).collect()
+    assert all(0 <= r.c < 64 for r in rows)
+    in_key_order = sorted(rows, key=lambda r: r.k)
+    chunks = [r.c for r in in_key_order]
+    assert chunks == sorted(chunks)  # monotone in the sort key
+    with pytest.raises(ValueError, match="n_chunks"):
+        hex_prefix_chunks(F.col("k"), 257)
