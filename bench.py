@@ -71,6 +71,10 @@ HEADLINE = [
     "text_lm_perplexity",
     "sim_hybrid_rrf",
     "text_dsir_weights",
+    "evt_range_join",
+    "evt_rolling_24h",
+    "sim_kmeans_clusters",
+    "text_token_budget_sample",
 ]
 
 
@@ -114,6 +118,10 @@ SCALE_QUERIES = [
     "sim_pq_topk",
     "text_lm_perplexity",
     "text_dsir_weights",
+    "evt_range_join",
+    "evt_rolling_24h",
+    "sim_kmeans_clusters",
+    "text_token_budget_sample",
 ]
 
 

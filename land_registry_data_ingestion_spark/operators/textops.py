@@ -241,3 +241,89 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     for name in rules:
         passes = F.col(name) if passes is None else passes & F.col(name)
     return out.withColumn("passes_gopher", passes)
+
+
+def word_ngrams_all(col: Column, k: int) -> Column:
+    """NON-distinct word k-grams (every occurrence, unlike
+    ``word_shingles``): the multiset the repetition rules count over.
+    Same slice-zip build (tokenizer evaluated k times per row, not
+    k × n_grams times)."""
+    toks = tokens(normalize_text(col))
+    n = F.size(toks)
+    m = F.greatest(n - (k - 1), F.lit(0))
+    parts = [F.slice(toks, j + 1, m) for j in range(k)]
+    zipped = parts[0]
+    for p in parts[1:]:
+        zipped = F.zip_with(zipped, p, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.when(n >= k, zipped).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style (Rae et al. 2021) REPETITION rules — the within-doc
+    complement of ``gopher_quality_flags``'s length/character rules:
+
+    - ``top_bigram_frac``: occurrences of the most frequent word 2-gram
+      over all 2-gram occurrences (boilerplate/babble signal; paper
+      threshold ≤ 0.18);
+    - ``dup_trigram_frac``: fraction of word 3-gram occurrences whose
+      gram appears more than once (≤ 0.30).
+
+    Shape: the n-gram arrays are built once per doc (materialization
+    barrier before the explode — Generate would otherwise re-evaluate the
+    slice-zip build per output row), then ONE exploded (doc, k, gram)
+    stream feeds a two-level codegen'd hash aggregate with map-side
+    combine. Work and shuffle are proportional to token count — the same
+    budget tokenization itself costs — and documents shorter than k words
+    fall out as 0.0 via the final left join.
+    """
+    from land_registry_data_ingestion_spark.util import barrier
+
+    text = F.col(text_col)
+    grams = barrier(
+        spread(df).select(
+            "doc_id",
+            word_ngrams_all(text, 2).alias("_g2"),
+            word_ngrams_all(text, 3).alias("_g3"),
+        )
+    )
+    g = grams.select(
+        "doc_id", F.lit(2).alias("k"), F.explode("_g2").alias("gram")
+    ).unionByName(
+        grams.select(
+            "doc_id", F.lit(3).alias("k"), F.explode("_g3").alias("gram")
+        )
+    )
+    counts = g.groupBy("doc_id", "k", "gram").agg(F.count("*").alias("c"))
+    per = counts.groupBy("doc_id", "k").agg(
+        F.max("c").alias("top"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup"),
+        F.sum("c").alias("tot"),
+    )
+    wide = per.groupBy("doc_id").agg(
+        F.max(
+            F.when(F.col("k") == 2, F.round(F.col("top") / F.col("tot"), 6))
+        ).alias("top_bigram_frac"),
+        F.max(
+            F.when(F.col("k") == 3, F.round(F.col("dup") / F.col("tot"), 6))
+        ).alias("dup_trigram_frac"),
+    )
+    out = (
+        df.select("doc_id")
+        .join(wide, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias(
+                "dup_trigram_frac"
+            ),
+        )
+    )
+    return out.select(
+        "*",
+        (F.col("top_bigram_frac") <= 0.18).alias("pass_top_bigram"),
+        (F.col("dup_trigram_frac") <= 0.30).alias("pass_dup_trigram"),
+        (
+            (F.col("top_bigram_frac") <= 0.18)
+            & (F.col("dup_trigram_frac") <= 0.30)
+        ).alias("pass_repetition"),
+    )

@@ -105,6 +105,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "evt_rolling_24h",
     "sim_kmeans_clusters",
     "text_token_budget_sample",
+    "text_repetition_filters",
     # Checked in round 1 but dropped by the round-2 window.
     "sim_cosine_pairs",
     "sim_topk_bruteforce",

@@ -408,3 +408,63 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule_alpha_words",
         "passes_gopher",
     )
+
+
+@query(
+    "text_repetition_filters",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_NORM} AS w FROM documents),
+    g AS (
+        SELECT doc_id, 2 AS k,
+               unnest(list_transform(
+                   generate_series(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1])) AS gram
+        FROM toks WHERE len(w) >= 2
+        UNION ALL
+        SELECT doc_id, 3 AS k,
+               unnest(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        FROM toks WHERE len(w) >= 3
+    ),
+    counts AS (
+        SELECT doc_id, k, gram, count(*) AS c FROM g GROUP BY doc_id, k, gram
+    ),
+    per AS (
+        SELECT doc_id, k, max(c) AS top,
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+               sum(c) AS tot
+        FROM counts GROUP BY doc_id, k
+    ),
+    wide AS (
+        SELECT doc_id,
+               max(CASE WHEN k = 2
+                   THEN ROUND(top * 1.0 / tot, 6) END) AS top_bigram_frac,
+               max(CASE WHEN k = 3
+                   THEN ROUND(dup * 1.0 / tot, 6) END) AS dup_trigram_frac
+        FROM per GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(w.top_bigram_frac, 0.0) AS top_bigram_frac,
+           COALESCE(w.dup_trigram_frac, 0.0) AS dup_trigram_frac,
+           COALESCE(w.top_bigram_frac, 0.0) <= 0.18 AS pass_top_bigram,
+           COALESCE(w.dup_trigram_frac, 0.0) <= 0.30 AS pass_dup_trigram,
+           (COALESCE(w.top_bigram_frac, 0.0) <= 0.18
+            AND COALESCE(w.dup_trigram_frac, 0.0) <= 0.30)
+               AS pass_repetition
+    FROM documents d LEFT JOIN wide w USING (doc_id)
+    """,
+)
+def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021 §A1.1): top word-2-gram
+    occupancy ≤ 0.18 and duplicate word-3-gram occupancy ≤ 0.30 — the
+    boilerplate/babble detectors that length/character rules
+    (``text_gopher_filters``) cannot see. One exploded n-gram stream into
+    codegen'd hash aggregates; see ``operators/textops.py::
+    repetition_flags`` for the scale shape."""
+    from land_registry_data_ingestion_spark.operators.textops import (
+        repetition_flags,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return repetition_flags(t.documents)
