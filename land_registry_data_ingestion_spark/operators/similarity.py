@@ -542,6 +542,7 @@ def ivf_assign_vectorized(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Index build on the Arrow fast path: centroids are collected (small
     by construction) and closed over; each Arrow batch of corpus vectors is
@@ -561,10 +562,15 @@ def ivf_assign_vectorized(
     cids = np.array([c for c, _ in rows], dtype=np.int64)
     C = np.array([v for _, v in rows], dtype=np.float64)
     cnorm = np.sqrt(_seq_pair_dots(C, C))
-    out_schema = T.StructType(
-        list(corpus.schema.fields)
-        + [T.StructField("centroid_id", T.LongType(), False)]
-    )
+    out_fields = list(corpus.schema.fields) + [
+        T.StructField("centroid_id", T.LongType(), False)
+    ]
+    if score_col is not None:
+        # The kernel already has the full (n, k) cosine matrix in hand —
+        # emitting the winning score here saves the caller a broadcast
+        # join + a second Arrow scoring pass over the corpus.
+        out_fields.append(T.StructField(score_col, T.DoubleType(), False))
+    out_schema = T.StructType(out_fields)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -579,7 +585,13 @@ def ivf_assign_vectorized(
             )
             # argmax returns the FIRST max → ties go to the smallest cid
             # (rows are sorted by cid), matching the JVM struct-max order
-            yield pdf.assign(centroid_id=cids[np.argmax(cos, axis=1)])
+            best = np.argmax(cos, axis=1)
+            out = pdf.assign(centroid_id=cids[best])
+            if score_col is not None:
+                out = out.assign(
+                    **{score_col: cos[np.arange(len(best)), best]}
+                )
+            yield out
 
     return corpus.mapInPandas(kernel, out_schema)
 

@@ -484,24 +484,17 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the IVF index); the declared query keeps the RNG-free seeding so a
     second engine rebuilds the identical clustering."""
     from land_registry_data_ingestion_spark.operators.similarity import (
-        cosine_score_pairs_vectorized,
         ivf_assign_vectorized,
         seed_centroids,
     )
 
     t = load_tables(spark, sf_dir)
     cent = seed_centroids(t.embeddings, n_centroids=8)
-    assigned = ivf_assign_vectorized(
-        t.embeddings.select("vec_id", "embedding"), cent
-    )
-    cvecs = cent.select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
-    )
-    scored = cosine_score_pairs_vectorized(
-        assigned.join(F.broadcast(cvecs), "centroid_id"),
-        "embedding",
-        "cvec",
-        "cos",
+    # assignment and member-to-centroid cosine in ONE Arrow pass — the
+    # kernel already holds the (n, k) cosine matrix, so emitting the
+    # winning score avoids a broadcast join + second scoring pass.
+    scored = ivf_assign_vectorized(
+        t.embeddings.select("vec_id", "embedding"), cent, score_col="cos"
     )
     return scored.groupBy("centroid_id").agg(
         F.count("*").alias("n_members"),
