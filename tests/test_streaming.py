@@ -254,3 +254,83 @@ def test_streaming_session_window_merges_and_splits(spark, tmp_path):
     write("b3.json", ("15:00", "u1"))
     got3 = run()
     assert ("u1", "13:00", "13:30", 1) in got3
+
+
+def test_stream_interval_join_matches_batch_range_join(spark, tmp_path):
+    """Stream-stream interval join (events within [anchor, anchor+30 min])
+    across two micro-batch rounds, including a cross-batch match: an
+    anchor from round 1 joins an event arriving in round 2. The batch
+    ground truth is bucketed_range_join on the union of all inputs —
+    the same semantics evt_range_join declares under the oracle."""
+    from land_registry_data_ingestion_spark.operators.rangejoin import (
+        bucketed_range_join,
+    )
+    from land_registry_data_ingestion_spark.streaming.interval_join import (
+        stream_interval_join,
+    )
+
+    ev_src = tmp_path / "ev"
+    an_src = tmp_path / "an"
+    ev_src.mkdir(); an_src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    got: list = []
+
+    def run():
+        ev = spark.readStream.schema("ev_id long, ev_ts timestamp").json(
+            str(ev_src)
+        )
+        an = spark.readStream.schema("an_id long, an_ts timestamp").json(
+            str(an_src)
+        )
+        joined = stream_interval_join(
+            ev, an, "ev_ts", "an_ts", span_s=1800, watermark_s=7200
+        )
+        q = (
+            joined.select("ev_id", "an_id")
+            .writeStream.foreachBatch(lambda b, _id: got.extend(b.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def write(d, name, col_id, col_ts, *rows):
+        (d / name).write_text(
+            "\n".join(
+                json.dumps({col_id: i, col_ts: f"2024-01-01 {t}:00"})
+                for i, t in rows
+            )
+        )
+
+    # round 1: anchor at 10:00; events at 10:10 (match) and 10:45 (miss)
+    write(an_src, "a1.json", "an_id", "an_ts", (100, "10:00"))
+    write(ev_src, "e1.json", "ev_id", "ev_ts", (1, "10:10"), (2, "10:45"))
+    run()
+    # round 2: event at 10:29 still matches round 1's buffered anchor
+    # (cross-batch state); a new anchor at 10:40 catches event 2
+    write(ev_src, "e2.json", "ev_id", "ev_ts", (3, "10:29"))
+    write(an_src, "a2.json", "an_id", "an_ts", (101, "10:40"))
+    run()
+
+    stream_pairs = sorted((r.ev_id, r.an_id) for r in got)
+
+    def batch_df(schema, d):
+        return spark.read.schema(schema).json(str(d))
+
+    ev_all = batch_df("ev_id long, ev_ts timestamp", ev_src)
+    an_all = batch_df("an_id long, an_ts timestamp", an_src).select(
+        "an_id",
+        F.col("an_ts").alias("lo"),
+        (F.col("an_ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"),
+    )
+    batch_pairs = sorted(
+        (r.ev_id, r.an_id)
+        for r in bucketed_range_join(ev_all, an_all, "ev_ts", "lo", "hi", 1800)
+        .select("ev_id", "an_id")
+        .collect()
+    )
+    assert stream_pairs == batch_pairs
+    assert (3, 100) in stream_pairs  # the cross-batch match
+    assert (2, 101) in stream_pairs
+    assert all(p[0] != 2 or p[1] != 100 for p in stream_pairs)
