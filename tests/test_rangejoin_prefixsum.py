@@ -145,3 +145,98 @@ def test_hex_prefix_chunks_monotone_and_bounded(spark):
     assert chunks == sorted(chunks)  # monotone in the sort key
     with pytest.raises(ValueError, match="n_chunks"):
         hex_prefix_chunks(F.col("k"), 257)
+
+
+# ---------------------------------------------------------------- properties
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.integers(min_value=0, max_value=100_000), min_size=1, max_size=40
+    ),
+    spans=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100_000),
+            st.integers(min_value=0, max_value=5_000),  # length 0 allowed
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    bucket_s=st.sampled_from([1, 7, 360, 10_000]),
+)
+def test_range_join_property_matches_naive(spark, events, spans, bucket_s):
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s)) for i, s in enumerate(events)],
+        "ev_id long, ev_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(seconds=lo), base + dt.timedelta(seconds=lo + ln))
+            for i, (lo, ln) in enumerate(spans)
+        ],
+        "iv_id long, lo timestamp, hi timestamp",
+    )
+    got = sorted(
+        bucketed_range_join(left, right, "ev_ts", "lo", "hi", bucket_s)
+        .select("ev_id", "iv_id")
+        .collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, s in enumerate(events)
+        for j, (lo, ln) in enumerate(spans)
+        if lo <= s <= lo + ln
+    )
+    assert [(r.ev_id, r.iv_id) for r in got] == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "dominant"]),
+            st.integers(min_value=-1_000_000, max_value=1_000_000),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n_chunks=st.sampled_from([1, 3, 64, 256]),
+)
+def test_prefix_sum_property_matches_serial(spark, rows, n_chunks):
+    df = spark.createDataFrame(
+        [(g, i, v) for i, (g, v) in enumerate(rows)],
+        "g string, doc_id long, v long",
+    ).withColumn("k", F.md5(F.col("doc_id").cast("string")))
+    got = {
+        r.doc_id: r.cum
+        for r in grouped_running_sum(
+            df, ["g"], "k", "v", hex_prefix_chunks(F.col("k"), n_chunks), "cum"
+        ).collect()
+    }
+    # serial reference: per group, accumulate in md5-key order
+    import hashlib
+
+    by_group: dict[str, list[tuple[str, int, int]]] = {}
+    for i, (g, v) in enumerate(rows):
+        k = hashlib.md5(str(i).encode()).hexdigest()
+        by_group.setdefault(g, []).append((k, i, v))
+    want = {}
+    for g, items in by_group.items():
+        acc = 0
+        for _, i, v in sorted(items):
+            acc += v
+            want[i] = acc
+    assert got == want
