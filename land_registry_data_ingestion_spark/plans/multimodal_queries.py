@@ -51,3 +51,42 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = extract_features(media, dim=4)
     return feats.select("media_id", "media_type", "n_bytes", "content_sha256")
+
+
+@query(
+    "mm_metadata_stats",
+    sql=f"""
+    SELECT {_MEDIA_TYPE} AS media_type,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+           ROUND(avg(n_chars), 2) AS avg_bytes,
+           CAST(max(n_chars) AS BIGINT) AS max_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only profiling of a multimodal table: per-type item count
+    and byte-size stats from the TYPED METADATA columns, with the opaque
+    ``content`` blob never read — the pattern that makes planning over a
+    100 TB media lake cheap (a scan that dragged the blobs through memory
+    to count them would be the bug). The media frame below carries the
+    blob column; Catalyst's column pruning must drop it from the parquet
+    ReadSchema, which `tests/test_multimodal.py::
+    test_metadata_stats_plan_prunes_blob_column` asserts."""
+    t = load_tables(spark, sf_dir)
+    media = t.documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.col("n_chars").alias("n_bytes_meta"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return media.groupBy("media_type").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_bytes_meta").alias("total_bytes"),
+        F.round(F.avg("n_bytes_meta"), 2).alias("avg_bytes"),
+        F.max("n_bytes_meta").alias("max_bytes"),
+    )

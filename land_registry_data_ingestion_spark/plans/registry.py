@@ -106,6 +106,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sim_kmeans_clusters",
     "text_token_budget_sample",
     "text_repetition_filters",
+    "mm_metadata_stats",
     # Checked in round 1 but dropped by the round-2 window.
     "sim_cosine_pairs",
     "sim_topk_bruteforce",

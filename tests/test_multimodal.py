@@ -95,3 +95,23 @@ def test_resize_images_real_path_raises_without_pil(media):
 
     with pytest.raises(Exception, match="NotImplementedError|requires PIL"):
         resize_images(media, 4, 3, decode_stub=False).collect()
+
+
+def test_metadata_stats_plan_prunes_blob_column(spark):
+    """The declared mm_metadata_stats query carries the binary content
+    column in its media frame; the optimized plan must never read it —
+    the parquet ReadSchema keeps only the id/metadata columns."""
+    from land_registry_data_ingestion_spark.plans.registry import (
+        _load_all,
+        REGISTRY,
+    )
+
+    _load_all()
+    df = REGISTRY["mm_metadata_stats"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schemas = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ]
+    assert read_schemas, plan
+    for line in read_schemas:
+        assert "text" not in line, line
