@@ -68,6 +68,11 @@ class MergeResult:
     new_state: DataFrame  # post-merge current state (live + soft-deleted)
     outcomes: DataFrame  # one row per update: key, record_op, outcome
     invalid_ops: DataFrame  # updates whose op ∉ A/C/D (reference raises)
+    # One row per update: key, old_live/old_<values>, new_live/new_<values>
+    # — the before/after images the merge join already holds, exposed so
+    # incremental view maintenance (operators/rollup.py) can update
+    # aggregates in O(batch) without re-scanning state.
+    transitions: DataFrame
 
 
 def _all_values_equal(value_cols: list[str]) -> Column:
@@ -209,8 +214,37 @@ def cdc_merge(
         F.col("_outcome").alias("outcome"),
     )
     invalid_ops = outcomes.filter(F.col("outcome") == "invalid_op")
+
+    # Before/after images for IVM: same annotated probe, no extra join.
+    # A touched row is live AFTER the merge iff it survives into
+    # new_state and its final is_deleted is false (same expressions the
+    # state projection uses).
+    survives = (
+        (F.col("_outcome") != "delete_ignore_missing")
+        & ~((F.col("_outcome") == "invalid_op") & ~cur_exists)
+    )
+    new_is_deleted = (
+        F.when(becomes_undeleted, F.lit(False))
+        .when(becomes_deleted, F.lit(True))
+        .otherwise(F.coalesce(F.col("cur.is_deleted"), F.lit(False)))
+    )
+    transitions = annotated.filter(upd_exists).select(
+        F.col(f"upd.{key_col}").alias(key_col),
+        cur_live.alias("old_live"),
+        *[F.col(f"cur.{c}").alias(f"old_{c}") for c in value_cols],
+        (survives & ~new_is_deleted).alias("new_live"),
+        *[
+            F.when(takes_update_values, F.col(f"upd.{c}"))
+            .otherwise(F.col(f"cur.{c}"))
+            .alias(f"new_{c}")
+            for c in value_cols
+        ],
+    )
     return MergeResult(
-        new_state=new_state, outcomes=outcomes, invalid_ops=invalid_ops
+        new_state=new_state,
+        outcomes=outcomes,
+        invalid_ops=invalid_ops,
+        transitions=transitions,
     )
 
 

@@ -351,3 +351,60 @@ def cdc_rewind_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rewind_to_version(versioned, "o_custkey", "version", 2).select(
         "o_custkey", "o_orderkey", "version"
     )
+
+
+@query(
+    "cdc_incremental_rollup",
+    sql=f"""
+    WITH j AS ({_JOINED_SQL}),
+    outcomes AS (SELECT *, {_OUTCOME_CASE} AS outcome FROM j),
+    touched AS (
+        SELECT tuid,
+               CASE WHEN outcome IN ('add_change','add_undelete_change','add_insert',
+                                     'change_change','change_insert','delete_change_delete')
+                    THEN u_price ELSE c_price END AS price,
+               CASE WHEN outcome IN ('add_change','add_undelete_change','add_insert',
+                                     'change_change','change_insert','delete_change_delete')
+                    THEN u_status ELSE c_status END AS status,
+               CASE WHEN outcome IN ('delete_delete','delete_change_delete') THEN TRUE
+                    WHEN outcome IN ('add_undelete_change','add_insert','change_insert')
+                        THEN FALSE
+                    ELSE cur_deleted END AS is_deleted
+        FROM outcomes
+        WHERE outcome != 'delete_ignore_missing'
+    ),
+    untouched AS (
+        SELECT c.tuid, c.price, c.status, c.is_deleted
+        FROM ({_CUR_SQL}) c
+        WHERE c.tuid NOT IN (SELECT tuid FROM ({_UPD_SQL}))
+    ),
+    state AS (SELECT * FROM touched UNION ALL SELECT * FROM untouched)
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_live,
+           ROUND(SUM(price), 2) AS total_price
+    FROM state WHERE NOT is_deleted GROUP BY status
+    """,
+)
+def cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-status live-count/price-sum
+    rollup updated from the merge's before/after images in O(batch) —
+    state is never re-scanned after the bootstrap. The oracle recomputes
+    the same rollup from the fully merged state in DuckDB, so the hash
+    proves the retract/assert algebra (including soft-delete, undelete,
+    insert and value-change transitions) is exact, not approximately
+    right. See ``operators/rollup.py`` for the maintenance algebra."""
+    from land_registry_data_ingestion_spark.operators.rollup import (
+        apply_rollup_delta,
+        rollup_from_state,
+    )
+
+    res = _merged(spark, sf_dir)
+    old_rollup = rollup_from_state(_current(spark, sf_dir), "status", "price")
+    new_rollup = apply_rollup_delta(
+        old_rollup, res.transitions, "status", "price"
+    )
+    return new_rollup.select(
+        "status",
+        "n_live",
+        F.round("total", 2).alias("total_price"),
+    )

@@ -107,6 +107,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "text_token_budget_sample",
     "text_repetition_filters",
     "mm_metadata_stats",
+    "cdc_incremental_rollup",
     # Checked in round 1 but dropped by the round-2 window.
     "sim_cosine_pairs",
     "sim_topk_bruteforce",

@@ -248,3 +248,61 @@ def test_merge_ledger_17_counters(spark):
         + row["operation_count_ignored"]
     )
     assert applied == row["input_file_row_count"]
+
+
+def test_incremental_rollup_matches_recompute_on_golden_matrix(spark):
+    """IVM parity on the full 11-outcome matrix: applying the rollup
+    delta to the pre-merge rollup equals recomputing from the merged
+    state — per `code` group, live count and price sum."""
+    from land_registry_data_ingestion_spark.operators.rollup import (
+        apply_rollup_delta,
+        rollup_from_state,
+    )
+
+    state, upd = _state(spark), _updates(spark)
+    res = cdc_merge(
+        state, upd, key_col="tuid", value_cols=["price", "code"],
+        batch_timestamp=F.lit(TS1),
+    )
+    old_rollup = rollup_from_state(state, "code", "price")
+    maintained = apply_rollup_delta(
+        old_rollup, res.transitions, "code", "price"
+    )
+    recomputed = rollup_from_state(res.new_state, "code", "price")
+    as_map = lambda df: {  # noqa: E731 — `code` may be NULL (t14)
+        r[0]: (r[1], r[2]) for r in df.collect()
+    }
+    assert as_map(maintained) == as_map(recomputed)
+    assert None in as_map(maintained)  # the NULL group is maintained too
+
+
+def test_incremental_rollup_drops_emptied_and_creates_new_groups(spark):
+    from land_registry_data_ingestion_spark.operators.rollup import (
+        apply_rollup_delta,
+        rollup_from_state,
+    )
+
+    state = spark.createDataFrame(
+        [("k1", 10, "OLD", TS0, None, None, False)], STATE_SCHEMA
+    )
+    upd = spark.createDataFrame(
+        [
+            ("k1", 10, "OLD", "D"),     # empties group OLD
+            ("k2", 20, "NEW", "A"),     # creates group NEW
+        ],
+        UPD_SCHEMA,
+    )
+    res = cdc_merge(
+        state, upd, key_col="tuid", value_cols=["price", "code"],
+        batch_timestamp=F.lit(TS1),
+    )
+    got = {
+        r.code: (r.n_live, r.total)
+        for r in apply_rollup_delta(
+            rollup_from_state(state, "code", "price"),
+            res.transitions,
+            "code",
+            "price",
+        ).collect()
+    }
+    assert got == {"NEW": (1, 20.0)}
