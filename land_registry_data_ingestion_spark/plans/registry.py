@@ -108,6 +108,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "text_repetition_filters",
     "mm_metadata_stats",
     "cdc_incremental_rollup",
+    "rel_skew_join_salted",
+    "evt_ohlc_hourly",
     # Checked in round 1 but dropped by the round-2 window.
     "sim_cosine_pairs",
     "sim_topk_bruteforce",

@@ -674,3 +674,94 @@ def rel_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (column_name, n_nulls, n_distinct)",
         "n_rows",
     ).select("column_name", "n_rows", "n_nulls", "n_distinct")
+
+
+@query(
+    "rel_skew_join_salted",
+    sql="""
+    SELECT p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def rel_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension revenue rollup through ``salted_join``: the big
+    side's rows carry a deterministic salt, the dimension is replicated
+    per salt, and the join key becomes (key, salt) — one hot part key
+    spreads over n_salts reducers instead of melting one task. The
+    logical result is identical to the plain join (this oracle proves it
+    on real tables; `test_skew_bucketing.py` proves the hot-key fan-out),
+    which is exactly the property that makes salting safe to deploy
+    reactively at 100 TB when AQE's partition-level splitting isn't
+    enough for a single pathological key."""
+    from land_registry_data_ingestion_spark.operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir)
+    big = t.lineitem.select(
+        F.col("l_partkey").alias("p_partkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    dim = t.part.select("p_partkey", "p_brand")
+    joined = salted_join(big, dim, on=["p_partkey"], n_salts=8)
+    return joined.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+@query(
+    "evt_ohlc_hourly",
+    sql="""
+    WITH e AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id, value
+        FROM events
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type, hour
+                                  ORDER BY ts, event_id) AS ra,
+               ROW_NUMBER() OVER (PARTITION BY event_type, hour
+                                  ORDER BY ts DESC, event_id DESC) AS rd
+        FROM e
+    )
+    SELECT event_type, hour,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rd = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM r GROUP BY event_type, hour
+    """,
+)
+def evt_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-high-low-close time-series rollup per (event_type, hour) —
+    the market-data shape of a tumbling-window aggregate. Open/close are
+    ``min_by``/``max_by`` on the (ts, event_id) struct (total order, so
+    same-second ties resolve identically in both engines), making the
+    whole thing ONE hash aggregate with map-side combine — no window
+    function, no second shuffle. The oracle reaches the same rows via
+    row-numbered first/last, the classic SQL spelling."""
+    t = load_tables(spark, sf_dir)
+    ord_key = F.struct("ts", "event_id")
+    return (
+        t.events.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        .groupBy("event_type", "hour")
+        .agg(
+            F.min_by("value", ord_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ord_key).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )
