@@ -75,6 +75,9 @@ HEADLINE = [
     "evt_rolling_24h",
     "sim_kmeans_clusters",
     "text_token_budget_sample",
+    "text_repetition_filters",
+    "evt_ohlc_hourly",
+    "rel_skew_join_salted",
 ]
 
 
@@ -122,6 +125,10 @@ SCALE_QUERIES = [
     "evt_rolling_24h",
     "sim_kmeans_clusters",
     "text_token_budget_sample",
+    "text_repetition_filters",
+    "evt_ohlc_hourly",
+    # NOT rel_skew_join_salted: it reads `part`, which the replicated
+    # scale dir does not carry (SCALE_SPEC tables only).
 ]
 
 
