@@ -404,3 +404,113 @@ def evt_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_24h"),
         F.round(F.sum("value").over(w), 6).alias("sum_value_24h"),
     )
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    """One PageRank iteration as a CTE body (damping 0.85, round 9)."""
+    return f"""
+    {out} AS (
+        SELECT no.v,
+               ROUND(0.15 / n.n + 0.85 * COALESCE(c.s, 0), 9) AS pr
+        FROM nodes no CROSS JOIN n
+        LEFT JOIN (
+            SELECT e.dst AS v, SUM(p.pr * e.p) AS s
+            FROM en e JOIN {prev} p ON p.v = e.src
+            GROUP BY 1
+        ) c ON c.v = no.v
+    )"""
+
+
+@query(
+    "evt_type_pagerank",
+    sql=f"""
+    WITH trans AS (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS dst
+        FROM events
+    ),
+    edges AS (
+        SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+        FROM trans WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+    en AS (SELECT e.src, e.dst, e.w / o.ow AS p
+           FROM edges e JOIN outw o USING (src)),
+    nodes AS (SELECT DISTINCT src AS v FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    pr0 AS (SELECT no.v, 1.0 / n.n AS pr FROM nodes no CROSS JOIN n),
+    {_pagerank_iter_sql("pr0", "pr1")},
+    {_pagerank_iter_sql("pr1", "pr2")},
+    {_pagerank_iter_sql("pr2", "pr3")}
+    SELECT v AS event_type, ROUND(pr, 6) AS pagerank FROM pr3
+    """,
+)
+def evt_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 unrolled iterations) over the event-type
+    transition graph — the iterative-algorithm shape (label propagation /
+    random-walk scoring) expressed as pure DataFrame joins so a second
+    engine can replay it exactly.
+
+    Scale split: the EXPENSIVE stage is edge extraction — one lag window
+    per user over the full event log (single shuffle on user_id, the same
+    budget sessionization pays) — which aggregates to a type-level graph
+    of driver-scale cardinality. The iterations then run on the tiny
+    aggregated graph (each a broadcast join + 5-row aggregate), so the
+    unrolled loop costs nothing at any event volume; per-iteration
+    round-to-9 pins float parity across engines (same discipline as q3's
+    weight rounding). Dangling nodes would lose their mass (no
+    redistribution) — identical semantics on both sides; the transition
+    graph has none by construction."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        t.events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("dst", F.lead("event_type").over(w))
+        .where(F.col("dst").isNotNull())
+        .select(F.col("event_type").alias("src"), "dst")
+    )
+    edges = trans.groupBy("src", "dst").agg(
+        F.count("*").cast("double").alias("w")
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    en = edges.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("p")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    from land_registry_data_ingestion_spark.util import barrier
+
+    # the aggregated graph is tiny and feeds every iteration — cut it
+    # once so the unrolled joins don't recompute the event-log window
+    nodes, en = barrier(nodes), barrier(en)
+    n_nodes = nodes.agg(F.count("*").cast("double").alias("n"))
+    pr = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "v", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(3):
+        contrib = (
+            en.join(pr, en.src == pr.v)
+            .groupBy(F.col("dst").alias("cv"))
+            .agg(F.sum(F.col("pr") * F.col("p")).alias("s"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(n_nodes))
+            .join(contrib, F.col("v") == F.col("cv"), "left")
+            .select(
+                "v",
+                F.round(
+                    0.15 / F.col("n")
+                    + 0.85 * F.coalesce(F.col("s"), F.lit(0.0)),
+                    9,
+                ).alias("pr"),
+            )
+        )
+    return pr.select(
+        F.col("v").alias("event_type"), F.round("pr", 6).alias("pagerank")
+    )

@@ -110,6 +110,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "cdc_incremental_rollup",
     "rel_skew_join_salted",
     "evt_ohlc_hourly",
+    "evt_type_pagerank",
     # Checked in round 1 but dropped by the round-2 window.
     "sim_cosine_pairs",
     "sim_topk_bruteforce",
