@@ -514,3 +514,225 @@ def evt_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("v").alias("event_type"), F.round("pr", 6).alias("pagerank")
     )
+
+
+@query(
+    "evt_gap_fill",
+    sql="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS sv
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type,
+               unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS day
+        FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN bounds b
+    )
+    SELECT s.event_type, s.day,
+           COALESCE(d.n, 0) AS n_events,
+           last_value(d.sv IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS ffill_sum_value
+    FROM spine s LEFT JOIN daily d
+      ON d.event_type = s.event_type AND d.day = s.day
+    """,
+)
+def evt_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine gap fill: a dense daily series per event type over the
+    observed [min, max] day range, missing days filled with a zero count
+    and a forward-filled (last-observation-carried-forward) value sum —
+    the standard preparation step before any time-series model sees the
+    data.
+
+    Scale shape: the only pass over the event log is the daily hash
+    aggregate (map-side combined). The spine is |types| × |days| rows —
+    bounded by the time axis, not the data volume — built from one
+    broadcast bounds row and ``sequence``/``explode``, and the
+    forward-fill window runs over that tiny frame. Nothing here grows
+    with event count except the first aggregate."""
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("event_type", "ts", "value")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sv")
+    )
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.last("sv", ignorenulls=True).over(w).alias("ffill_sum_value"),
+    )
+
+
+# Truncated-EWMA taps shared by the Spark plan and the SQL oracle: 24
+# hourly lags at alpha=0.3 carry >99.98% of the geometric mass; the
+# identical decimal literals are embedded on both sides so each engine
+# parses the exact same doubles.
+_EWMA_ALPHA = 0.3
+_EWMA_TAPS = 24
+_EWMA_WEIGHTS = [_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j for j in range(_EWMA_TAPS)]
+
+
+@query(
+    "evt_ewma",
+    sql=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type,
+               unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hour
+        FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN bounds b
+    ),
+    dense AS (
+        SELECT s.event_type, s.hour,
+               CAST(COALESCE(h.n, 0) AS DOUBLE) AS x,
+               COALESCE(h.n, 0) AS n_events
+        FROM spine s LEFT JOIN hourly h
+          ON h.event_type = s.event_type AND h.hour = s.hour
+    )
+    SELECT event_type, hour, n_events,
+           ROUND({" + ".join(
+               f"{w!r} * lag(x, {j}, CAST(0 AS DOUBLE)) OVER "
+               "(PARTITION BY event_type ORDER BY hour)"
+               for j, w in enumerate(_EWMA_WEIGHTS)
+           )}, 6) AS ewma
+    FROM dense
+    """,
+)
+def evt_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the hourly event rate per
+    type (alpha=0.3, truncated at 24 taps — the tail beyond carries
+    <2e-4 of the mass), computed over the zero-filled hourly spine so
+    silent hours decay the average instead of being skipped.
+
+    The recursive EWMA definition is not replayable across engines (no
+    deterministic fold), so the declared form is the truncated direct
+    convolution: 24 ``lag`` terms with literal weights, summed in fixed
+    left-to-right order. Both engines parse the identical decimal weight
+    literals and every multiply/add is IEEE correctly-rounded on identical
+    inputs, so the unrounded sums match bit-for-bit. All 24 lags share one
+    window spec → one sort, one Window operator. Scale: identical story to
+    ``evt_gap_fill`` — one map-combined aggregate over the log, then a
+    time-axis-bounded frame."""
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("event_type", "ts")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    dense = spine.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    ewma = F.lit(_EWMA_WEIGHTS[0]) * F.col("x")
+    for j in range(1, _EWMA_TAPS):
+        ewma = ewma + F.lit(_EWMA_WEIGHTS[j]) * F.lag("x", j, 0.0).over(w)
+    return dense.select(
+        "event_type", "hour", "n_events", F.round(ewma, 6).alias("ewma")
+    )
+
+
+@query(
+    "evt_graph_triangles",
+    sql="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        GROUP BY node
+    ),
+    tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    agg AS (
+        SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+               CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+               CAST(CAST((SELECT SUM(deg * (deg - 1)) FROM deg) AS DOUBLE) / 2
+                    AS BIGINT) AS n_wedges,
+               (SELECT n_triangles FROM tri) AS n_triangles
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           ROUND(3.0 * n_triangles / n_wedges, 6) AS clustering
+    FROM agg
+    """,
+)
+def evt_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the part
+    co-purchase graph (parts are adjacent when some order contains both).
+
+    The declared plan is :func:`...operators.graph.triangle_stats` —
+    degree-ordered edge orientation, so wedge enumeration is
+    Σ outdeg² with outdeg = O(sqrt(E)) regardless of raw degree skew;
+    the oracle counts the same triangles with the naive a<b<c three-way
+    self-join, which is exactly the quadratic plan the operator exists to
+    avoid. Edge build is a per-order self-join keyed on the order id
+    (row explosion bounded by order size, never table size)."""
+    from land_registry_data_ingestion_spark.operators.graph import triangle_stats
+
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "k").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    return triangle_stats(edges)

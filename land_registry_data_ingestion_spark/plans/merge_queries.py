@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from land_registry_data_ingestion_spark.operators.merge import (
     cdc_merge,
@@ -350,6 +351,75 @@ def cdc_rewind_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rewind_to_version(versioned, "o_custkey", "version", 2).select(
         "o_custkey", "o_orderkey", "version"
+    )
+
+
+@query(
+    "cdc_scd2_history",
+    sql="""
+    WITH ordered AS (
+        SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+               LAG(o_orderstatus) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS prev_status
+        FROM orders
+    ),
+    changes AS (
+        SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate
+        FROM ordered
+        WHERE prev_status IS NULL OR o_orderstatus != prev_status
+    )
+    SELECT o_custkey,
+           CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS version,
+           o_orderstatus AS status,
+           o_orderdate AS valid_from,
+           COALESCE(LEAD(o_orderdate) OVER w,
+                    TIMESTAMP '2200-01-01') AS valid_to,
+           LEAD(o_orderdate) OVER w IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: collapse a per-key change
+    log into validity intervals ``[valid_from, valid_to)`` with an
+    ``is_current`` flag, keeping a new version only when the tracked
+    attribute actually changed (run-length compaction).
+
+    The reference maintains exactly this shape imperatively — its history
+    tables append a row per observed change with created/updated/deleted
+    audit timestamps (LRD/land_registry_pp_monthly_update_database_updater
+    .py decision matrix); here the whole dimension history derives in two
+    window passes over one shuffle: both windows share the
+    ``PARTITION BY o_custkey ORDER BY (o_orderdate, o_orderkey)`` sort, so
+    Catalyst plans one exchange + one sort and evaluates lag, lead and
+    row_number in a single Window operator chain. Per-key history length
+    is bounded by the change count, never the scan size — the property
+    that holds at any fact-table volume. Open intervals close at the
+    2200-01-01 high-date sentinel (the usual SCD-2 convention; kept inside
+    pandas' datetime64[ns] range so the harness round-trips it — NULL
+    timestamps don't compare as equal through every Arrow path)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        t.orders.select("o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")
+        .withColumn("prev_status", F.lag("o_orderstatus").over(w))
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("o_orderstatus") != F.col("prev_status"))
+        )
+        .drop("prev_status")
+    )
+    return changes.select(
+        "o_custkey",
+        (F.row_number().over(w) - 1).cast("long").alias("version"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(
+            F.lead("o_orderdate").over(w),
+            F.lit("2200-01-01").cast("timestamp"),
+        ).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
     )
 
 

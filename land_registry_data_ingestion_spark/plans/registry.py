@@ -98,6 +98,14 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "text_pipeline_pack",
     "text_lm_perplexity",
     # New this round — not yet checked anywhere.
+    "cdc_scd2_history",
+    "agg_topk_per_group",
+    "agg_kmv_distinct",
+    "evt_gap_fill",
+    "evt_ewma",
+    "evt_graph_triangles",
+    "text_weighted_sample",
+    "text_edit_distance_pairs",
     "cdc_state_as_of",
     "sim_hybrid_rrf",
     "text_dsir_weights",

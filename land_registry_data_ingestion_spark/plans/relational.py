@@ -715,6 +715,134 @@ def rel_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_topk_per_group",
+    sql="""
+    SELECT o_orderpriority, rnk, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS INTEGER) AS rnk
+        FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def agg_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price within each priority class — the "best rows
+    per category" retrieval every report layer needs.
+
+    The oracle states the classic single-window form; the declared plan is
+    :func:`...operators.topk.topk_per_group` — a salted two-phase window —
+    because ``o_orderpriority`` has FIVE values: one window over it
+    funnels the entire fact table through 5 reducers, which is exactly the
+    plan that dies at 100 TB. Phase 1 ranks within (priority, salt-of-key)
+    across ``5 × 32`` partitions and keeps ≤3 rows each; phase 2 re-ranks
+    the ≤480 survivors. Provably lossless: a global top-3 row is top-3 in
+    its own salt slice."""
+    from land_registry_data_ingestion_spark.operators.topk import topk_per_group
+
+    t = load_tables(spark, sf_dir)
+    return topk_per_group(
+        t.orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        group_cols=["o_orderpriority"],
+        order_cols=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+        salt_col="o_orderkey",
+        n_salts=32,
+        rank_name="rnk",
+    ).select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+
+
+# KMV sketch parameters shared by the Spark plan and the SQL oracle.
+_KMV_K = 256
+_KMV_SALT = 7
+_KMV_SCALE = float(2**60)
+
+
+@query(
+    "agg_kmv_distinct",
+    sql=f"""
+    WITH h AS (
+        SELECT DISTINCT ('0x' || substr(
+            md5('{_KMV_SALT}|' || CAST(o_custkey AS VARCHAR)), 1, 15
+        ))::BIGINT AS hv
+        FROM orders
+    ),
+    k AS (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K}),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_seen, MAX(hv) AS max_hv FROM k),
+    x AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct
+          FROM (SELECT DISTINCT o_custkey FROM orders))
+    SELECT {_KMV_K} AS k,
+           ROUND(CASE WHEN s.n_seen < {_KMV_K} THEN CAST(s.n_seen AS DOUBLE)
+                 ELSE ({_KMV_K} - 1) / (CAST(s.max_hv AS DOUBLE) / {_KMV_SCALE!r})
+                 END, 4) AS est_distinct,
+           x.exact_distinct,
+           ROUND(ABS(CASE WHEN s.n_seen < {_KMV_K} THEN CAST(s.n_seen AS DOUBLE)
+                     ELSE ({_KMV_K} - 1) / (CAST(s.max_hv AS DOUBLE) / {_KMV_SCALE!r})
+                     END - x.exact_distinct) / x.exact_distinct, 4) AS rel_err
+    FROM s CROSS JOIN x
+    """,
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch over ``o_custkey``,
+    checked against the exact count — the mergeable-sketch answer to
+    COUNT(DISTINCT) when the exact shuffle is too expensive at 100 TB.
+
+    The sketch keeps the k=256 smallest values of a 60-bit md5-derived
+    hash; the estimator is ``(k-1)/u_k`` with ``u_k`` the k-th smallest
+    hash as a fraction of the hash space (Bar-Yossef et al. 2002). Unlike
+    ``approx_count_distinct`` (HLL++, whose register layout no second
+    engine replays), every step here is engine-neutral arithmetic — the
+    oracle recomputes the identical sketch in DuckDB and the hash compare
+    proves it bit-for-bit. All post-hash floating point is IEEE
+    correctly-rounded ops on identical inputs (int→double cast, division),
+    so even the unrounded estimate matches exactly.
+
+    Scale shape: the per-partition ``sort+limit k`` is Spark's
+    TakeOrdered — each task keeps its own k smallest, only ``tasks × k``
+    hashes reach the driver-side merge; the text/corpus never moves. The
+    sketch is trivially mergeable across partitions/days (union + re-take
+    k), which is the property that matters for incremental pipelines. At
+    sf0.001 the sketch degenerates to n_seen < k and reports the exact
+    count — the estimator's defined behaviour, asserted by the oracle."""
+    from land_registry_data_ingestion_spark.operators.dedup import _md5_hash64
+
+    t = load_tables(spark, sf_dir)
+    hashes = (
+        t.orders.select(
+            _md5_hash64(F.col("o_custkey").cast("string"), _KMV_SALT).alias("hv")
+        )
+        .distinct()
+    )
+    topk = hashes.orderBy("hv").limit(_KMV_K)
+    s = topk.agg(
+        F.count("*").cast("long").alias("n_seen"), F.max("hv").alias("max_hv")
+    )
+    x = t.orders.agg(
+        F.count_distinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("n_seen") < _KMV_K, F.col("n_seen").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1))
+        / (F.col("max_hv").cast("double") / F.lit(_KMV_SCALE))
+    )
+    return (
+        s.crossJoin(F.broadcast(x))
+        .select(
+            F.lit(_KMV_K).alias("k"),
+            F.round(est, 4).alias("est_distinct"),
+            "exact_distinct",
+            F.round(
+                F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
+
+
+@query(
     "evt_ohlc_hourly",
     sql="""
     WITH e AS (

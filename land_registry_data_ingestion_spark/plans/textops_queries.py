@@ -468,3 +468,122 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return repetition_flags(t.documents)
+
+
+# Priority-sampling parameters shared by the Spark plan and the oracle.
+_PS_K = 200
+_PS_SCALE = float(2**60)
+
+
+@query(
+    "text_weighted_sample",
+    sql=f"""
+    WITH pri AS (
+        SELECT doc_id, n_chars,
+               n_chars / ((CAST(('0x' || substr(
+                   md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 15
+               ))::BIGINT AS DOUBLE) + 1.0) / {_PS_SCALE!r}) AS priority
+        FROM documents
+    )
+    SELECT doc_id, n_chars, ROUND(priority, 4) AS priority
+    FROM pri ORDER BY priority DESC, doc_id LIMIT {_PS_K}
+    """,
+)
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via priority sampling
+    (Duffield–Lund–Thorup): each document gets priority ``w / u`` with
+    ``w`` its length weight and ``u`` a deterministic md5-derived uniform
+    in (0, 1]; the sample is the top-k priorities. Long documents are
+    proportionally more likely to be kept, yet the choice is a pure
+    function of ``doc_id`` — re-running on a grown corpus keeps the
+    decisions for unchanged rows (unlike ``df.sample``, whose output
+    depends on partitioning).
+
+    Cross-engine exactness: ``u`` is built only from IEEE
+    correctly-rounded steps (60-bit int → double cast, +1, division by a
+    power of two), and ``w/u`` is one more correctly-rounded division, so
+    both engines compute bit-identical priorities — the top-k cut and the
+    (priority, doc_id) order match exactly, no epsilon anywhere.
+
+    Scale shape: TakeOrdered — each task keeps its local top-k, only
+    ``tasks × k`` (id, weight, priority) triples reach the merge; text
+    never moves."""
+    t = load_tables(spark, sf_dir)
+    from land_registry_data_ingestion_spark.operators.dedup import _md5_hash64
+
+    u = (
+        _md5_hash64(F.col("doc_id").cast("string"), "ws").cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_PS_SCALE)
+    pri = t.documents.select(
+        "doc_id", "n_chars", (F.col("n_chars") / u).alias("priority")
+    )
+    return (
+        pri.orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(_PS_K)
+        .select("doc_id", "n_chars", F.round("priority", 4).alias("priority"))
+    )
+
+
+@query(
+    "text_edit_distance_pairs",
+    sql="""
+    WITH p AS (
+        SELECT doc_id, lang, n_chars,
+               substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 80) AS pfx,
+               CAST(n_chars // 64 AS BIGINT) AS band
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS distance
+    FROM p a JOIN p b
+      ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= 8
+    """,
+)
+def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by Levenshtein edit distance ≤ 8 on the
+    ASCII-projected 80-char prefix, blocked by (lang, length-band of 64
+    chars) — the character-level complement to the token-level Jaccard
+    and MinHash families (catches single-character edits that shift every
+    shingle). Non-ASCII is stripped on both sides first because DuckDB's
+    ``levenshtein`` counts bytes while Spark's counts characters; on the
+    ASCII projection the two agree exactly.
+
+    The blocking is what makes this survive scale: the self-join is an
+    equi-join on (lang, band) — never all-pairs — and each row carries an
+    80-char prefix, not the document. Within-block cost is quadratic by
+    construction (same contract as the LSH band join); band width tunes
+    the recall/cost trade like ``n_bands`` does there. The JVM-side
+    ``levenshtein`` evaluates inside codegen — no Python in the loop."""
+    t = load_tables(spark, sf_dir)
+    p = t.documents.select(
+        "doc_id",
+        "lang",
+        F.substring(
+            F.regexp_replace(F.col("text"), "[^ -~]", ""), 1, 80
+        ).alias("pfx"),
+        F.floor(F.col("n_chars") / 64).cast("long").alias("band"),
+    )
+    a = p.select(
+        F.col("lang").alias("lang"),
+        F.col("band").alias("band"),
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("pfx").alias("pfx_1"),
+    )
+    b = p.select(
+        F.col("lang").alias("lang"),
+        F.col("band").alias("band"),
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("pfx").alias("pfx_2"),
+    )
+    return (
+        a.join(b, ["lang", "band"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.levenshtein("pfx_1", "pfx_2").alias("distance"),
+        )
+        .filter(F.col("distance") <= 8)
+    )
