@@ -106,6 +106,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "evt_graph_triangles",
     "text_weighted_sample",
     "text_edit_distance_pairs",
+    "win_distribution",
+    "rel_pivot_wide",
+    "text_temperature_mixing",
     "cdc_state_as_of",
     "sim_hybrid_rrf",
     "text_dsir_weights",

@@ -893,3 +893,89 @@ def evt_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@query(
+    "win_distribution",
+    sql="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window distribution functions — percent_rank, cume_dist, ntile —
+    of order value within each priority class (the percentile-position
+    complement to the W-family's row_number/lag/rolling windows).
+
+    All three share ONE window spec, so Catalyst evaluates them in a
+    single Window operator over one exchange+sort. The (value, key)
+    ordering is a total order → deterministic ntile assignment in both
+    engines. Scale note: distribution functions are rank-complete by
+    definition — every row's output depends on its whole group — so the
+    per-group sort is inherent to the semantics (unlike top-k, which
+    ``operators/topk.py`` de-funnels); with few groups at very large
+    scale the move is approximate quantiles or the exact distributed
+    quantile operator (``binning.py::grouped_exact_quantiles``) over the
+    value histogram instead of per-row positions."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return t.orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "rel_pivot_wide",
+    sql="""
+    SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS price_f,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS price_o,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS price_p
+    FROM orders GROUP BY 1
+    """,
+)
+def rel_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: per-year order counts and price totals spread
+    across status columns. Declared with the explicit value list
+    (``pivot("o_orderstatus", [...])``) — Spark then plans ONE hash
+    aggregate with conditional sums (PivotFirst), identical shape to the
+    oracle's CASE battery, with map-side combine; omitting the list would
+    add a blocking distinct scan to discover values, which is the
+    difference between one pass and two at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    piv = (
+        t.orders.select(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            "o_orderstatus",
+            "o_totalprice",
+        )
+        .groupBy("yr")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("price"),
+        )
+    )
+    return piv.select(
+        "yr",
+        F.coalesce(F.col("F_n"), F.lit(0)).cast("long").alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).cast("long").alias("n_o"),
+        F.coalesce(F.col("P_n"), F.lit(0)).cast("long").alias("n_p"),
+        F.coalesce(F.col("F_price"), F.lit(0.0)).alias("price_f"),
+        F.coalesce(F.col("O_price"), F.lit(0.0)).alias("price_o"),
+        F.coalesce(F.col("P_price"), F.lit(0.0)).alias("price_p"),
+    )

@@ -587,3 +587,83 @@ def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("distance") <= 8)
     )
+
+
+# Temperature-mixing parameters shared by the Spark plan and the oracle.
+_MIX_T = 0.7
+_MIX_SALT = "mix"
+
+
+@query(
+    "text_temperature_mixing",
+    sql=f"""
+    WITH mass AS (
+        SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS m
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(m) AS tm FROM mass),
+    pq AS (
+        SELECT source, m / tm AS p, pow(m / tm, {_MIX_T!r}) AS q_raw
+        FROM mass CROSS JOIN tot
+    ),
+    qn AS (SELECT SUM(q_raw) AS qs FROM pq),
+    rates_raw AS (
+        SELECT source, p, q_raw / qs AS q FROM pq CROSS JOIN qn
+    ),
+    c AS (SELECT MIN(p / q) AS c FROM rates_raw),
+    rates AS (
+        SELECT source, ROUND(c * q / p, 6) AS keep_rate
+        FROM rates_raw CROSS JOIN c
+    )
+    SELECT d.doc_id, d.source, r.keep_rate
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE ('0x' || substr(
+        md5('{_MIX_SALT}|' || CAST(d.doc_id AS VARCHAR)), 1, 15
+    ))::BIGINT % 1000000 < r.keep_rate * 1000000
+    """,
+)
+def text_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source re-balancing (the multilingual/domain
+    mixing rule of mBERT/XLM-R and data-mixture work): target share of
+    source s is p_s^T / Σ p^T with T=0.7 < 1, which up-samples small
+    sources relative to their raw character mass. Rates are scaled so the
+    most down-weighted source keeps rate 1.0 (pure filtering — no
+    replication), rounded to 6 before the keep decision so both engines
+    apply the exact same threshold; the keep itself is the deterministic
+    md5-bucket rule (`hash % 1e6 < rate·1e6`), replayable and stable
+    under corpus growth like `text_hash_split`/`text_stratified_sample`.
+
+    Scale shape: one map-combined aggregate builds the per-source masses
+    (|sources| rows), the rate algebra happens on that tiny frame, and
+    the decision is a broadcast join + map-side filter — the corpus
+    never shuffles."""
+    t = load_tables(spark, sf_dir)
+    from land_registry_data_ingestion_spark.operators.dedup import _md5_hash64
+
+    mass = t.documents.groupBy("source").agg(
+        F.sum("n_chars").cast("double").alias("m")
+    )
+    tot = mass.agg(F.sum("m").alias("tm"))
+    pq = mass.crossJoin(F.broadcast(tot)).select(
+        "source",
+        (F.col("m") / F.col("tm")).alias("p"),
+        F.pow(F.col("m") / F.col("tm"), F.lit(_MIX_T)).alias("q_raw"),
+    )
+    qn = pq.agg(F.sum("q_raw").alias("qs"))
+    rates_raw = pq.crossJoin(F.broadcast(qn)).select(
+        "source", "p", (F.col("q_raw") / F.col("qs")).alias("q")
+    )
+    c = rates_raw.agg(F.min(F.col("p") / F.col("q")).alias("c"))
+    rates = rates_raw.crossJoin(F.broadcast(c)).select(
+        "source",
+        F.round(F.col("c") * F.col("q") / F.col("p"), 6).alias("keep_rate"),
+    )
+    keep = (
+        _md5_hash64(F.col("doc_id").cast("string"), _MIX_SALT) % 1_000_000
+        < F.col("keep_rate") * 1_000_000
+    )
+    return (
+        t.documents.join(F.broadcast(rates), "source")
+        .filter(keep)
+        .select("doc_id", "source", "keep_rate")
+    )

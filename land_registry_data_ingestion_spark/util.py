@@ -61,6 +61,14 @@ def barrier(df: DataFrame) -> DataFrame:
 
 def release_caches() -> None:
     """Unpersist every barrier-tracked frame (safe to call anytime:
-    un-materialized plans recompute through the cache node)."""
+    un-materialized plans recompute through the cache node).
+
+    ``blocking=True`` is load-bearing: the default async unpersist only
+    *schedules* block removal, so a back-to-back workload (bench loops,
+    the ~50-query oracle sweep) starts persisting its next barrier while
+    the predecessor's blocks still occupy the storage pool — the measured
+    result is eviction-storm stalls of 10-48 s on queries whose clean
+    runtime is ~2.5 s (same JVM, same plan, GC and CPU steal ruled out).
+    Waiting for removal costs milliseconds and makes the runtime flat."""
     while _TRACKED:
-        _TRACKED.pop().unpersist()
+        _TRACKED.pop().unpersist(blocking=True)
