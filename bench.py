@@ -216,22 +216,49 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     REGISTRY["agg_scalar_max"].fn(spark, sf_dir).collect()
 
-    # Two runs per query, report the min: at sf0.1 the first execution of
-    # an expression-heavy plan is dominated by one-time JIT/codegen
+    # Min over adaptive repeats: at sf0.1 the first execution of an
+    # expression-heavy plan is dominated by one-time JIT/codegen
     # compilation (measured: dedup_simhash 7.9 s cold vs 2.6 s warm, same
-    # plan), which says nothing about engine throughput. min-of-2 reports
-    # the steady-state cost the cluster would pay; the scale section below
-    # is the data-dominated complement.
+    # plan), which says nothing about engine throughput — and this host
+    # shows sporadic multi-second stalls unrelated to the plan (identical
+    # back-to-back runs measured at 2.7 s and 14.7 s; GC logs and
+    # /proc/stat steal both clean). Two runs are taken always; when the
+    # two best still disagree by >1.5× the query is re-run (up to 4
+    # total), so one stall can't masquerade as a regression. An explicit
+    # System.gc() between queries keeps heap debt from one query's spikes
+    # out of the next query's window.
+    def timed(fn) -> float:
+        times: list[float] = []
+        while True:
+            start = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - start)
+            if len(times) >= 2:
+                a, b = sorted(times)[:2]
+                # stop when the measurement has settled: two best runs
+                # agree AND the latest run is no longer improving on the
+                # best by >20% (JIT warm-up of a large generated stage can
+                # take 2-3 executions; a stall inflates one run only)
+                settled = b / a <= 1.5 and times[-1] >= a * 0.8
+                if len(times) >= 4 or a < 0.3 or settled:
+                    return a
+
+    def gc_between():
+        spark.sparkContext._jvm.System.gc()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
-        best = None
-        for _ in range(2):
-            start = time.perf_counter()
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - start
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+        timings[name] = round(
+            timed(
+                lambda: spec.fn(spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            ),
+            3,
+        )
+        gc_between()
 
     scale: dict | None = None
     if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
@@ -239,19 +266,20 @@ def main() -> None:
         scale_timings: dict[str, float] = {}
         for name in SCALE_QUERIES:
             spec = REGISTRY[name]
-            best = None
-            for _ in range(2):  # min-of-2, same rationale as headline
-                start = time.perf_counter()
-                spec.fn(spark, scale_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                elapsed = time.perf_counter() - start
-                best = elapsed if best is None else min(best, elapsed)
-            scale_timings[name] = round(best, 3)
+            scale_timings[name] = round(
+                timed(
+                    lambda: spec.fn(spark, scale_dir)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                ),
+                3,
+            )
+            gc_between()
         scale = {
             "rows": rows,
             "build_sec": build_sec,
-            "runs_per_query": 2,
+            "runs_per_query": "2-4 adaptive",
             "agg": "min",
             "total_sec": round(sum(scale_timings.values()), 3),
             "queries": scale_timings,
@@ -262,7 +290,7 @@ def main() -> None:
         "metric": "headline_queries_total_wall_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "runs_per_query": 2,
+        "runs_per_query": "2-4 adaptive",
         "agg": "min",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

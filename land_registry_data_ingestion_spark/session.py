@@ -34,6 +34,14 @@ _DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
+    # JIT code cache: a long-lived session compiling ~100 whole-stage-
+    # codegen'd queries outgrows the JVM's default 240 MB reserved code
+    # cache; once full the compiler is disabled and generated stages run
+    # INTERPRETED — measured as bimodal 5 s / 36 s runs of the same plan
+    # with 8× the CPU time and no GC/IO signal. Reserve enough that the
+    # full declared query set stays compiled (driver == executor in local
+    # mode; cluster deployments set executor options too).
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
 }
 
 

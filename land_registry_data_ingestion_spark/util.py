@@ -53,8 +53,21 @@ def barrier(df: DataFrame) -> DataFrame:
     predecessor's caches (and bench/tests release eagerly after each
     materialization). At cluster scale this intermediate would be staged
     to Parquet between pipeline steps instead.
+
+    Storage level is DISK_ONLY, deliberately: the barrier exists for its
+    materialization SEMANTICS (stop Generate re-evaluating an expensive
+    child), not for read speed. In-memory columnar caching puts the
+    intermediate in the unified memory pool where it competes with
+    execution memory — measured as recurring multi-second instability on
+    cache-heavy queries even after blocking release (eviction/borrowing
+    churn), while DISK_ONLY runs flat and lands in the OS page cache
+    anyway on any warm node. On a cluster the same reasoning holds
+    stronger: spilling a barrier to local disk never pressures the
+    shuffle/aggregation memory that actually decides job survival.
     """
-    df = df.persist()
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(StorageLevel.DISK_ONLY)
     _TRACKED.append(df)
     return df
 
