@@ -1,0 +1,106 @@
+"""Exact-substring duplicate-span detection (Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better").
+
+The reference engine has no substring-level dedup; this is the scale-out
+k-gram approximation of its suffix-array construction: a token span of
+length >= k is *duplicated* iff every k-gram it contains occurs at least
+``min_count`` times corpus-wide. Detected start positions are merged into
+maximal per-document intervals with a gaps-and-islands pass.
+
+100 TB shape: work and shuffle are proportional to total token count —
+one (doc_id, pos, gram-hash) stream, one hash aggregate over gram hashes
+with map-side combine, one shuffle semi-join back (ids + 32-byte hashes
+only; text never moves), then per-document windows whose partitions are
+bounded by document length. There is NO pair fan-out anywhere: a
+boilerplate gram shared by a million documents costs one aggregate row
+and a semi-join probe, never a million² candidate pairs — which is why,
+unlike MinHash-LSH banding, this needs no frequency cap to stay linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from land_registry_data_ingestion_spark.operators.textops import word_ngrams_all
+from land_registry_data_ingestion_spark.util import barrier, spread
+
+
+def kgram_positions(
+    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pos, gram_key) for every word k-gram occurrence.
+
+    ``pos`` is the 0-based token index of the gram's first token in the
+    normalized token stream; ``gram_key`` is md5 of the space-joined gram
+    (md5 so a second engine replays keys bit-for-bit; the 16-byte key is
+    what shuffles, not the text). The n-gram array is built once per doc
+    behind a barrier — Generate would otherwise re-evaluate the slice-zip
+    build per output row.
+    """
+    grams = barrier(
+        spread(df).select(
+            F.col(id_col), word_ngrams_all(F.col(text_col), k).alias("_grams")
+        )
+    )
+    return grams.select(
+        id_col, F.posexplode("_grams").alias("pos", "_gram")
+    ).select(id_col, "pos", F.md5(F.col("_gram")).alias("gram_key"))
+
+
+def duplicated_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated token spans per document.
+
+    Returns (id, span_start, span_end, span_tokens): inclusive 0-based
+    token bounds of every maximal interval covered by k-grams occurring
+    >= ``min_count`` times corpus-wide. Start positions p and p' merge
+    while p' - p <= k (their [p, p+k) windows overlap or touch).
+    """
+    pos = kgram_positions(df, k=k, text_col=text_col, id_col=id_col)
+    dup_keys = (
+        pos.groupBy("gram_key")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("gram_key")
+    )
+    hits = pos.join(dup_keys, "gram_key", "left_semi").select(id_col, "pos")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    labeled = hits.withColumn("_brk", brk).withColumn(
+        "_island", F.sum("_brk").over(w)
+    )
+    return labeled.groupBy(id_col, "_island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        (F.max("pos") + F.lit(k) - F.min("pos")).alias("span_tokens"),
+    ).drop("_island")
+
+
+def dup_span_stats(
+    df: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-token totals — the trim/drop decision input
+    (docs whose duplicated fraction exceeds a policy threshold get their
+    spans cut or the whole doc dropped). One extra aggregate over
+    ``duplicated_spans``; span count and covered-token sum per doc."""
+    spans = duplicated_spans(
+        df, k=k, min_count=min_count, text_col=text_col, id_col=id_col
+    )
+    return spans.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+        F.min("span_start").alias("first_dup_pos"),
+    )

@@ -122,6 +122,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "rel_skew_join_salted",
     "evt_ohlc_hourly",
     "evt_type_pagerank",
+    "text_dup_spans",
     # Checked in round 1 but dropped by the round-2 window.
     "sim_cosine_pairs",
     "sim_topk_bruteforce",

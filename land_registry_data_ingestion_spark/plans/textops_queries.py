@@ -667,3 +667,63 @@ def text_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(keep)
         .select("doc_id", "source", "keep_rate")
     )
+
+
+_DUPSPAN_K = 8
+
+
+@query(
+    "text_dup_spans",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_NORM} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(range(len(t) - {_DUPSPAN_K - 1})) AS pos,
+             unnest(list_transform(range(len(t) - {_DUPSPAN_K - 1}),
+                    i -> md5(array_to_string(t[i+1:i+{_DUPSPAN_K}], ' ')))) AS gk
+      FROM toks
+    ), dup AS (
+      SELECT gk FROM grams GROUP BY gk HAVING count(*) >= 2
+    ), hits AS (
+      SELECT g.doc_id, g.pos FROM grams g
+      WHERE g.gk IN (SELECT gk FROM dup)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {_DUPSPAN_K} THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ), lab AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+      FROM isl
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {_DUPSPAN_K - 1} AS BIGINT) AS span_end,
+           CAST(max(pos) + {_DUPSPAN_K} - min(pos) AS BIGINT) AS span_tokens
+    FROM lab GROUP BY doc_id, isl_id
+    """,
+)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022): maximal token
+    intervals covered by {k}-grams occurring >= 2 times corpus-wide —
+    the substring-level dedup the document-level MinHash/SimHash family
+    can't see (a boilerplate header shared by otherwise-distinct docs).
+
+    Scale shape (operators/spans.py): one (id, pos, md5-gram) stream
+    proportional to token count, one map-combined gram-count aggregate,
+    one ids-only semi-join back, per-doc windows. No pair fan-out
+    anywhere — hot grams cost one aggregate row, never candidate pairs,
+    so no frequency cap is needed to stay linear at 100 TB.
+    """
+    from land_registry_data_ingestion_spark.operators.spans import duplicated_spans
+
+    t = load_tables(spark, sf_dir)
+    spans = duplicated_spans(t.documents, k=_DUPSPAN_K, min_count=2)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
