@@ -123,6 +123,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "evt_ohlc_hourly",
     "evt_type_pagerank",
     "text_dup_spans",
+    "agg_rollup_sets",
+    "win_equidepth_histogram",
     # Checked in round 1 but dropped by the round-2 window.
     "sim_cosine_pairs",
     "sim_topk_bruteforce",

@@ -979,3 +979,67 @@ def rel_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O_price"), F.lit(0.0)).alias("price_o"),
         F.coalesce(F.col("P_price"), F.lit(0.0)).alias("price_p"),
     )
+
+
+@query(
+    "agg_rollup_sets",
+    sql="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals in ONE pass: GROUP BY ROLLUP emits
+    (priority, status), (priority), and grand-total rows from a single
+    shuffle — the reporting shape that would otherwise be three separate
+    aggregates union'd. ``gid`` (grouping-bit vector, leftmost column =
+    most significant on both engines) disambiguates subtotal rows from
+    genuine NULL keys."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "win_equidepth_histogram",
+    sql="""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             rank() OVER (ORDER BY o_totalprice, o_orderkey) AS r,
+             count(*) OVER () AS n
+      FROM orders
+    )
+    SELECT CAST((r * 16 + n - 1) // n AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM ranked GROUP BY 1
+    """,
+)
+def win_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram of order value: 16 buckets of
+    near-equal population with exact boundaries.
+
+    Scale shape (operators/rank.py): the oracle's global window is ONE
+    task in Spark; the engine instead range-partitions on the (price,
+    key) total order, collects a P-row partition-size table, and adds
+    exclusive prefix offsets to partition-local row_numbers — every pass
+    parallel, bucket cuts integer-exact (ceil(r·k/n)) on both engines."""
+    from land_registry_data_ingestion_spark.operators.rank import (
+        equidepth_histogram,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return equidepth_histogram(
+        t.orders, "o_totalprice", "o_orderkey", n_buckets=16
+    )
