@@ -78,6 +78,8 @@ HEADLINE = [
     "text_repetition_filters",
     "evt_ohlc_hourly",
     "rel_skew_join_salted",
+    "text_dup_spans",
+    "win_equidepth_histogram",
 ]
 
 
@@ -127,6 +129,8 @@ SCALE_QUERIES = [
     "text_token_budget_sample",
     "text_repetition_filters",
     "evt_ohlc_hourly",
+    "text_dup_spans",
+    "win_equidepth_histogram",
     # NOT rel_skew_join_salted: it reads `part`, which the replicated
     # scale dir does not carry (SCALE_SPEC tables only).
 ]

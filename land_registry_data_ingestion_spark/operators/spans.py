@@ -85,6 +85,66 @@ def duplicated_spans(
     ).drop("_island")
 
 
+def trim_duplicated_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the dedup: cut every duplicated span out of the (normalized)
+    token stream — Lee et al.'s "dedup by removing repeated substrings".
+
+    Returns every input document as (id, clean_text, n_kept): surviving
+    tokens re-joined in order; documents that are entirely duplicated
+    text come back with ``clean_text = ''``.
+
+    Shape: covered positions are re-expanded from the merged spans
+    (output ∝ duplicated tokens, not span-count²), the keep decision is
+    an ids-only anti-join on (id, pos), and each document's surviving
+    tokens reassemble in one map-combined ``collect_list`` of (pos, tok)
+    structs — sorted in-group, so no per-document window pass.
+    """
+    from land_registry_data_ingestion_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+
+    spans = duplicated_spans(
+        df, k=k, min_count=min_count, text_col=text_col, id_col=id_col
+    )
+    covered = spans.select(
+        id_col,
+        F.explode(F.sequence("span_start", "span_end")).alias("pos"),
+    )
+    toks = spread(df).select(
+        id_col,
+        F.posexplode(tokens(normalize_text(F.col(text_col)))).alias(
+            "pos", "tok"
+        ),
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
 def dup_span_stats(
     df: DataFrame,
     k: int = 8,

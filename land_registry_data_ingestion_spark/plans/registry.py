@@ -125,6 +125,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "text_dup_spans",
     "agg_rollup_sets",
     "win_equidepth_histogram",
+    "text_dup_span_trim",
     # Checked in round 1 but dropped by the round-2 window.
     "sim_cosine_pairs",
     "sim_topk_bruteforce",

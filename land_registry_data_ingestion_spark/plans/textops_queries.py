@@ -727,3 +727,71 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_end").cast("long").alias("span_end"),
         F.col("span_tokens").cast("long").alias("span_tokens"),
     )
+
+
+@query(
+    "text_dup_span_trim",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_NORM} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(range(len(t) - {_DUPSPAN_K - 1})) AS pos,
+             unnest(list_transform(range(len(t) - {_DUPSPAN_K - 1}),
+                    i -> md5(array_to_string(t[i+1:i+{_DUPSPAN_K}], ' ')))) AS gk
+      FROM toks
+    ), dup AS (
+      SELECT gk FROM grams GROUP BY gk HAVING count(*) >= 2
+    ), hits AS (
+      SELECT g.doc_id, g.pos FROM grams g
+      WHERE g.gk IN (SELECT gk FROM dup)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {_DUPSPAN_K} THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ), lab AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + {_DUPSPAN_K - 1} AS e
+      FROM lab GROUP BY doc_id, isl_id
+    ), covered AS (
+      SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM spans
+    ), tokpos AS (
+      SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS pos FROM toks
+    ), kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+      ANTI JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def text_dup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable half of exact-substring dedup: every document with
+    its duplicated spans CUT OUT of the normalized token stream (Lee et
+    al. 2022's corpus repair, not just detection). Fully-duplicated docs
+    survive as empty strings — the caller's drop policy, not ours.
+
+    Scale shape (operators/spans.py::trim_duplicated_spans): covered
+    positions re-expand from merged spans (∝ duplicated tokens), the
+    keep decision is an ids-only anti-join, and documents reassemble in
+    one sorted-struct collect_list — no per-doc window, text crosses the
+    shuffle once as (pos, tok) structs."""
+    from land_registry_data_ingestion_spark.operators.spans import (
+        trim_duplicated_spans,
+    )
+
+    t = load_tables(spark, sf_dir)
+    out = trim_duplicated_spans(t.documents, k=_DUPSPAN_K, min_count=2)
+    return out.select(
+        "doc_id", "clean_text", F.col("n_kept").cast("long").alias("n_kept")
+    )

@@ -9,6 +9,7 @@ from pyspark.sql import Row
 from land_registry_data_ingestion_spark.operators.spans import (
     dup_span_stats,
     duplicated_spans,
+    trim_duplicated_spans,
 )
 
 
@@ -75,3 +76,28 @@ def test_stats_aggregates_spans(spark):
     assert rows[0].n_spans == 2
     assert rows[0].dup_tokens == 17
     assert rows[0].first_dup_pos == 0
+
+
+def test_trim_cuts_only_covered_tokens(spark):
+    shared = _words(10, "s")
+    left0, right0 = _words(5, "a"), _words(5, "b")
+    df = _docs(
+        spark,
+        [
+            f"{left0} {shared} {right0}",
+            f"{_words(7, 'c')} {shared} {_words(3, 'd')}",
+        ],
+    )
+    rows = {r.doc_id: r for r in trim_duplicated_spans(df, k=8).collect()}
+    assert rows[0].clean_text == f"{left0} {right0}"
+    assert rows[0].n_kept == 10
+    assert rows[1].n_kept == 10
+
+
+def test_trim_fully_duplicated_doc_empty(spark):
+    body = _words(12, "z")
+    df = _docs(spark, [body, body, _words(30, "u")])
+    rows = {r.doc_id: r for r in trim_duplicated_spans(df, k=8).collect()}
+    assert rows[0].clean_text == "" and rows[0].n_kept == 0
+    assert rows[1].clean_text == "" and rows[1].n_kept == 0
+    assert rows[2].n_kept == 30
