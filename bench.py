@@ -80,6 +80,7 @@ HEADLINE = [
     "rel_skew_join_salted",
     "text_dup_spans",
     "win_equidepth_histogram",
+    "rel_multi_join_chain",
 ]
 
 

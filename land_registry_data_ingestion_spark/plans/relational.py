@@ -1043,3 +1043,53 @@ def win_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equidepth_histogram(
         t.orders, "o_totalprice", "o_orderkey", n_buckets=16
     )
+
+
+@query(
+    "rel_multi_join_chain",
+    sql="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def rel_multi_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table join cascade (TPC-H Q5 shape): local-supplier revenue by
+    nation. The one declared query whose cost is JOIN ORDER, not any
+    single operator — written as a flat declarative chain so Catalyst +
+    AQE reorder it: the date filter pushes into the orders scan, the
+    dimension chain region→nation→customer broadcasts bottom-up, and the
+    only big-big shuffle left is orders⋈lineitem on the key both sides
+    already hash on. The s_nationkey = c_nationkey residual rides the
+    supplier broadcast instead of forcing a second fact shuffle."""
+    t = load_tables(spark, sf_dir)
+    joined = (
+        t.region.join(t.nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(t.customer, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t.orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t.supplier,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
