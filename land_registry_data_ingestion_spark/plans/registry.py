@@ -127,6 +127,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "win_equidepth_histogram",
     "text_dup_span_trim",
     "rel_multi_join_chain",
+    "evt_sliding_users_24h",
     # Checked in round 1 but dropped by the round-2 window.
     "sim_cosine_pairs",
     "sim_topk_bruteforce",

@@ -1,0 +1,90 @@
+"""BPE training parity vs an independent pure-Python reference
+(operators/bpe.py). The reference below follows Sennrich et al. 2016's
+published algorithm directly — dict-of-tuples state, full recount per
+round — deliberately sharing no code with the distributed operator."""
+
+from __future__ import annotations
+
+import collections
+
+from pyspark.sql import Row
+
+from land_registry_data_ingestion_spark.operators.bpe import (
+    END_OF_WORD,
+    bpe_encode,
+    train_bpe,
+)
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "widest widest widest",
+    "the newest gadget is the widest",
+]
+
+
+def _reference_bpe(texts, n_merges, min_pair_freq=2):
+    vocab = collections.Counter()
+    for t in texts:
+        for w in " ".join(t.lower().split()).split():
+            vocab[tuple(list(w) + [END_OF_WORD])] += 1
+    merges = []
+    for _ in range(n_merges):
+        counts = collections.Counter()
+        for word, freq in vocab.items():
+            for i in range(len(word) - 1):
+                counts[(word[i], word[i + 1])] += freq
+        eligible = {p: c for p, c in counts.items() if c >= min_pair_freq}
+        if not eligible:
+            break
+        best = min(eligible.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new_vocab = collections.Counter()
+        for word, freq in vocab.items():
+            out, i = [], 0
+            while i < len(word):
+                if (
+                    i + 1 < len(word)
+                    and (word[i], word[i + 1]) == best
+                ):
+                    out.append(word[i] + word[i + 1])
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            new_vocab[tuple(out)] += freq
+        vocab = new_vocab
+    return merges
+
+
+def _df(spark, texts=CORPUS):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_merge_sequence_matches_reference(spark):
+    got = train_bpe(_df(spark), n_merges=12)
+    want = _reference_bpe(CORPUS, n_merges=12)
+    assert got == want
+    assert len(got) > 5  # the corpus supports a real merge sequence
+
+
+def test_stops_when_no_pair_reaches_threshold(spark):
+    got = train_bpe(_df(spark, ["ab", "cd", "ef"]), n_merges=10)
+    assert got == []
+
+
+def test_encode_applies_merges_in_rank_order(spark):
+    merges = train_bpe(_df(spark), n_merges=12)
+    out = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_encode(_df(spark), merges).collect()
+    }
+    # 'low' appears 5x: after enough merges it encodes as one symbol.
+    low_doc = out[0]
+    assert low_doc.count("low" + END_OF_WORD) == 5 or "low" in low_doc
+    # round-trip: stripping merge boundaries recovers the characters
+    flat = "".join(t.replace(END_OF_WORD, " ") for t in out[4]).strip()
+    assert flat == "the newest gadget is the widest"
