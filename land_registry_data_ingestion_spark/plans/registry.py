@@ -128,6 +128,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "text_dup_span_trim",
     "rel_multi_join_chain",
     "evt_sliding_users_24h",
+    "text_curriculum_shards",
     # Checked in round 1 but dropped by the round-2 window.
     "sim_cosine_pairs",
     "sim_topk_bruteforce",

@@ -795,3 +795,63 @@ def text_dup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "clean_text", F.col("n_kept").cast("long").alias("n_kept")
     )
+
+
+_N_SHARDS = 8
+
+
+@query(
+    "text_curriculum_shards",
+    sql=f"""
+    WITH m AS (
+        SELECT doc_id,
+               {_NTOK} AS n_tokens,
+               length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                 * 1.0 / length(text) AS p_ratio,
+               {_SW_HITS_EN} * 1.0
+                 / greatest({_NTOK}, 1) AS sw_ratio
+        FROM documents
+    ), q AS (
+        SELECT doc_id,
+               ROUND(CASE
+                   WHEN n_tokens < 5 THEN 0.0
+                   WHEN p_ratio > 0.3 THEN 0.2
+                   ELSE least(1.0, 0.5 * least(n_tokens / 100.0, 1.0)
+                                   + 0.3 * (1.0 - p_ratio)
+                                   + 0.2 * least(sw_ratio * 5.0, 1.0))
+               END, 6) AS quality_score
+        FROM m
+    ), ranked AS (
+        SELECT doc_id, quality_score,
+               rank() OVER (ORDER BY quality_score DESC, doc_id) AS r,
+               count(*) OVER () AS n
+        FROM q
+    )
+    SELECT doc_id, quality_score,
+           CAST((r * {_N_SHARDS} + n - 1) // n AS BIGINT) AS shard
+    FROM ranked
+    """,
+)
+def text_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: rank the corpus by quality (best first,
+    doc_id tiebreak on the ROUNDED score so both engines see identical
+    ties) and cut it into {S} equal-population shards — the
+    easy-to-hard schedule a curriculum trainer consumes shard by shard.
+
+    Scale shape: the ranking is operators/rank.py::global_rank (range
+    partition + offset table), NOT a single-task window; shard cuts are
+    the integer-exact ceil(r·S/n) rule shared with the equi-depth
+    histogram."""
+    from land_registry_data_ingestion_spark.operators.rank import global_rank
+
+    t = load_tables(spark, sf_dir)
+    q = with_quality_score(t.documents).select(
+        "doc_id", "quality_score", (-F.col("quality_score")).alias("_neg")
+    )
+    n = q.count()
+    ranked = global_rank(q, ["_neg", "doc_id"], rank_col="_r")
+    return ranked.select(
+        "doc_id",
+        "quality_score",
+        F.expr(f"(_r * {_N_SHARDS} + {n} - 1) div {n}").alias("shard"),
+    )
