@@ -1093,3 +1093,78 @@ def rel_multi_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count("*").alias("n_items"),
     )
+
+
+@query(
+    "agg_kmv_by_group",
+    sql=f"""
+    WITH h AS (
+        SELECT DISTINCT o_orderpriority, ('0x' || substr(
+            md5('{_KMV_SALT}|' || CAST(o_custkey AS VARCHAR)), 1, 15
+        ))::BIGINT AS hv
+        FROM orders
+    ),
+    r AS (
+        SELECT o_orderpriority, hv,
+               row_number() OVER (PARTITION BY o_orderpriority ORDER BY hv) AS rn
+        FROM h
+    ),
+    s AS (
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_seen,
+               MAX(hv) AS max_hv
+        FROM r WHERE rn <= {_KMV_K} GROUP BY o_orderpriority
+    ),
+    x AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT s.o_orderpriority,
+           ROUND(CASE WHEN s.n_seen < {_KMV_K} THEN CAST(s.n_seen AS DOUBLE)
+                 ELSE ({_KMV_K} - 1) / (CAST(s.max_hv AS DOUBLE) / {_KMV_SCALE!r})
+                 END, 4) AS est_distinct,
+           x.exact_distinct
+    FROM s JOIN x USING (o_orderpriority)
+    """,
+)
+def agg_kmv_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KMV distinct sketches — `agg_kmv_distinct`'s estimator
+    held per group, with the per-group k-smallest selection done by the
+    SALTED two-phase top-k (operators/topk.py): 5 priority groups would
+    otherwise mean 5 window reducers at 100 TB. Sketches stay mergeable
+    (union + re-take k) across groups AND batches; the oracle replays
+    hash, selection, and estimator bit-for-bit per group."""
+    from land_registry_data_ingestion_spark.operators.dedup import _md5_hash64
+    from land_registry_data_ingestion_spark.operators.topk import topk_per_group
+
+    t = load_tables(spark, sf_dir)
+    hashes = (
+        t.orders.select(
+            "o_orderpriority",
+            _md5_hash64(F.col("o_custkey").cast("string"), _KMV_SALT).alias("hv"),
+        )
+        .distinct()
+    )
+    topk = topk_per_group(
+        hashes, ["o_orderpriority"], [F.col("hv")], k=_KMV_K, salt_col="hv"
+    )
+    s = topk.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_seen"), F.max("hv").alias("max_hv")
+    )
+    x = t.orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("n_seen") < _KMV_K, F.col("n_seen").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1))
+        / (F.col("max_hv").cast("double") / F.lit(_KMV_SCALE))
+    )
+    return (
+        s.join(x, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.round(est, 4).alias("est_distinct"),
+            "exact_distinct",
+        )
+    )
