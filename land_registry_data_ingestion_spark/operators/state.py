@@ -97,8 +97,11 @@ class ManifestStore(IngestStore):
     def _read_parts(self, paths: list[str]) -> DataFrame:
         # Leaf ``data_year=YYYY`` dirs: no partition-column inference, so
         # the frame carries exactly the state schema regardless of which
-        # runs the paths belong to.
-        return self.spark.read.parquet(*paths)
+        # runs the paths belong to. mergeSchema: a column added by a later
+        # merge exists only in partitions written since — carried-by-
+        # reference older partitions must still surface it (as NULL), not
+        # silently win the footer race.
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def _scan_part_counts(self, parts_dir: str) -> list[dict]:
         """Per-partition row counts of a freshly written parts dir — a

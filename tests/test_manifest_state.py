@@ -219,3 +219,38 @@ def test_state_as_of_time_travel(spark, stores, tmp_path):
     assert _rows(mani.state_as_of("r2")) == _rows(mani.current_state())
     with pytest.raises(KeyError):
         mani.state_as_of("no-such-run")
+
+
+def test_schema_evolution_across_carried_partitions(spark, tmp_path):
+    """A column added by a later merge must surface (as NULL) on rows in
+    carried-by-reference partitions written before it existed."""
+    import datetime as _dt
+
+    store = ManifestStore(spark=spark, root=str(tmp_path / "evo"))
+    v1 = spark.createDataFrame(
+        [
+            ("K1", _dt.datetime(2015, 1, 5), 100),
+            ("K2", _dt.datetime(2016, 3, 7), 200),
+        ],
+        "k string, transaction_date timestamp, price int",
+    )
+    loc1 = str(tmp_path / "evo" / "m1")
+    assert store.write_state(v1, loc1) == 2
+
+    entries = store._manifest_entries(loc1)
+    carry = [e for e in entries if e["data_year"] == 2015]
+    assert len(carry) == 1
+    v2 = spark.createDataFrame(
+        [("K2", _dt.datetime(2016, 3, 7), 250, "web")],
+        "k string, transaction_date timestamp, price int, channel string",
+    )
+    loc2 = str(tmp_path / "evo" / "m2")
+    assert store.write_merged(v2, loc2, carry) == 2
+
+    out = store._read_parts(
+        [e["path"] for e in store._manifest_entries(loc2)]
+    )
+    assert "channel" in out.columns
+    rows = {r.k: r for r in out.collect()}
+    assert rows["K1"].channel is None and rows["K1"].price == 100
+    assert rows["K2"].channel == "web" and rows["K2"].price == 250
