@@ -374,15 +374,64 @@ def ingest_monthly_update(
     updates = _gate_batch(
         store, csv_path, n_columns, strict, "monthly update batch"
     )
-    current, carry = store.current_for_merge(updates, "transaction_unique_id")
+    return merge_update_frame(
+        store,
+        updates,
+        run_id=run_id,
+        now=now,
+        source="monthly",
+        token=sha,
+        source_path=csv_path,
+        validate_batch=False,  # _gate_batch above already probed the key
+        validate_current=validate_current,
+    )
+
+
+def merge_update_frame(
+    store: IngestStore,
+    updates: DataFrame,
+    run_id: str,
+    key_col: str = "transaction_unique_id",
+    op_col: str = "record_op",
+    now: datetime.datetime | None = None,
+    source: str = "stream",
+    token: str | None = None,
+    source_path: str | None = None,
+    validate_batch: bool = True,
+    validate_current: bool = False,
+) -> dict:
+    """CDC-merge an already-typed A/C/D update FRAME into the store — the
+    frame-level core of :func:`ingest_monthly_update`, shared by the
+    streaming sink (`streaming/cdc_sink.py`), where batches arrive as
+    DataFrames with no file to sha.
+
+    Exactly-once by ``run_id``: if the ledger already holds an accepted
+    run with this id the call is a no-op returning that row — Structured
+    Streaming replays the last micro-batch after a crash, and this is
+    the idempotence check that turns at-least-once delivery into an
+    exactly-once effect (one ≤ledger-sized lookup, no state touched).
+    """
+    now = now or datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    prior = (
+        store.file_log()
+        .filter((F.col("run_id") == run_id) & (F.col("decision") == "archive"))
+        .limit(1)
+        .collect()
+    )
+    if prior:
+        return prior[0].asDict()
+
+    if validate_batch:
+        _assert_unique(updates, key_col, f"{source} update batch {run_id}")
+    current, carry = store.current_for_merge(updates, key_col)
     if validate_current:
-        _assert_unique(current, "transaction_unique_id", "current state")
+        _assert_unique(current, key_col, "current state")
     value_cols = [
         c
         for c in current.columns
         if c
         not in (
-            "transaction_unique_id",
+            key_col,
             "created_datetime",
             "updated_datetime",
             "deleted_datetime",
@@ -392,42 +441,38 @@ def ingest_monthly_update(
     result = cdc_merge(
         current,
         updates,
-        key_col="transaction_unique_id",
+        key_col=key_col,
         value_cols=value_cols,
-        op_col="record_op",
+        op_col=op_col,
         batch_timestamp=F.lit(now),
     )
-    # Materialize the (tiny) outcome counters FIRST: they both gate the
-    # batch (invalid ops → reject before anything is written) and feed the
-    # operation log, so collecting once replaces what used to be three
-    # passes (stats write + state write + read-back recount) with two
-    # (stats collect + observed state write).
     stats_rows = merge_outcome_stats(result.outcomes).collect()
     if any(r["outcome"] == "invalid_op" for r in stats_rows):
         bad = result.invalid_ops.limit(5).collect()
-        sample = ", ".join(f"{r['transaction_unique_id']}={r['record_op']!r}" for r in bad)
+        sample = ", ".join(f"{r[key_col]}={r[op_col]!r}" for r in bad)
         raise ValueError(
-            f"update batch contains ops outside A/C/D (e.g. {sample}) — "
-            f"batch rejected, state unchanged (reference raises "
-            f"RuntimeError, database_updater.py:1011-1013)"
+            f"{source} batch {run_id} contains ops outside A/C/D "
+            f"(e.g. {sample}) — batch rejected, state unchanged"
         )
-    location = store.state_path(sha)
+    token = token or hashlib.sha256(run_id.encode()).hexdigest()
+    location = store.state_path(token)
     row_count = store.write_merged(result.new_state, location, carry)
-    store.spark.createDataFrame(stats_rows, merge_outcome_stats(result.outcomes).schema).withColumn(
-        "run_id", F.lit(run_id)
-    ).coalesce(1).write.mode("append").parquet(
-        os.path.join(store.root, "operation_log")
-    )
+    store.spark.createDataFrame(
+        stats_rows, merge_outcome_stats(result.outcomes).schema
+    ).withColumn("run_id", F.lit(run_id)).coalesce(1).write.mode(
+        "append"
+    ).parquet(os.path.join(store.root, "operation_log"))
 
     row = {
         "run_id": run_id,
-        "source_path": csv_path,
+        "source_path": source_path or f"{source}:{run_id}",
         "file_kind": "monthly",
-        "sha256": sha,
+        "sha256": token,
         "decision": "archive",
         "row_count": row_count,
         "state_location": location,
         "run_datetime": now,
     }
     store._append_log(row)
+    store.maybe_compact_file_log()
     return row

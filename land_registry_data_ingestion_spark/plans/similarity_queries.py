@@ -500,3 +500,68 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.round(F.avg("cos"), 6).alias("avg_cos"),
     )
+
+
+_BRUTE_IDS_SQL = f"""
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC,
+                            c.vec_id
+               ) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 10
+    ) WHERE rank <= 10
+"""
+
+
+@query(
+    "sim_ivf_recall",
+    sql=f"""
+    WITH ivf AS ({_ivf_sql()}),
+    ex AS ({_BRUTE_IDS_SQL}),
+    matched AS (
+        SELECT ex.query_id, COUNT(ivf.neighbor_id) AS n_hit
+        FROM ex LEFT JOIN ivf
+          ON ex.query_id = ivf.query_id
+         AND ex.neighbor_id = ivf.neighbor_id
+        GROUP BY ex.query_id
+    )
+    SELECT query_id, CAST(n_hit AS BIGINT) AS n_overlap,
+           ROUND(n_hit / 10.0, 4) AS recall_at_10
+    FROM matched
+    """,
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN self-evaluation: recall@10 of the IVF index against the exact
+    brute-force neighbors, per query — the quality dial (nprobe/n_lists)
+    a production ANN deployment tunes against, computed by the engine
+    itself. Both legs are the existing scale-path operators; the metric
+    join touches only (query_id, neighbor_id) pairs — driver-scale at
+    any corpus size."""
+    t = load_tables(spark, sf_dir)
+    qs = t.embeddings.filter(F.col("vec_id") < 10)
+    ivf = ivf_topk(t.embeddings, qs, n_centroids=16, nprobe=4, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    ex = brute_force_topk(t.embeddings, qs, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    matched = (
+        ex.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("_hit"))
+    )
+    return (
+        ex.select("query_id")
+        .distinct()
+        .join(matched, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("_hit", F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(F.coalesce("_hit", F.lit(0)) / 10.0, 4).alias(
+                "recall_at_10"
+            ),
+        )
+    )
