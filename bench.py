@@ -81,6 +81,8 @@ HEADLINE = [
     "text_dup_spans",
     "win_equidepth_histogram",
     "rel_multi_join_chain",
+    "text_dup_span_trim",
+    "evt_sliding_users_24h",
 ]
 
 
@@ -132,6 +134,8 @@ SCALE_QUERIES = [
     "evt_ohlc_hourly",
     "text_dup_spans",
     "win_equidepth_histogram",
+    "text_dup_span_trim",
+    "evt_sliding_users_24h",
     # NOT rel_skew_join_salted: it reads `part`, which the replicated
     # scale dir does not carry (SCALE_SPEC tables only).
 ]

@@ -25,6 +25,9 @@ from pyspark.sql import functions as F
 from land_registry_data_ingestion_spark.operators.textops import word_ngrams_all
 from land_registry_data_ingestion_spark.util import barrier, spread
 
+# Salt for the 60-bit gram key (engine convention: dedup._md5_hash64).
+SPAN_HASH_SALT = 13
+
 
 def kgram_positions(
     df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
@@ -32,20 +35,26 @@ def kgram_positions(
     """(id, pos, gram_key) for every word k-gram occurrence.
 
     ``pos`` is the 0-based token index of the gram's first token in the
-    normalized token stream; ``gram_key`` is md5 of the space-joined gram
-    (md5 so a second engine replays keys bit-for-bit; the 16-byte key is
-    what shuffles, not the text). The n-gram array is built once per doc
-    behind a barrier — Generate would otherwise re-evaluate the slice-zip
-    build per output row.
+    normalized token stream; ``gram_key`` is the 60-bit md5-derived
+    integer hash of the space-joined gram (``_md5_hash64`` convention —
+    replayable bit-for-bit by any engine with md5, and an 8-byte shuffle
+    key instead of a 32-char digest string; span equality is therefore
+    60-bit-hash equality, identically on both engines). The n-gram array
+    is built once per doc behind a barrier — Generate would otherwise
+    re-evaluate the slice-zip build per output row.
     """
-    grams = barrier(
-        spread(df).select(
-            F.col(id_col), word_ngrams_all(F.col(text_col), k).alias("_grams")
-        )
+    from land_registry_data_ingestion_spark.operators.dedup import _md5_hash64
+
+    hashed = F.transform(
+        word_ngrams_all(F.col(text_col), k),
+        lambda g: _md5_hash64(g, SPAN_HASH_SALT),
     )
-    return grams.select(
-        id_col, F.posexplode("_grams").alias("pos", "_gram")
-    ).select(id_col, "pos", F.md5(F.col("_gram")).alias("gram_key"))
+    # Hash INSIDE the barriered projection: the materialized intermediate
+    # is an array<bigint> (8 B/gram) instead of the gram strings
+    # (~k·word B/gram) — the barrier write, not the downstream shuffle,
+    # is this operator's largest I/O.
+    grams = barrier(spread(df).select(F.col(id_col), hashed.alias("_gh")))
+    return grams.select(id_col, F.posexplode("_gh").alias("pos", "gram_key"))
 
 
 def duplicated_spans(
