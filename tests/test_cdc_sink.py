@@ -110,3 +110,47 @@ def test_invalid_op_batch_rejected_before_any_write(
     assert (
         store.file_log().filter(F.col("run_id") == "stream-bad").count() == 0
     )
+
+
+def test_restart_from_checkpoint_processes_only_new_files(
+    spark, tmp_path, booted
+):
+    store = booted
+    in_dir = tmp_path / "inc2"
+    ckpt = str(tmp_path / "ckpt2")
+    df1 = _updates_df(spark, tmp_path, "r0.csv", MONTHLY)
+    schema = df1.schema
+    df1.coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    def _run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(in_dir))
+        )
+        q = run_cdc_stream(stream, store, checkpoint_dir=ckpt)
+        q.awaitTermination(120)
+
+    _run()
+    n_runs_1 = (
+        store.file_log()
+        .filter(F.col("run_id").startswith("stream-"))
+        .count()
+    )
+    assert n_runs_1 == 1
+
+    _updates_df(spark, tmp_path, "r1.csv", BATCH2).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    _run()  # restart against the same checkpoint
+
+    log = store.file_log().filter(F.col("run_id").startswith("stream-"))
+    # batch 0 NOT reprocessed: exactly one new ledger row, batch ids move on
+    assert log.count() == 2
+    assert set(_state_rows(store)) == {
+        ("{T0001}", 150000),
+        ("{T0002}", 222000),
+        ("{T0004}", 400000),
+        ("{T0005}", 500000),
+        ("{T0006}", 600000),
+    }
