@@ -783,3 +783,104 @@ def evt_sliding_users_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_end")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+_CORR_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _corr_sql() -> str:
+    cnt = ",\n           ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS c_{t}"
+        for t in _CORR_TYPES
+    )
+    comps = [f"CAST(COUNT(*) AS BIGINT) AS n"]
+    for t in _CORR_TYPES:
+        comps.append(f"CAST(SUM(c_{t}) AS BIGINT) AS s_{t}")
+        comps.append(f"CAST(SUM(c_{t} * c_{t}) AS BIGINT) AS q_{t}")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_TYPES)
+        for b in _CORR_TYPES[i + 1 :]
+    ]
+    for a, b in pairs:
+        comps.append(f"CAST(SUM(c_{a} * c_{b}) AS BIGINT) AS p_{a}_{b}")
+    rows = ",\n      ".join(
+        f"""('{a}', '{b}',
+        ROUND(CAST(n * p_{a}_{b} - s_{a} * s_{b} AS DOUBLE)
+              / sqrt(CAST((n * q_{a} - s_{a} * s_{a})
+                          * (n * q_{b} - s_{b} * s_{b}) AS DOUBLE)), 6))"""
+        for a, b in pairs
+    )
+    return f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+           {cnt}
+        FROM events GROUP BY 1
+    ), comp AS (
+        SELECT {', '.join(comps)} FROM hourly
+    )
+    SELECT v.* FROM comp, (VALUES
+      {rows}
+    ) v(type_a, type_b, corr_counts)
+    """
+
+
+@query("evt_type_correlation", sql=_corr_sql())
+def evt_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of hourly activity between every event-type
+    pair — the co-movement matrix behind anomaly triage ("errors spike
+    with purchases?").
+
+    Engine-neutral-exact by construction: the aligned series are hourly
+    COUNTS on the observed-hour spine (one hash aggregate; absent hours
+    exist via the other types' events, zeros via conditional counts), so
+    every Pearson component (n, Σx, Σx², Σxy) is exact BIGINT arithmetic
+    with no float summation order anywhere; the one float expression —
+    cast, sqrt, divide, round — runs on identical integers in both
+    engines, so even the unrounded value matches bit-for-bit. One
+    shuffle on the hour key; 10 output rows from a 1-row component
+    frame."""
+    t = load_tables(spark, sf_dir)
+    cnts = [
+        F.sum(
+            F.when(F.col("event_type") == ty, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias(f"c_{ty}")
+        for ty in _CORR_TYPES
+    ]
+    hourly = t.events.groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(*cnts)
+    comps = [F.count("*").cast("long").alias("n")]
+    for ty in _CORR_TYPES:
+        comps.append(F.sum(f"c_{ty}").cast("long").alias(f"s_{ty}"))
+        comps.append(
+            F.sum(F.col(f"c_{ty}") * F.col(f"c_{ty}"))
+            .cast("long")
+            .alias(f"q_{ty}")
+        )
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_TYPES)
+        for b in _CORR_TYPES[i + 1 :]
+    ]
+    for a, b in pairs:
+        comps.append(
+            F.sum(F.col(f"c_{a}") * F.col(f"c_{b}"))
+            .cast("long")
+            .alias(f"p_{a}_{b}")
+        )
+    comp = hourly.agg(*comps)
+    cells = ", ".join(
+        f"""'{a}', '{b}',
+        round(CAST(n * p_{a}_{b} - s_{a} * s_{b} AS DOUBLE)
+              / sqrt(CAST((n * q_{a} - s_{a} * s_{a})
+                          * (n * q_{b} - s_{b} * s_{b}) AS DOUBLE)), 6)"""
+        for a, b in pairs
+    )
+    return comp.select(
+        F.expr(
+            f"stack({len(pairs)}, {cells}) AS (type_a, type_b, corr_counts)"
+        )
+    )
