@@ -123,7 +123,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "evt_ohlc_hourly",
     "evt_type_pagerank",
     "text_dup_spans",
-    "agg_rollup_sets",
     "win_equidepth_histogram",
     "text_dup_span_trim",
     "rel_multi_join_chain",

@@ -982,35 +982,6 @@ def rel_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "agg_rollup_sets",
-    sql="""
-    SELECT o_orderpriority, o_orderstatus,
-           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
-           ROUND(SUM(o_totalprice), 2) AS sum_price,
-           COUNT(*) AS n_orders
-    FROM orders
-    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
-    """,
-)
-def agg_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical subtotals in ONE pass: GROUP BY ROLLUP emits
-    (priority, status), (priority), and grand-total rows from a single
-    shuffle — the reporting shape that would otherwise be three separate
-    aggregates union'd. ``gid`` (grouping-bit vector, leftmost column =
-    most significant on both engines) disambiguates subtotal rows from
-    genuine NULL keys."""
-    t = load_tables(spark, sf_dir)
-    return (
-        t.orders.rollup("o_orderpriority", "o_orderstatus")
-        .agg(
-            F.grouping_id().cast("long").alias("gid"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-            F.count("*").alias("n_orders"),
-        )
-    )
-
-
-@query(
     "win_equidepth_histogram",
     sql="""
     WITH ranked AS (
