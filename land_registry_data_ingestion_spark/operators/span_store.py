@@ -1,0 +1,113 @@
+"""Incremental exact-substring dedup: a persistent k-gram count index,
+the substring-level counterpart of ``corpus_store.CorpusStore``'s
+fingerprint/LSH indexes.
+
+A growing corpus needs each new crawl batch checked for duplicated
+spans against EVERYTHING accepted so far without re-hashing the old
+corpus. The store keeps ``gram_index/batch=<id>/`` — (gram_key, n)
+occurrence counts contributed by each accepted batch. A new batch's
+spans are computed from batch-internal counts PLUS the aggregated prior
+index; then the batch's own counts join the index. Detection is
+forward-only, as in every incremental dedup: the batch that first
+introduced a now-duplicated passage was clean when accepted and is not
+revisited.
+
+Batch-id-addressed overwrite writes make replays idempotent (the probe
+excludes the replayed batch's own partition), the same exactly-once
+discipline as ``CorpusStore`` and the streaming sinks.
+
+Scale shape: the index holds 8-byte gram keys + counts — a fraction of
+corpus token count after duplicate collapse — and every probe is a
+map-combined count aggregate plus one hash semi-join on bigint keys;
+the batch's text never moves, and prior batches are never re-read
+beyond their (gram, count) summaries.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from land_registry_data_ingestion_spark.operators.spans import (
+    kgram_positions,
+    spans_from_hits,
+)
+
+GRAM_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("gram_key", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+    ]
+)
+
+
+@dataclass
+class SpanStore:
+    spark: SparkSession
+    root: str
+    k: int = 8
+    min_count: int = 2
+
+    @property
+    def _index_dir(self) -> str:
+        return os.path.join(self.root, "gram_index")
+
+    def index(self, exclude_batch: int | str | None = None) -> DataFrame:
+        """Aggregated (gram_key, n) over accepted batches; ``exclude_batch``
+        hides that batch's partition so a REPLAY does not probe against
+        its own previous attempt."""
+        if not os.path.isdir(self._index_dir):
+            return self.spark.createDataFrame([], GRAM_INDEX_SCHEMA)
+        batches = [
+            d
+            for d in os.listdir(self._index_dir)
+            if d.startswith("batch=")
+            and d != f"batch={exclude_batch}"
+        ]
+        if not batches:
+            return self.spark.createDataFrame([], GRAM_INDEX_SCHEMA)
+        paths = [os.path.join(self._index_dir, d) for d in batches]
+        return (
+            self.spark.read.schema(GRAM_INDEX_SCHEMA)
+            .parquet(*paths)
+            .groupBy("gram_key")
+            .agg(F.sum("n").alias("n"))
+        )
+
+    def ingest_batch(
+        self,
+        df: DataFrame,
+        batch_id: int | str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Detect duplicated spans in ``df`` against (batch ∪ accepted
+        corpus), then fold the batch's gram counts into the index.
+        Returns the batch's (id, span_start, span_end, span_tokens)."""
+        pos = kgram_positions(df, k=self.k, text_col=text_col, id_col=id_col)
+        batch_counts = pos.groupBy("gram_key").agg(
+            F.count("*").cast("long").alias("n")
+        )
+        prior = self.index(exclude_batch=batch_id)
+        total = (
+            batch_counts.join(prior, "gram_key", "full_outer")
+            .select(
+                "gram_key",
+                (
+                    F.coalesce(batch_counts["n"], F.lit(0))
+                    + F.coalesce(prior["n"], F.lit(0))
+                ).alias("n"),
+            )
+        )
+        dup_keys = total.where(F.col("n") >= self.min_count).select("gram_key")
+        hits = pos.join(dup_keys, "gram_key", "left_semi").select(id_col, "pos")
+        spans = spans_from_hits(hits, id_col=id_col, k=self.k)
+
+        batch_counts.write.mode("overwrite").parquet(
+            os.path.join(self._index_dir, f"batch={batch_id}")
+        )
+        return spans

@@ -79,7 +79,14 @@ def duplicated_spans(
         .select("gram_key")
     )
     hits = pos.join(dup_keys, "gram_key", "left_semi").select(id_col, "pos")
+    return spans_from_hits(hits, id_col=id_col, k=k)
 
+
+def spans_from_hits(hits: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated k-gram start positions into
+    maximal (span_start, span_end, span_tokens) intervals per document —
+    windows partitioned per doc, so parallelism is bounded only by
+    document count."""
     w = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
         F.lit(1)
