@@ -142,6 +142,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_kmv_by_group",
     "sim_ivf_recall",
     "evt_type_correlation",
+    "text_corpus_report",
 )
 
 

@@ -855,3 +855,103 @@ def text_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score",
         F.expr(f"(_r * {_N_SHARDS} + {n} - 1) div {n}").alias("shard"),
     )
+
+
+@query(
+    "text_corpus_report",
+    sql=f"""
+    WITH m AS (
+        SELECT doc_id, source, lang,
+               {_NTOK} AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_m,
+               md5({_NORM}) AS fp,
+               length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                 * 1.0 / length(text) AS p_ratio,
+               {_SW_HITS_EN} * 1.0
+                 / greatest({_NTOK}, 1) AS sw_ratio
+        FROM documents
+    ), q AS (
+        SELECT *, ROUND(CASE
+                   WHEN n_tokens < 5 THEN 0.0
+                   WHEN p_ratio > 0.3 THEN 0.2
+                   ELSE least(1.0, 0.5 * least(n_tokens / 100.0, 1.0)
+                                   + 0.3 * (1.0 - p_ratio)
+                                   + 0.2 * least(sw_ratio * 5.0, 1.0))
+               END, 6) AS qs
+        FROM m
+    )
+    SELECT metric, ROUND(value, 6) AS value FROM (
+        SELECT 'n_docs' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM q
+        UNION ALL
+        SELECT 'total_tokens', CAST(SUM(n_tokens) AS DOUBLE) FROM q
+        UNION ALL
+        SELECT 'total_chars', CAST(SUM(n_chars_m) AS DOUBLE) FROM q
+        UNION ALL
+        SELECT 'n_sources', CAST(COUNT(DISTINCT source) AS DOUBLE) FROM q
+        UNION ALL
+        SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS DOUBLE) FROM q
+        UNION ALL
+        SELECT 'exact_dup_doc_rate',
+               1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) FROM q
+        UNION ALL
+        SELECT 'mean_quality', AVG(qs) FROM q
+        UNION ALL
+        SELECT 'short_doc_rate',
+               CAST(COUNT(*) FILTER (WHERE n_tokens < 5) AS DOUBLE)
+                 / COUNT(*) FROM q
+    )
+    """,
+)
+def text_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card in one statement: the corpus-level numbers a
+    training-data release documents (size, source/language spread, exact
+    duplication rate, quality profile) as (metric, value) rows.
+
+    One wide per-doc projection (token counts, fingerprint, quality —
+    all codegen'd) feeds a single multi-aggregate pass; the only
+    distinct-shuffles are the md5 fingerprint and two low-cardinality
+    columns. Composes the same fragments as `text_quality_score` /
+    `text_fingerprint`, so the card is consistent with the per-doc
+    queries by construction."""
+    t = load_tables(spark, sf_dir)
+    from land_registry_data_ingestion_spark.functions.text import fingerprint
+
+    base = with_quality_score(t.documents).select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_tokens",
+        "n_chars_measured",
+        "quality_score",
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    agg = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("n_tokens").cast("double").alias("total_tokens"),
+        F.sum("n_chars_measured").cast("double").alias("total_chars"),
+        F.count_distinct("source").cast("double").alias("n_sources"),
+        F.count_distinct("lang").cast("double").alias("n_langs"),
+        (
+            F.lit(1.0)
+            - F.count_distinct("fp").cast("double") / F.count("*")
+        ).alias("exact_dup_doc_rate"),
+        F.avg("quality_score").alias("mean_quality"),
+        (
+            F.sum(F.when(F.col("n_tokens") < 5, 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("short_doc_rate"),
+    )
+    metrics = [
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        "n_sources",
+        "n_langs",
+        "exact_dup_doc_rate",
+        "mean_quality",
+        "short_doc_rate",
+    ]
+    cells = ", ".join(f"'{name}', round({name}, 6)" for name in metrics)
+    return agg.select(
+        F.expr(f"stack({len(metrics)}, {cells}) AS (metric, value)")
+    )
