@@ -51,3 +51,9 @@ def test_equidepth_buckets_balanced(spark):
     by_bucket = sorted(out, key=lambda r: r.bucket)
     for lo_r, hi_r in zip(by_bucket, by_bucket[1:]):
         assert lo_r.hi <= hi_r.lo
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "k long, v double")
+    assert global_rank(df, ["v", "k"], num_partitions=4).count() == 0
+    assert equidepth_histogram(df, "v", "k", n_buckets=4).count() == 0
