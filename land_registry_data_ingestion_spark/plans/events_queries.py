@@ -884,3 +884,58 @@ def evt_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(pairs)}, {cells}) AS (type_a, type_b, corr_counts)"
         )
     )
+
+
+@query(
+    "evt_user_entropy",
+    sql="""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), per_user AS (
+        SELECT user_id,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               list_reduce(
+                   list_prepend(0.0,
+                       list(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+                            ORDER BY event_type)),
+                   (a, b) -> a + b) AS s
+        FROM c GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           ROUND(ln(CAST(n_events AS DOUBLE)) - s / n_events, 6) AS entropy
+    FROM per_user
+    """,
+)
+def evt_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral entropy over event types (H = ln n − Σc·ln c
+    ⁄ n) — the diversity feature behind bot/power-user segmentation.
+
+    Cross-engine exact like `evt_ewma`: the only float summation is a
+    FIXED-ORDER sequential fold over the type-sorted term list
+    (`F.aggregate` here, `list_reduce` in the oracle), so both engines
+    add the same correctly-rounded terms in the same order — no
+    engine-specific aggregation order anywhere. Single-type users come
+    out at exactly 0.0. Two shuffles, both on user keys."""
+    t = load_tables(spark, sf_dir)
+    c = t.events.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    term = lambda x: x["n"].cast("double") * F.log(x["n"].cast("double"))
+    per = c.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("event_type", "n"))),
+            F.lit(0.0),
+            lambda acc, x: acc + term(x),
+        ).alias("s"),
+    )
+    return per.select(
+        "user_id",
+        "n_events",
+        F.round(
+            F.log(F.col("n_events").cast("double"))
+            - F.col("s") / F.col("n_events"),
+            6,
+        ).alias("entropy"),
+    )

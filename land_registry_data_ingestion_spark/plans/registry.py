@@ -143,6 +143,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "sim_ivf_recall",
     "evt_type_correlation",
     "text_corpus_report",
+    "evt_user_entropy",
 )
 
 
