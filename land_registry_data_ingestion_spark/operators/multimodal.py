@@ -196,8 +196,13 @@ def sample_video_frames(
                 else np.array([], dtype="int64")
             )
             ts = idx * every_ms
+            # Stub frame bytes = hex md5 of (content | ts): deterministic,
+            # cheap, and replayable by any engine with a string md5 — the
+            # declared query's oracle recomputes it in DuckDB.
             frames = [
-                hashlib.md5((c or b"") + int(t).to_bytes(8, "little")).digest()
+                hashlib.md5((c or b"") + b"|" + str(int(t)).encode())
+                .hexdigest()
+                .encode("ascii")
                 for c, t in zip(rep["content"], ts)
             ]
             yield pd.DataFrame(

@@ -90,3 +90,53 @@ def mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_bytes_meta"), 2).alias("avg_bytes"),
         F.max("n_bytes_meta").alias("max_bytes"),
     )
+
+
+@query(
+    "mm_frame_sample",
+    sql="""
+    WITH v AS (
+        SELECT doc_id AS media_id, text,
+               (n_chars % 5000) + 500 AS dur
+        FROM documents WHERE doc_id % 3 = 2
+    ), f AS (
+        SELECT media_id, text,
+               unnest(range(CAST(ceil(dur / 1000.0) AS BIGINT))) AS i
+        FROM v
+    )
+    SELECT media_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           CAST(i * 1000 AS BIGINT) AS frame_ts_ms,
+           md5(text || '|' || CAST(i * 1000 AS VARCHAR)) AS frame_md5
+    FROM f
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling end-to-end: the 1→N generator form of
+    ``mapInPandas`` (one video row explodes into ceil(duration/cadence)
+    frame rows) under the hash oracle — the row-multiplying kernel shape
+    `mm_feature_extract`'s 1→1 kernel doesn't cover. Synthetic videos
+    from `documents` (text bytes as content, duration from n_chars); the
+    stub frame is the md5 of (content | ts), which DuckDB replays
+    byte-for-byte."""
+    from land_registry_data_ingestion_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    t = load_tables(spark, sf_dir)
+    media = t.documents.filter(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        F.col("text").cast("binary").alias("content"),
+        F.lit(None).cast("int").alias("meta_width"),
+        F.lit(None).cast("int").alias("meta_height"),
+        F.lit(None).cast("int").alias("meta_sample_rate"),
+        ((F.col("n_chars") % 5000) + 500).cast("long").alias("meta_duration_ms"),
+    )
+    frames = sample_video_frames(media, every_ms=1000)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "frame_ts_ms",
+        F.col("frame").cast("string").alias("frame_md5"),
+    )

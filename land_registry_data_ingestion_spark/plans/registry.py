@@ -144,6 +144,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "evt_type_correlation",
     "text_corpus_report",
     "evt_user_entropy",
+    "mm_frame_sample",
 )
 
 
