@@ -69,3 +69,45 @@ def test_index_accumulates_counts(spark, tmp_path):
         for r in store.ingest_batch(_df(spark, [(3, body)]), 2).collect()
     }
     assert s2 == {(3, 0, 7)}  # third occurrence crosses the threshold
+
+
+def test_streaming_span_dedup(spark, tmp_path):
+    """File-stream batches through the SpanStore sink: a doc duplicating
+    an earlier batch's passage is flagged on arrival."""
+    from land_registry_data_ingestion_spark.streaming.span_stream import (
+        run_span_dedup_stream,
+    )
+
+    passage = _words(10, "p")
+    b0 = _df(spark, [(1, f"{_words(6, 'a')} {passage}")])
+    b1 = _df(spark, [(2, f"{passage} {_words(9, 'b')}")])
+    in_dir = tmp_path / "in"
+    for df in (b0, b1):
+        df.coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    store = SpanStore(spark=spark, root=str(tmp_path / "ss"), k=8)
+    seen: dict[int, set] = {}
+
+    def on_spans(spans, batch_id):
+        seen[batch_id] = {
+            (r.doc_id, r.span_start, r.span_end) for r in spans.collect()
+        }
+
+    stream = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    q = run_span_dedup_stream(
+        stream, store, checkpoint_dir=str(tmp_path / "ckpt"), on_spans=on_spans
+    )
+    q.awaitTermination(120)
+
+    assert len(seen) == 2
+    all_spans = set().union(*seen.values())
+    # whichever order the two files arrived, the SECOND occurrence of the
+    # passage is flagged against the index built by the first
+    assert all_spans in (
+        {(2, 0, 9)},   # b0 then b1
+        {(1, 6, 15)},  # b1 then b0
+    )
