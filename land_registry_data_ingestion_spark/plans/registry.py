@@ -145,6 +145,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "text_corpus_report",
     "evt_user_entropy",
     "mm_frame_sample",
+    "win_running_total",
 )
 
 

@@ -1139,3 +1139,52 @@ def agg_kmv_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct",
         )
     )
+
+
+@query(
+    "win_running_total",
+    sql="""
+    WITH o AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(cents) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) / 100.0 AS running_total,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS BIGINT) AS order_seq
+    FROM o
+    """,
+)
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend (lifetime-value curve): cumulative sum
+    + order ordinal over the (date, key) order.
+
+    Engine-neutral-exact via integer cents: window engines disagree on
+    ADDITION ORDER for frame aggregates (DuckDB segment-trees them,
+    Spark folds sequentially), which makes float running sums differ in
+    late bits — summing BIGINT cents instead makes order irrelevant, and
+    the single final division is the only float op. Shuffles once on the
+    customer key; partitions bounded by per-customer order counts."""
+    t = load_tables(spark, sf_dir)
+    o = t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            / F.lit(100.0)
+        ).alias("running_total"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
