@@ -146,6 +146,7 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "evt_user_entropy",
     "mm_frame_sample",
     "win_running_total",
+    "ord_intersect",
 )
 
 

@@ -1188,3 +1188,32 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("running_total"),
         F.row_number().over(w).cast("long").alias("order_seq"),
     )
+
+
+@query(
+    "ord_intersect",
+    sql="""
+    SELECT o_orderstatus, COUNT(*) AS n_rows FROM (
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 250000
+        INTERSECT
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ) GROUP BY o_orderstatus
+    """,
+)
+def ord_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (completes O4/O5's union/except): high-value AND
+    high-priority orders — planned as a hash semi-join after distinct,
+    the same single-shuffle shape as the except query."""
+    t = load_tables(spark, sf_dir)
+    a = t.orders.filter(F.col("o_totalprice") > 250000).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    b = t.orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_orderkey", "o_orderstatus")
+    return (
+        a.intersect(b)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"))
+    )
