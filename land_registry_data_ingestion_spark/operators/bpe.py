@@ -121,6 +121,29 @@ def _merge_udf(a: str, b: str):
     return apply_merge
 
 
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the learned merge table (rank order = line order) — the
+    tokenizer artifact a training pipeline ships alongside the corpus.
+    Plain JSON-lines, no engine types, so any consumer can load it."""
+    import json
+
+    with open(path, "w") as fh:
+        for a, b in merges:
+            fh.write(json.dumps([a, b]) + "\n")
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    import json
+
+    out: list[tuple[str, str]] = []
+    with open(path) as fh:
+        for line in fh:
+            if line.strip():
+                a, b = json.loads(line)
+                out.append((a, b))
+    return out
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str]],

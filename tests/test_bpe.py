@@ -88,3 +88,22 @@ def test_encode_applies_merges_in_rank_order(spark):
     # round-trip: stripping merge boundaries recovers the characters
     flat = "".join(t.replace(END_OF_WORD, " ") for t in out[4]).strip()
     assert flat == "the newest gadget is the widest"
+
+
+def test_merge_table_round_trips(spark, tmp_path):
+    from land_registry_data_ingestion_spark.operators.bpe import (
+        load_merges,
+        save_merges,
+    )
+
+    merges = train_bpe(_df(spark), n_merges=6)
+    path = str(tmp_path / "merges.jsonl")
+    save_merges(merges, path)
+    assert load_merges(path) == merges
+    # encoding with the loaded table matches encoding with the live one
+    a = {r.doc_id: r.bpe_tokens for r in bpe_encode(_df(spark), merges).collect()}
+    b = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_encode(_df(spark), load_merges(path)).collect()
+    }
+    assert a == b
