@@ -199,6 +199,11 @@ def main() -> None:
         app_name="lrdi-bench",
         master=f"local[{cpus}]",
         extra_conf={
+            # The external harness tail-captures stdout and parses the LAST
+            # line as JSON; Spark's console progress bar floods the stream
+            # with \r-frames (the round-3 bench record failed to parse for
+            # exactly this reason). Keep bench stdout clean.
+            "spark.ui.showConsoleProgress": "false",
             "spark.sql.shuffle.partitions": str(max(int(cpus), 16)),
             # The scale section (6M-row merges, 100k-doc minhash) runs many
             # heavy queries in one JVM; 8g leaves it GC-bound by the tail
@@ -295,18 +300,49 @@ def main() -> None:
         }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Two outputs: a full-detail sidecar (per-query scale timings, row
+    # counts, methodology) for humans/this repo, and ONE compact JSON line
+    # printed LAST for the harness. Round 3's single ~2.5 KB line overflowed
+    # the harness's tail-capture window and recorded `parsed: null` — the
+    # machine-readable line must stay small, so the scale section carries
+    # only its totals here and the sidecar carries the rest.
+    detail = {
         "metric": "headline_queries_total_wall_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "runs_per_query": "2-4 adaptive",
         "agg": "min",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     if scale is not None:
-        out["scale"] = scale
-    print(json.dumps(out))
+        detail["scale"] = scale
+    with open(os.path.join(REPO_ROOT, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=2)
+
+    out = {
+        "metric": "headline_queries_total_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if scale is not None:
+        out["scale_total_sec"] = scale["total_sec"]
+        out["scale_n_queries"] = len(scale["queries"])
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1500:
+        # Keep the parse contract over per-query detail: collapse the
+        # queries map to the 10 slowest (detail survives in the sidecar).
+        slowest = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+        )
+        out["queries"] = slowest
+        out["queries_truncated_to_slowest"] = 10
+        line = json.dumps(out, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -75,9 +75,12 @@ def train_bpe(
         ).alias("syms"),
     )
     # The word-type table is re-read every round; materialize it once.
+    # small=True: the table is vocabulary-sized (word TYPES, Heaps-law
+    # sublinear in the corpus), so it lives in memory across the merge
+    # loop instead of paying a disk round-trip per round.
     from land_registry_data_ingestion_spark.util import barrier
 
-    current = barrier(syms)
+    current = barrier(syms, small=True)
     current.count()  # persist is lazy; force each round's input
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -103,10 +106,17 @@ def train_bpe(
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
+        prev = current
         current = barrier(
-            current.select("freq", _merge_udf(a, b)("syms").alias("syms"))
+            current.select("freq", _merge_udf(a, b)("syms").alias("syms")),
+            small=True,
         )
         current.count()
+        # The new round's frame is materialized — the previous round's
+        # cache is dead weight. At realistic merge counts (tens of
+        # thousands of rounds) leaving these tracked would accumulate
+        # thousands of cached frames until some later release_caches().
+        prev.unpersist(blocking=False)
     return merges
 
 

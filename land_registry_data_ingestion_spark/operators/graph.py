@@ -36,12 +36,21 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     their low-degree ends). Three shuffles (degree agg, wedge self-join,
     closure semi-join), each carrying only ids + degrees.
     """
-    edges = edges.select("u", "v")
-    deg = (
+    from land_registry_data_ingestion_spark.util import barrier
+
+    # The edge list feeds THREE consumers (degree agg, the orientation
+    # join, the edge count) and is typically an expensive build upstream
+    # (a per-order self-join + distinct); without a barrier each consumer
+    # re-runs that build — measured as 44 exchanges / 20 scans in the
+    # plan audit. Same for deg (node-scale, bounded — memory) with its
+    # four consumers.
+    edges = barrier(edges.select("u", "v"))
+    deg = barrier(
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
-        .agg(F.count("*").alias("deg"))
+        .agg(F.count("*").alias("deg")),
+        small=True,
     )
     with_deg = (
         edges.join(

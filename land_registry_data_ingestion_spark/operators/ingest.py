@@ -98,6 +98,25 @@ class IngestStore:
             "append"
         ).parquet(self.file_log_path)
 
+    def operation_log(self) -> DataFrame:
+        """Per-run merge-outcome stats, deduplicated by (run_id, outcome).
+
+        Merge effects are three non-atomic writes ordered state →
+        operation_log → ledger. A crash between the last two leaves the
+        run unrecorded in the ledger, so the replay re-runs the merge —
+        state converges (the location is token-addressed and overwritten
+        bit-identically) but the stats rows append a second time. The
+        replayed rows are exact duplicates (same batch vs the same
+        converged state), so read-side dedup restores exactly-once
+        semantics without a distributed transaction."""
+        path = os.path.join(self.root, "operation_log")
+        if not os.path.isdir(path):
+            schema = "record_op string, outcome string, n_rows bigint, run_id string"
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(path).dropDuplicates(
+            ["run_id", "record_op", "outcome"]
+        )
+
     def compact_file_log(self) -> int:
         """Ledger maintenance: every run appends one tiny ``coalesce(1)``
         parquet file to ``file_log/``; at daily cadence that is 365 small

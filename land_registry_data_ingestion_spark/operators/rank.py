@@ -25,16 +25,15 @@ from pyspark.sql import functions as F
 from land_registry_data_ingestion_spark.util import barrier
 
 
-def global_rank(
+def _global_rank_with_total(
     df: DataFrame,
     order_cols: Sequence[str],
-    rank_col: str = "rank",
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """Append 1-based ``rank_col`` = position in the total order given by
-    ``order_cols`` (which must be a UNIQUE key tuple — ties across a
-    range boundary would otherwise make ranks partition-dependent).
-    """
+    rank_col: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, int]:
+    """Rank plus the total row count — the count falls out of the per-
+    partition size pass for free (sum of the collected P-row table), so
+    callers that need n (equi-depth bucketing) don't re-scan the input."""
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
     parts = barrier(
@@ -50,11 +49,26 @@ def global_rank(
     off_df = spark.createDataFrame(offsets, "_pid int, _off long")
 
     w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
-    return (
+    ranked = (
         parts.join(F.broadcast(off_df), "_pid")
         .withColumn(rank_col, F.row_number().over(w) + F.col("_off"))
         .drop("_pid", "_off")
     )
+    return ranked, acc
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append 1-based ``rank_col`` = position in the total order given by
+    ``order_cols`` (which must be a UNIQUE key tuple — ties across a
+    range boundary would otherwise make ranks partition-dependent).
+    """
+    ranked, _ = _global_rank_with_total(df, order_cols, rank_col, num_partitions)
+    return ranked
 
 
 def equidepth_histogram(
@@ -69,12 +83,12 @@ def equidepth_histogram(
     points (NTILE's remainder-distribution rule differs; the ceil formula
     is the engine-neutral contract).
     """
-    ranked = global_rank(
+    ranked, n = _global_rank_with_total(
         df.select(value_col, tiebreak_col),
         [value_col, tiebreak_col],
-        num_partitions=num_partitions,
+        "rank",
+        num_partitions,
     )
-    n = df.count()
     bucket = F.expr(f"(rank * {n_buckets} + {n} - 1) div {n}")
     return (
         ranked.withColumn("bucket", bucket)

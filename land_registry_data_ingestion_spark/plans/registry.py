@@ -79,31 +79,114 @@ _LOADED = False
 # the registry are ignored; registered queries missing from this list are
 # appended in module-load order.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # Never externally checked as of round 2 (similarity / events /
-    # multimodal / corpus families) — front of the window.
-    "sim_knn_classify",
-    "dedup_semantic",
+    # Round 4 front-of-window. First: the 8 queries with no external green
+    # row in any round (added after the round-3 driver run) — with these
+    # checked, cumulative driver coverage reaches 112/112.
+    "agg_kmv_by_group",
+    "sim_ivf_recall",
+    "evt_type_correlation",
+    "text_corpus_report",
+    "evt_user_entropy",
+    "mm_frame_sample",
+    "win_running_total",
+    "ord_intersect",
+    # Next: queries whose implementation changed AFTER their last external
+    # green row. The merge family's shared core moved into
+    # ingest.merge_update_frame in round 3 (after its round-2 rows), and
+    # the round-4 perf work (barrier storage-level parameterization,
+    # repetition-filter single-pass n-grams, triangle edge barrier)
+    # touches the plans below — their hashes must stay pinned by a fresh
+    # driver row, not only the repo oracle.
+    "cdc_merge_state",
+    "cdc_merge_outcomes",
+    "cdc_merge_ledger",
+    "text_repetition_filters",
+    "text_pipeline_pack",
+    "text_segment_dedup",
+    "text_decontaminate",
     "sim_pq_topk",
+    "dedup_semantic",
+    "evt_graph_triangles",
+    "text_dup_spans",
+    "text_dup_span_trim",
+    "win_equidepth_histogram",
+    "evt_sliding_users_24h",
+    # Remainder: round-robin continuation. Oldest external rows first
+    # (round-1 era), then round-2 rows, then the round-3-checked block —
+    # every query keeps landing inside the ~50-row window every few
+    # rounds so no green row goes stale indefinitely.
+    "evt_conflate_latest",
+    "evt_hourly_window",
+    "evt_json_extract",
+    "evt_sessionize",
+    "sim_cosine_pairs",
+    "sim_topk_bruteforce",
+    "sim_ivf_topk",
+    "sim_lsh_ann_pairs",
+    "q1_delay_histogram_days",
+    "q1_delay_histogram_weeks",
+    "q2_interval_binning",
+    "q3_inverse_volume_weights",
+    "q4_normalized_delay",
+    "q5_smoothed_delay",
+    "rel_project_filter",
+    "rel_anti_join",
+    "rel_semi_join",
+    "rel_inner_join_agg",
+    "rel_left_join_broadcast",
+    "rel_full_outer_reconcile",
+    "agg_scalar_max",
+    "agg_count_distinct",
+    "agg_group_count",
+    "agg_multi",
+    "agg_dup_detect",
+    "win_row_number",
+    "win_rolling_mean",
+    "win_latest_row",
+    "win_lag_delta",
+    "ord_sort_limit",
+    "ord_union",
+    "ord_except",
+    "f_sha256",
+    "f_datetime_parts",
+    "f_working_day_calendar",
+    "cdc_rewind_versions",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_near_dup_groups",
+    "dedup_embedding_cosine",
+    "text_token_count",
+    "text_quality_score",
+    "text_language_id",
+    "text_fingerprint",
+    "text_gopher_filters",
+    "text_redact_pii",
+    "text_hash_split",
+    "text_vocabulary",
+    "text_curate_corpus",
+    "agg_exact_quantiles",
+    "agg_rollup",
+    "rel_profile_table",
+    # Round-3 external rows (freshest) — back of the rotation.
+    "sim_knn_classify",
     "evt_asof_join",
     "evt_funnel",
     "evt_retention",
     "evt_anomaly_zscore",
     "mm_feature_extract",
-    "text_decontaminate",
-    "text_segment_dedup",
     "text_stratified_sample",
     "text_pack_sequences",
     "text_tfidf_topterms",
     "text_bm25_search",
-    "text_pipeline_pack",
     "text_lm_perplexity",
-    # New this round — not yet checked anywhere.
     "cdc_scd2_history",
     "agg_topk_per_group",
     "agg_kmv_distinct",
     "evt_gap_fill",
     "evt_ewma",
-    "evt_graph_triangles",
     "text_weighted_sample",
     "text_edit_distance_pairs",
     "win_distribution",
@@ -116,37 +199,13 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "evt_rolling_24h",
     "sim_kmeans_clusters",
     "text_token_budget_sample",
-    "text_repetition_filters",
     "mm_metadata_stats",
     "cdc_incremental_rollup",
     "rel_skew_join_salted",
     "evt_ohlc_hourly",
     "evt_type_pagerank",
-    "text_dup_spans",
-    "win_equidepth_histogram",
-    "text_dup_span_trim",
     "rel_multi_join_chain",
-    "evt_sliding_users_24h",
     "text_curriculum_shards",
-    # Checked in round 1 but dropped by the round-2 window.
-    "sim_cosine_pairs",
-    "sim_topk_bruteforce",
-    "sim_ivf_topk",
-    "sim_lsh_ann_pairs",
-    "evt_conflate_latest",
-    "evt_hourly_window",
-    "evt_json_extract",
-    "evt_sessionize",
-    # Oracle-green in the repo harness, past the ~50-row window this
-    # round — rotate to the front next round.
-    "agg_kmv_by_group",
-    "sim_ivf_recall",
-    "evt_type_correlation",
-    "text_corpus_report",
-    "evt_user_entropy",
-    "mm_frame_sample",
-    "win_running_total",
-    "ord_intersect",
 )
 
 

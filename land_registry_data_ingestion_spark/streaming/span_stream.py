@@ -36,11 +36,19 @@ def run_span_dedup_stream(
     def _effect(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        spans = store.ingest_batch(
-            batch, batch_id, text_col=text_col, id_col=id_col
-        )
-        if on_spans is not None:
-            on_spans(spans, batch_id)
+        from land_registry_data_ingestion_spark.util import release_caches
+
+        try:
+            spans = store.ingest_batch(
+                batch, batch_id, text_col=text_col, id_col=id_col
+            )
+            if on_spans is not None:
+                on_spans(spans, batch_id)
+        finally:
+            # ingest_batch barriers its k-gram frame; without an explicit
+            # release a long-running stream accumulates one DISK_ONLY
+            # cache per batch (same discipline as corpus_stream.py).
+            release_caches()
 
     writer = stream.writeStream.foreachBatch(_effect).option(
         "checkpointLocation", checkpoint_dir

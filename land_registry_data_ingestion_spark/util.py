@@ -39,7 +39,7 @@ def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
 _TRACKED: list[DataFrame] = []
 
 
-def barrier(df: DataFrame) -> DataFrame:
+def barrier(df: DataFrame, small: bool = False) -> DataFrame:
     """Persist ``df`` as a materialization barrier and track it for
     :func:`release_caches`.
 
@@ -54,7 +54,7 @@ def barrier(df: DataFrame) -> DataFrame:
     materialization). At cluster scale this intermediate would be staged
     to Parquet between pipeline steps instead.
 
-    Storage level is DISK_ONLY, deliberately: the barrier exists for its
+    Storage level: DISK_ONLY by default — the barrier exists for its
     materialization SEMANTICS (stop Generate re-evaluating an expensive
     child), not for read speed. In-memory columnar caching puts the
     intermediate in the unified memory pool where it competes with
@@ -64,10 +64,22 @@ def barrier(df: DataFrame) -> DataFrame:
     anyway on any warm node. On a cluster the same reasoning holds
     stronger: spilling a barrier to local disk never pressures the
     shuffle/aggregation memory that actually decides job survival.
+
+    ``small=True`` opts a PROVABLY BOUNDED intermediate (a broadcast-scale
+    lookup, a P-row offset table, a vocabulary/word-type table — anything
+    whose size is a function of a parameter or a reduced key space, not of
+    the corpus) into MEMORY_AND_DISK_DESER: these frames are consumed in
+    tight loops or multiple narrow reads where the disk round-trip is the
+    dominant cost, and their bounded size means they cannot create the
+    eviction pressure DISK_ONLY exists to avoid. Corpus-sized frames must
+    stay on the default.
     """
     from pyspark.storagelevel import StorageLevel
 
-    df = df.persist(StorageLevel.DISK_ONLY)
+    level = (
+        StorageLevel.MEMORY_AND_DISK_DESER if small else StorageLevel.DISK_ONLY
+    )
+    df = df.persist(level)
     _TRACKED.append(df)
     return df
 
