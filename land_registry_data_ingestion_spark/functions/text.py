@@ -84,6 +84,30 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     )
 
 
+def word_shingle_hashes(col: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingle HASHES → array<long>.
+
+    The 8-byte stand-in for :func:`word_shingles` wherever downstream
+    only tests shingle EQUALITY (decontamination membership, gram
+    counting): tokens hash once via xxhash64, then each k-gram hash
+    chains the (k-1)-gram hash with the next token hash — one xxhash64
+    combine per gram, never a string concat. Both sides of a membership
+    test must use this same function; equality then matches string
+    equality modulo 64-bit collisions (p ~ n·m/2^64 — vanishing at any
+    real benchmark/document size). Materializing or shuffling these
+    arrays costs 8 B per shingle instead of the ~8·k bytes of gram text.
+    """
+    hs = F.transform(tokens(normalize_text(col)), lambda t: F.xxhash64(t))
+    n = F.size(hs)
+    m = F.greatest(n - (k - 1), F.lit(0))
+    g = F.slice(hs, 1, m)
+    for j in range(1, k):
+        g = F.zip_with(g, F.slice(hs, j + 1, m), lambda a, b: F.xxhash64(a, b))
+    return F.when(n >= k, F.array_distinct(g)).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
 def token_set_hits(col: Column, words: list[str]) -> Column:
     """Number of whitespace tokens of ``col`` (normalized) that are in
     ``words``, with repeats — as ONE codegen'd ``regexp_count``.

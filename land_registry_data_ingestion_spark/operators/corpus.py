@@ -42,10 +42,17 @@ def decontaminate(
     MB-scale) collapses to a DISTINCT shingle set and is **broadcast**, so
     the corpus text is shingled in place — map-side hash-join, no shuffle
     of the corpus — and the only shuffle is the per-document hit count
-    (map-side combinable, two longs per row). Real pipelines use k=8..13
-    grams; k is a parameter, the test corpus is tiny word-soup so the
-    declared query uses k=3 for signal.
+    (map-side combinable, two longs per row). Membership is tested on
+    8-byte shingle HASHES (``word_shingle_hashes``, same function both
+    sides), so the materialized corpus intermediate and the broadcast
+    table carry longs, not gram text — ~10× smaller at k=3 and flat in k,
+    where real pipelines run k=8..13. k is a parameter; the test corpus
+    is tiny word-soup so the declared query uses k=3 for signal.
     """
+    from land_registry_data_ingestion_spark.functions.text import (
+        word_shingle_hashes,
+    )
+
     # barrier() before every explode of a HOF-built array: Generate
     # re-evaluates an inlined child expression per OUTPUT row (~#shingles
     # × the tokenizer) — measured 23 s vs 5 s at the 100k-doc probe.
@@ -53,15 +60,17 @@ def decontaminate(
     bench_sh = (
         barrier(
             spread(benchmark).select(
-                word_shingles(F.col(text_col), k).alias("shingles")
-            )
+                word_shingle_hashes(F.col(text_col), k).alias("shingles")
+            ),
+            small=True,  # benchmark-scale by contract
         )
         .select(F.explode("shingles").alias("shingle"))
         .distinct()
     )
     doc_sh = barrier(
         spread(df).select(
-            F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles")
+            F.col(id_col),
+            word_shingle_hashes(F.col(text_col), k).alias("shingles"),
         )
     ).select(id_col, F.explode("shingles").alias("shingle"))
     hits = (
