@@ -44,6 +44,7 @@ from land_registry_data_ingestion_spark.operators.merge import (
     validate_unique,
 )
 from land_registry_data_ingestion_spark.sources.csv import (
+    read_price_paid_csv,
     read_price_paid_csv_with_rejects,
 )
 
@@ -181,6 +182,16 @@ class IngestStore:
         # partition columns are write-time derivations, not state
         return df.drop(*[c for c in self.partition_cols if c in df.columns])
 
+    def read_state_at(self, location: str) -> DataFrame:
+        """State rows at a state_location — including one written but not
+        yet committed to the ledger (the snapshot gate probes it)."""
+        return self.spark.read.parquet(location)
+
+    def discard_state_at(self, location: str) -> None:
+        """Best-effort removal of an UNCOMMITTED state write (the gate's
+        failure path). Never call on a ledger-referenced location."""
+        shutil.rmtree(location, ignore_errors=True)
+
     def write_state(self, state: DataFrame, location: str) -> int:
         """Overwrite a content-addressed state dir, partitioned for pruning;
         returns the written row count.
@@ -262,10 +273,67 @@ def ingest_snapshot(
         store._append_log(row)
         return row
 
-    df = _gate_batch(store, csv_path, n_columns, strict, "snapshot file")
+    # Single-parse load (round 4): the snapshot is the one input big
+    # enough that a separate gate pass matters (at 100 TB a second CSV
+    # parse is hours), so the gate invariants ride the STATE WRITE as
+    # observed metrics and are validated BEFORE the ledger append — which
+    # is the commit point: a violated invariant deletes the orphan state
+    # dir and raises, and since readers resolve state through the ledger
+    # pointer, the partial write was never visible. Monthly batches keep
+    # the up-front ``_gate_batch`` (they are small; failing before any
+    # work is the better trade there).
+    key = "transaction_unique_id"
+    df = read_price_paid_csv(store.spark, csv_path, n_columns=n_columns)
+    gate_obs = Observation()
+    gate_aggs = [
+        F.sum(
+            (F.col("price").isNull() | F.col("transaction_date").isNull())
+            .cast("long")
+        ).alias("n_bad")
+    ]
+    df = df.observe(gate_obs, *gate_aggs)
     state = init_state(df.drop("record_op"), batch_timestamp=F.lit(now))
     location = store.state_path(sha)
     row_count = store.write_state(state, location)
+
+    if strict and int(gate_obs.get["n_bad"]):
+        store.discard_state_at(location)
+        # failure path only: re-parse for the quarantine sample
+        _, rejects = read_price_paid_csv_with_rejects(
+            store.spark, csv_path, n_columns=n_columns
+        )
+        bad = rejects.limit(5).collect()
+        sample = ", ".join(
+            f"{r['transaction_unique_id']}({r['reject_reason']})" for r in bad
+        ) or "all-null after cast: grammar-broken or missing fields"
+        raise ValueError(
+            f"malformed values in {csv_path} (e.g. {sample}) — batch "
+            f"rejected before any state was committed"
+        )
+    # Key uniqueness probes the WRITTEN parquet: one dictionary-encoded
+    # column scan instead of a second CSV parse — the check the reference
+    # enforces by `.one()` crashing mid-load. Two-tier: the happy path
+    # distinct-counts 8-byte key HASHES (distinct hashes < rows implies a
+    # possible duplicate OR a hash collision, never the reverse — a real
+    # duplicate can't hide), and only that rare suspicion pays the exact
+    # string-keyed confirm. At reference scale the hash pass shuffles
+    # ~7× less than distinct-counting the 56-char keys directly.
+    written = store.read_state_at(location)
+    n_hashed = written.agg(
+        F.count_distinct(F.xxhash64(F.col(key))).alias("n")
+    ).collect()[0]["n"]
+    if n_hashed < row_count:
+        n_keys = written.agg(
+            F.count_distinct(F.col(key)).alias("n")
+        ).collect()[0]["n"]
+        if n_keys < row_count:
+            dups = validate_unique(written, key).limit(5).collect()
+            store.discard_state_at(location)
+            sample = ", ".join(str(r[key]) for r in dups)
+            raise ValueError(
+                f"duplicate {key} in snapshot file (e.g. {sample}) — "
+                f"refusing to merge; the full-outer join would fan out"
+            )
 
     row = {
         "run_id": run_id,

@@ -149,6 +149,16 @@ class ManifestStore(IngestStore):
         self._write_manifest(location, self._scan_part_counts(parts_dir))
         return int(obs.get["n_rows"])
 
+    def read_state_at(self, location: str) -> DataFrame:
+        entries = self._manifest_entries(location)
+        return self._read_parts([e["path"] for e in entries])
+
+    def discard_state_at(self, location: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._parts_dir(location), ignore_errors=True)
+        shutil.rmtree(location, ignore_errors=True)
+
     def current_for_merge(self, updates: DataFrame, key_col: str):
         last = self.last_accepted()
         if last is None:

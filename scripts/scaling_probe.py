@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Two-point scaling probe for the heaviest declared operators.
+
+Times each query at the bench's scale tier (tier 1) and at a tier with
+the query's driving table grown by a known factor (tier 2), then reports
+the measured scaling exponent ``log(t2/t1) / log(growth)`` — ~1.0 means
+linear in the input, the property the 100 TB story rests on. Exponents
+land in COVERAGE.md's scaling table.
+
+Run: ``python scripts/scaling_probe.py`` (~15 min including the one-time
+tier-2 build; the replicated dirs cache under /tmp like the bench's).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = str(Path(__file__).resolve().parent.parent)
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+import bench  # noqa: E402
+from land_registry_data_ingestion_spark.session import get_spark  # noqa: E402
+from land_registry_data_ingestion_spark.plans.registry import (  # noqa: E402
+    _load_all,
+    REGISTRY,
+)
+
+# Tier 2 = tier 1 with the text/event/rank families' driving tables
+# grown: documents x4, events x3, orders x3. The untouched tables keep
+# their tier-1 factors (they are not these queries' drivers).
+TIER2_SPEC = {
+    "orders": ("o_orderkey", 120),
+    "lineitem": ("l_orderkey", 10),
+    "documents": ("doc_id", 80),
+    "embeddings": ("vec_id", 10),
+    "events": ("user_id", 30),
+}
+
+# query -> (driving table, tier2/tier1 growth factor)
+PROBES = {
+    "text_dup_spans": ("documents", 4.0),
+    "text_dup_span_trim": ("documents", 4.0),
+    "text_repetition_filters": ("documents", 4.0),
+    "evt_sliding_users_24h": ("events", 3.0),
+    "win_equidepth_histogram": ("orders", 3.0),
+}
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="lrdi-scaling",
+        master="local[32]",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.shuffle.partitions": "32",
+            "spark.driver.memory": "24g",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    _load_all()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(128).repartition(32).mapInPandas(
+        lambda b: b, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    base = "/root/testdata/sf0.1"
+    tier1, _, rows1 = bench.build_scale_dir(spark, base)
+    saved = bench.SCALE_SPEC
+    bench.SCALE_SPEC = TIER2_SPEC
+    try:
+        tier2, _, rows2 = bench.build_scale_dir(spark, base)
+    finally:
+        bench.SCALE_SPEC = saved
+    print("tier1:", rows1, file=sys.stderr)
+    print("tier2:", rows2, file=sys.stderr)
+
+    def timed(name: str, sf_dir: str) -> float:
+        times: list[float] = []
+        while True:
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            times.append(time.perf_counter() - t0)
+            if len(times) >= 2:
+                a, b = sorted(times)[:2]
+                if len(times) >= 4 or a < 0.3 or (
+                    b / a <= 1.5 and times[-1] >= a * 0.8
+                ):
+                    spark.sparkContext._jvm.System.gc()
+                    return a
+
+    out = {}
+    import math
+
+    for name, (table, growth) in PROBES.items():
+        t1 = round(timed(name, tier1), 3)
+        t2 = round(timed(name, tier2), 3)
+        exp = round(math.log(t2 / t1) / math.log(growth), 2)
+        out[name] = {
+            "driver_table": table,
+            "growth": growth,
+            "tier1_sec": t1,
+            "tier2_sec": t2,
+            "exponent": exp,
+        }
+        print(name, out[name], file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,3 +41,74 @@ def test_repetition_flags_partial_repeat(spark):
     r = repetition_flags(docs).collect()[0]
     assert r.top_bigram_frac == 0.4
     assert r.dup_trigram_frac == 0.5
+
+
+def test_run_length_stats_direct(spark):
+    """The in-row run-length scan equals a GROUP BY count over the same
+    values — including empty, single, all-same and unsorted inputs."""
+    from pyspark.sql import functions as F
+
+    from land_registry_data_ingestion_spark.operators.textops import (
+        _run_length_stats,
+    )
+
+    cases = [
+        (1, []),
+        (2, [7]),
+        (3, [5, 5, 5, 5]),
+        (4, [1, 2, 3, 4]),
+        (5, [9, 1, 9, 2, 9, 1]),  # unsorted with two dup families
+    ]
+    df = spark.createDataFrame(cases, "id long, xs array<long>")
+    got = {
+        r.id: (r.s.top, r.s.dup)
+        for r in df.select(
+            "id", _run_length_stats(F.array_sort("xs")).alias("s")
+        ).collect()
+    }
+    def expected(xs):
+        from collections import Counter
+        c = Counter(xs)
+        top = max(c.values(), default=0)
+        dup = sum(v for v in c.values() if v > 1)
+        return (top, dup)
+    for i, xs in cases:
+        assert got[i] == expected(xs), (i, xs, got[i])
+
+
+def test_word_shingle_hashes_match_string_shingles(spark):
+    """Hash-shingle distinctness/equality mirrors string shingles: same
+    per-doc count, and cross-doc overlap sizes match (no collisions at
+    test scale, by construction of the chained xxhash64)."""
+    from pyspark.sql import functions as F
+
+    from land_registry_data_ingestion_spark.functions.text import (
+        word_shingle_hashes,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown cat naps under the lazy dog"),
+            (3, "one two"),  # shorter than k=3 -> empty
+            (4, "  The  QUICK   brown fox jumps  "),  # normalization
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.select(
+        "doc_id",
+        word_shingles(F.col("text"), 3).alias("s"),
+        word_shingle_hashes(F.col("text"), 3).alias("h"),
+    ).collect()
+    by_id = {r.doc_id: r for r in both}
+    for r in both:
+        assert len(r.s) == len(r.h), r.doc_id
+        assert len(set(r.h)) == len(r.h), r.doc_id  # distinct stays distinct
+    # cross-doc: shared string shingles == shared hash shingles
+    s1, s2 = set(by_id[1].s), set(by_id[2].s)
+    h1, h2 = set(by_id[1].h), set(by_id[2].h)
+    assert len(s1 & s2) == len(h1 & h2) > 0
+    # normalization: doc 4's shingles are a subset of doc 1's, in hashes too
+    assert set(by_id[4].h) <= h1
+    assert by_id[3].h == []
