@@ -269,3 +269,36 @@ def test_compact_file_log_bounds_files_and_preserves_latest(spark, store, tmp_pa
     assert store.maybe_compact_file_log(max_files=64) is True
     assert parts() == 1
     assert store.file_log().count() == 170
+
+
+def test_rejected_snapshot_discards_uncommitted_state(spark, tmp_path):
+    """The single-parse gate writes state BEFORE validating; a rejected
+    snapshot must leave no ledger row AND no orphan state on disk, for
+    both store layouts (plain dir and manifest+parts)."""
+    import os
+
+    from land_registry_data_ingestion_spark.operators.state import (
+        ManifestStore,
+    )
+
+    dup_snap = _write(
+        tmp_path,
+        "pp-complete-dup3.csv",
+        SNAP1 + [_line("T0001", 111111, "2015-03-01")],
+    )
+    for cls, root in [
+        (IngestStore, tmp_path / "s_plain"),
+        (ManifestStore, tmp_path / "s_manifest"),
+    ]:
+        st = cls(spark=spark, root=str(root))
+        with pytest.raises(ValueError, match="duplicate transaction_unique_id"):
+            ingest_snapshot(
+                st, dup_snap, "r1", now=datetime.datetime(2024, 1, 1)
+            )
+        assert st.file_log().count() == 0
+        loc = st.state_path(
+            __import__("hashlib").sha256(open(dup_snap, "rb").read()).hexdigest()
+        )
+        assert not os.path.exists(loc)
+        if isinstance(st, ManifestStore):
+            assert not os.path.exists(st._parts_dir(loc))
