@@ -84,28 +84,52 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     )
 
 
-def word_shingle_hashes(col: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingle HASHES → array<long>.
+def word_ngram_hashes(col: Column, k: int = 3) -> Column:
+    """NON-distinct word k-gram HASHES → array<long>, one per occurrence
+    (position i holds the hash of the gram starting at token i).
 
-    The 8-byte stand-in for :func:`word_shingles` wherever downstream
-    only tests shingle EQUALITY (decontamination membership, gram
-    counting): tokens hash once via xxhash64, then each k-gram hash
-    chains the (k-1)-gram hash with the next token hash — one xxhash64
-    combine per gram, never a string concat. Both sides of a membership
-    test must use this same function; equality then matches string
-    equality modulo 64-bit collisions (p ~ n·m/2^64 — vanishing at any
-    real benchmark/document size). Materializing or shuffling these
-    arrays costs 8 B per shingle instead of the ~8·k bytes of gram text.
+    The 8-byte stand-in for gram strings wherever downstream only tests
+    gram EQUALITY (decontamination membership, corpus-wide gram counting,
+    duplicate-span detection): tokens hash once via xxhash64, then each
+    k-gram hash chains the (k-1)-gram hash with the next token hash —
+    one xxhash64 combine per gram, never a string concat, never md5 of a
+    built string. All comparing sides must use this same function;
+    equality then matches string equality modulo 64-bit collisions
+    (p ~ n·m/2^64 — vanishing at any real corpus size, and hash values
+    never surface in results). The token-hash array is let-encoded (a
+    1-element ``transform`` binds it) so the k slice references read one
+    bound value instead of re-running the tokenizer k times per row.
     """
-    hs = F.transform(tokens(normalize_text(col)), lambda t: F.xxhash64(t))
-    n = F.size(hs)
-    m = F.greatest(n - (k - 1), F.lit(0))
-    g = F.slice(hs, 1, m)
-    for j in range(1, k):
-        g = F.zip_with(g, F.slice(hs, j + 1, m), lambda a, b: F.xxhash64(a, b))
-    return F.when(n >= k, F.array_distinct(g)).otherwise(
-        F.array().cast("array<long>")
+    hs_expr = F.transform(tokens(normalize_text(col)), lambda t: F.xxhash64(t))
+    return F.element_at(
+        F.transform(F.array(hs_expr), lambda hs: gram_hash_chain(hs, k)), 1
     )
+
+
+def gram_hash_chain(token_hashes: Column, k: int) -> Column:
+    """k-gram hashes from an ``array<long>`` of token hashes: position i
+    gets ``xxhash64`` chained over hashes i..i+k-1 (built by extending
+    the (k-1)-gram hash with one combine — the trigram pass reuses the
+    bigram pass, etc.). Callers pass a BOUND value (a lambda variable or
+    a materialized column) so the k slice references don't re-evaluate
+    an expensive producer."""
+    n = F.size(token_hashes)
+    m = F.greatest(n - (k - 1), F.lit(0))
+    g = F.slice(token_hashes, 1, m)
+    for j in range(1, k):
+        g = F.zip_with(
+            g,
+            F.slice(token_hashes, j + 1, m),
+            lambda a, b: F.xxhash64(a, b),
+        )
+    return g
+
+
+def word_shingle_hashes(col: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingle hashes → array<long> — the hashed
+    counterpart of :func:`word_shingles`; see :func:`word_ngram_hashes`
+    for the equality-modulo-collisions contract."""
+    return F.array_distinct(word_ngram_hashes(col, k))
 
 
 def token_set_hits(col: Column, words: list[str]) -> Column:

@@ -22,11 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from land_registry_data_ingestion_spark.operators.textops import word_ngrams_all
+from land_registry_data_ingestion_spark.functions.text import word_ngram_hashes
 from land_registry_data_ingestion_spark.util import barrier, spread
-
-# Salt for the 60-bit gram key (engine convention: dedup._md5_hash64).
-SPAN_HASH_SALT = 13
 
 
 def kgram_positions(
@@ -35,25 +32,25 @@ def kgram_positions(
     """(id, pos, gram_key) for every word k-gram occurrence.
 
     ``pos`` is the 0-based token index of the gram's first token in the
-    normalized token stream; ``gram_key`` is the 60-bit md5-derived
-    integer hash of the space-joined gram (``_md5_hash64`` convention —
-    replayable bit-for-bit by any engine with md5, and an 8-byte shuffle
-    key instead of a 32-char digest string; span equality is therefore
-    60-bit-hash equality, identically on both engines). The n-gram array
-    is built once per doc behind a barrier — Generate would otherwise
-    re-evaluate the slice-zip build per output row.
+    normalized token stream; ``gram_key`` is the chained-xxhash64 gram
+    hash (``word_ngram_hashes`` — one 8-byte combine per gram, no gram
+    string is ever built; round 4 replaced the md5-of-joined-string key,
+    which paid k-1 concats plus an md5 of ~k·word bytes per gram. Hash
+    values never surface in results, so engine-replayability of the hash
+    is not needed — only count/equality semantics, which match string
+    equality modulo 64-bit collisions). The hash array is built once per
+    doc behind a barrier — Generate would otherwise re-evaluate the
+    slice-zip build per output row.
     """
-    from land_registry_data_ingestion_spark.operators.dedup import _md5_hash64
-
-    hashed = F.transform(
-        word_ngrams_all(F.col(text_col), k),
-        lambda g: _md5_hash64(g, SPAN_HASH_SALT),
-    )
     # Hash INSIDE the barriered projection: the materialized intermediate
     # is an array<bigint> (8 B/gram) instead of the gram strings
     # (~k·word B/gram) — the barrier write, not the downstream shuffle,
     # is this operator's largest I/O.
-    grams = barrier(spread(df).select(F.col(id_col), hashed.alias("_gh")))
+    grams = barrier(
+        spread(df).select(
+            F.col(id_col), word_ngram_hashes(F.col(text_col), k).alias("_gh")
+        )
+    )
     return grams.select(id_col, F.posexplode("_gh").alias("pos", "gram_key"))
 
 
@@ -72,14 +69,21 @@ def duplicated_spans(
     while p' - p <= k (their [p, p+k) windows overlap or touch).
     """
     pos = kgram_positions(df, k=k, text_col=text_col, id_col=id_col)
+    hits = _duplicated_hits(pos, min_count=min_count, id_col=id_col)
+    return spans_from_hits(hits, id_col=id_col, k=k)
+
+
+def _duplicated_hits(pos: DataFrame, min_count: int, id_col: str) -> DataFrame:
+    """(id, pos) start positions of grams occurring >= min_count
+    corpus-wide: one map-combined gram-count aggregate + an 8-byte-key
+    semi-join back onto the position stream."""
     dup_keys = (
         pos.groupBy("gram_key")
         .agg(F.count("*").alias("_c"))
         .where(F.col("_c") >= min_count)
         .select("gram_key")
     )
-    hits = pos.join(dup_keys, "gram_key", "left_semi").select(id_col, "pos")
-    return spans_from_hits(hits, id_col=id_col, k=k)
+    return pos.join(dup_keys, "gram_key", "left_semi").select(id_col, "pos")
 
 
 def spans_from_hits(hits: DataFrame, id_col: str, k: int) -> DataFrame:
@@ -115,29 +119,50 @@ def trim_duplicated_spans(
     tokens re-joined in order; documents that are entirely duplicated
     text come back with ``clean_text = ''``.
 
-    Shape: covered positions are re-expanded from the merged spans
-    (output ∝ duplicated tokens, not span-count²), the keep decision is
-    an ids-only anti-join on (id, pos), and each document's surviving
-    tokens reassemble in one map-combined ``collect_list`` of (pos, tok)
-    structs — sorted in-group, so no per-document window pass.
+    Shape: ONE shared barrier holds each document's token array AND its
+    gram-hash array, produced by a single tokenize pass (the token array
+    is let-bound into a struct so both fields derive from one
+    evaluation) — the detection stream and the rebuild stream then read
+    different fields of the same materialization instead of re-scanning
+    and re-tokenizing the corpus. Covered positions re-expand from the
+    merged spans (output ∝ duplicated tokens, not span-count²), the keep
+    decision is an ids-only anti-join on (id, pos), and each document's
+    surviving tokens reassemble in one map-combined ``collect_list`` of
+    (pos, tok) structs — sorted in-group, so no per-document window
+    pass.
     """
     from land_registry_data_ingestion_spark.functions.text import (
+        gram_hash_chain,
         normalize_text,
         tokens,
     )
 
-    spans = duplicated_spans(
-        df, k=k, min_count=min_count, text_col=text_col, id_col=id_col
+    toks_expr = tokens(normalize_text(F.col(text_col)))
+    packed = F.element_at(
+        F.transform(
+            F.array(toks_expr),
+            lambda t: F.struct(
+                t.alias("toks"),
+                gram_hash_chain(
+                    F.transform(t, lambda x: F.xxhash64(x)), k
+                ).alias("gh"),
+            ),
+        ),
+        1,
     )
+    base = barrier(spread(df).select(F.col(id_col), packed.alias("_p")))
+
+    pos = base.select(
+        id_col, F.posexplode("_p.gh").alias("pos", "gram_key")
+    )
+    hits = _duplicated_hits(pos, min_count=min_count, id_col=id_col)
+    spans = spans_from_hits(hits, id_col=id_col, k=k)
     covered = spans.select(
         id_col,
         F.explode(F.sequence("span_start", "span_end")).alias("pos"),
     )
-    toks = spread(df).select(
-        id_col,
-        F.posexplode(tokens(normalize_text(F.col(text_col)))).alias(
-            "pos", "tok"
-        ),
+    toks = base.select(
+        id_col, F.posexplode("_p.toks").alias("pos", "tok")
     )
     kept = toks.join(covered, [id_col, "pos"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(

@@ -681,7 +681,7 @@ _DUPSPAN_K = 8
       SELECT doc_id,
              unnest(range(len(t) - {_DUPSPAN_K - 1})) AS pos,
              unnest(list_transform(range(len(t) - {_DUPSPAN_K - 1}),
-                    i -> ('0x' || substr(md5('13|' || array_to_string(t[i+1:i+{_DUPSPAN_K}], ' ')), 1, 15))::BIGINT)) AS gk
+                    i -> array_to_string(t[i+1:i+{_DUPSPAN_K}], ' '))) AS gk
       FROM toks
     ), dup AS (
       SELECT gk FROM grams GROUP BY gk HAVING count(*) >= 2
@@ -738,7 +738,7 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              unnest(range(len(t) - {_DUPSPAN_K - 1})) AS pos,
              unnest(list_transform(range(len(t) - {_DUPSPAN_K - 1}),
-                    i -> ('0x' || substr(md5('13|' || array_to_string(t[i+1:i+{_DUPSPAN_K}], ' ')), 1, 15))::BIGINT)) AS gk
+                    i -> array_to_string(t[i+1:i+{_DUPSPAN_K}], ' '))) AS gk
       FROM toks
     ), dup AS (
       SELECT gk FROM grams GROUP BY gk HAVING count(*) >= 2
