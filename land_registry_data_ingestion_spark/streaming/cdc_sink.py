@@ -30,30 +30,6 @@ from land_registry_data_ingestion_spark.operators.ingest import (
 from land_registry_data_ingestion_spark.streaming.conflate import conflate_latest
 
 
-def _stream_identity(checkpoint_dir: str) -> str:
-    """A 12-hex tag with the checkpoint's lifetime (see run_cdc_stream)."""
-    import hashlib
-    import os
-    import uuid
-
-    token_path = os.path.join(checkpoint_dir, "_lrdi_stream_id")
-    try:
-        with open(token_path) as fh:
-            tag = fh.read().strip()
-            if tag:
-                return tag
-    except OSError:
-        pass
-    tag = uuid.uuid4().hex[:12]
-    try:
-        os.makedirs(checkpoint_dir, exist_ok=True)
-        with open(token_path, "w") as fh:
-            fh.write(tag)
-        return tag
-    except OSError:
-        return hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
-
-
 def run_cdc_stream(
     stream: DataFrame,
     store: IngestStore,
@@ -69,18 +45,16 @@ def run_cdc_stream(
     within-batch conflation (omit it only if the source already
     guarantees ≤1 row per key per batch)."""
 
-    # Run ids must be STREAM-unique, not just batch-unique: batch ids
-    # restart at 0 when a checkpoint dir is lost/recreated, and two
-    # streams with the default prefix can feed one store — either way a
-    # bare f"{prefix}-{batch_id}" would match a stale ledger row and
-    # silently no-op genuinely new data. The tag is a uuid minted on
-    # first use and stored INSIDE the checkpoint dir, so it has exactly
-    # the checkpoint's lifetime: restarts of the same stream reuse it
-    # (replays stay idempotent), while a recreated checkpoint — same
-    # path or not — or a second stream mints a fresh one. On a non-posix
-    # checkpoint filesystem the fallback is a digest of the path (which
-    # still separates distinct streams, the common hazard).
-    stream_tag = _stream_identity(checkpoint_dir)
+    # Run ids must be STREAM-unique, not just batch-unique: a bare
+    # f"{prefix}-{batch_id}" would match a stale ledger row after a
+    # checkpoint recreation (batch ids restart at 0) and silently no-op
+    # genuinely new data. See streaming/identity.py for the tag's
+    # lifetime contract.
+    from land_registry_data_ingestion_spark.streaming.identity import (
+        stream_identity,
+    )
+
+    stream_tag = stream_identity(checkpoint_dir)
 
     def _effect(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():

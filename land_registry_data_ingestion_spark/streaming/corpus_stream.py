@@ -118,13 +118,23 @@ def run_curation_sink(
     legal here), then land the batch in its own ``batch=<id>`` directory
     with mode=overwrite so a replay cannot double-append."""
     from land_registry_data_ingestion_spark.operators.corpus import decontaminate
+    from land_registry_data_ingestion_spark.streaming.identity import (
+        stream_identity,
+    )
     from land_registry_data_ingestion_spark.util import release_caches
+
+    # Output dirs are addressed by STREAM-scoped batch keys: with a bare
+    # batch id, a recreated checkpoint (ids restart at 0) would OVERWRITE
+    # the original stream's batch=0 output — silent loss of landed data.
+    # Same-stream replays still overwrite their own dir (exactly-once).
+    # See streaming/identity.py for the tag's lifetime contract.
+    stream_tag = stream_identity(checkpoint_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         contamination = decontaminate(batch_df, benchmark, k=k)
         out = batch_df.join(contamination, "doc_id").drop("text")
         out.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
+            os.path.join(out_dir, f"batch={stream_tag}-{batch_id:08d}")
         )
         # decontaminate() barriers its shingle frames — drop them once the
         # batch landed or a long-running stream accumulates cached blocks

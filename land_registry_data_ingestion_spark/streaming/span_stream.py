@@ -32,6 +32,15 @@ def run_span_dedup_stream(
 ) -> StreamingQuery:
     """Start the span-dedup sink. ``on_spans(spans_df, batch_id)`` runs
     AFTER the batch's counts are committed to the index."""
+    from land_registry_data_ingestion_spark.streaming.identity import (
+        stream_identity,
+    )
+
+    # Index partitions are addressed by STREAM-scoped batch keys: with a
+    # bare batch id, a recreated checkpoint (ids restart at 0) would
+    # overwrite the original stream's batch=0 gram counts — silently
+    # corrupting the accepted-corpus index. See streaming/identity.py.
+    stream_tag = stream_identity(checkpoint_dir)
 
     def _effect(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -40,7 +49,10 @@ def run_span_dedup_stream(
 
         try:
             spans = store.ingest_batch(
-                batch, batch_id, text_col=text_col, id_col=id_col
+                batch,
+                f"{stream_tag}-{batch_id:08d}",
+                text_col=text_col,
+                id_col=id_col,
             )
             if on_spans is not None:
                 on_spans(spans, batch_id)

@@ -111,3 +111,31 @@ def test_stream_dedup_survives_restart(spark, tmp_path):
     assert got[10]["is_first"]
     assert not got[11]["is_first"]  # duplicate across the restart
     assert got[12]["is_first"]
+
+
+def test_recreated_checkpoint_does_not_clobber_prior_output(spark, tmp_path):
+    """Batch ids restart at 0 when a checkpoint is lost; the sink's
+    output dirs are stream-scoped, so the new lineage's batch 0 must NOT
+    overwrite the original stream's batch 0 (silent data loss)."""
+    import shutil
+
+    src1 = tmp_path / "src1"
+    src1.mkdir()
+    bench = spark.createDataFrame([(999, BENCH_TEXT)], ["doc_id", "text"])
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    _write_batch(src1, "b1.json", [{"doc_id": 1, "text": GOOD}])
+    _run(spark, src1, bench, out, ckpt)
+    assert _read_out(spark, out).count() == 1
+
+    # lose the checkpoint; a NEW lineage (fresh source dir, ids restart
+    # at 0) writes different docs to the same out_dir
+    shutil.rmtree(ckpt)
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    _write_batch(src2, "b1.json", [{"doc_id": 2, "text": GOOD + " x"}])
+    _run(spark, src2, bench, out, ckpt)
+
+    got = sorted(r.doc_id for r in _read_out(spark, out).collect())
+    assert got == [1, 2]  # doc 1 survived the new lineage's batch 0
