@@ -133,6 +133,16 @@ class CorpusStore:
         holds, then land the survivors + their index rows under this
         batch id. Returns counters for the run ledger.
 
+        ``batch_id`` is the effect address: a replay of the same id
+        overwrites its own partitions (exactly-once), so ids must be
+        unique per LOGICAL batch for the store's lifetime — a Structured
+        Streaming caller must scope raw batch ids with a checkpoint-
+        lifetime tag (``streaming/identity.py``), since those restart at
+        0 when a checkpoint is recreated. Near-dup mode barriers
+        intermediates via ``util.barrier``; a long-lived driver loop
+        should call ``util.release_caches()`` between batches (the
+        streaming sinks in this package do).
+
         ``near_dup=True`` additionally drops NEAR-duplicates, both
         intra-batch (full MinHash+LSH pipeline over the batch) and against
         the accumulated corpus: the store persists the LSH bands of every

@@ -230,7 +230,15 @@ class ManifestStore(IngestStore):
         ``keep_runs`` accepted runs. Manifests themselves are kept (tiny,
         and older ledger rows stay auditable); only their data partitions
         become unreadable once vacuumed — same contract as Delta/Iceberg
-        ``VACUUM`` against time travel."""
+        ``VACUUM`` against time travel.
+
+        This also garbage-collects ORPHANS: state written by a run that
+        crashed between its state write and its ledger append (the
+        commit point) belongs to no manifest and is swept here. Like
+        Delta/Iceberg VACUUM, this assumes no ingest is in flight —
+        a concurrent run's not-yet-committed parts look identical to
+        orphans; the pipeline is single-writer by design (SURVEY §3.1's
+        daily cycle)."""
         kept = (
             self.file_log()
             .filter(F.col("decision") == "archive")
