@@ -491,6 +491,10 @@ def near_dup_groups(
             .filter(F.col("label") != F.col("old_label"))
             .count()
         )
+        # the count materialized `updated`; the previous round's cached
+        # labels are dead weight from here (same discipline as the BPE
+        # merge loop — per-round caches must not accumulate)
+        labels.unpersist(blocking=False)
         labels = updated
         if n_changed == 0:
             break

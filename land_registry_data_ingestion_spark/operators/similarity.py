@@ -470,8 +470,15 @@ def refine_centroids(
     import numpy as np
     import pandas as pd
 
+    from land_registry_data_ingestion_spark.util import barrier
+
     out_schema = centroids.select(id_col, vec_col).schema
-    cur = centroids.select(id_col, vec_col)
+    # Each round's centroid frame is consumed twice (assignment + the
+    # empty-list anti-join) and feeds the next round: left lazy, the plan
+    # nests and RE-RUNS every earlier round's corpus assignment — 2^iters
+    # recompute. Barrier per round (centroid-count rows — tiny, memory)
+    # and drop the previous round's cache once superseded.
+    cur = barrier(centroids.select(id_col, vec_col), small=True)
     for _ in range(iters):
         assigned = ivf_assign_vectorized(
             corpus.select(id_col, vec_col), cur, id_col, vec_col
@@ -497,7 +504,10 @@ def refine_centroids(
             cur[id_col] == F.col("_mid"),
             "left_anti",
         )
-        cur = means.unionByName(kept)
+        prev = cur
+        cur = barrier(means.unionByName(kept), small=True)
+        cur.count()  # materialize through prev BEFORE dropping its cache
+        prev.unpersist(blocking=False)
     return cur
 
 
