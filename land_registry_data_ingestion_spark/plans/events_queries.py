@@ -764,9 +764,15 @@ def evt_sliding_users_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto observed ticks, then one count-distinct aggregate. At 100 TB
     the 24× fan-out rides the small deduped pair set — the raw event
     stream is touched exactly once."""
+    from land_registry_data_ingestion_spark.util import barrier
+
     t = load_tables(spark, sf_dir)
     ev = t.events.select("user_id", F.date_trunc("hour", "ts").alias("h"))
-    pairs = ev.distinct()
+    # barrier: the deduped pair set feeds BOTH the tick fan-out and the
+    # observed-hour spine — left lazy, the raw event scan + dedup shuffle
+    # runs twice (and the spine would otherwise re-scan events a third
+    # time; it derives from the materialized pairs instead).
+    pairs = barrier(ev.distinct())
     ticks = pairs.select(
         "user_id",
         F.explode(
@@ -777,7 +783,7 @@ def evt_sliding_users_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("window_end"),
     )
-    hours = ev.select(F.col("h").alias("window_end")).distinct()
+    hours = pairs.select(F.col("h").alias("window_end")).distinct()
     return (
         ticks.join(F.broadcast(hours), "window_end", "left_semi")
         .groupBy("window_end")
