@@ -213,7 +213,15 @@ class IngestStore:
         if cols:
             writer = writer.partitionBy(*cols)
         writer.parquet(location)
-        return int(obs.get["n_rows"])
+        n = int(obs.get["n_rows"] or 0)
+        if n == 0 and cols:
+            # A dynamic-partitioned write of ZERO rows emits no files at
+            # all — not even a schema footer — leaving an unreadable
+            # state dir. Re-write non-partitioned: Spark persists a
+            # metadata-only file for an empty frame, so an accepted
+            # empty snapshot stays a readable (zero-row) state.
+            state.limit(0).write.mode("overwrite").parquet(location)
+        return n
 
     # -- merge hooks (overridden by ManifestStore for incremental writes) --
 
@@ -296,7 +304,9 @@ def ingest_snapshot(
     location = store.state_path(sha)
     row_count = store.write_state(state, location)
 
-    if strict and int(gate_obs.get["n_bad"]):
+    # `or 0`: F.sum over a ZERO-ROW snapshot yields NULL — an empty file
+    # is gate-clean (the reference accepts it too), not a TypeError.
+    if strict and int(gate_obs.get["n_bad"] or 0):
         store.discard_state_at(location)
         # failure path only: re-parse for the quarantine sample
         _, rejects = read_price_paid_csv_with_rejects(

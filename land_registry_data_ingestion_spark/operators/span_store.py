@@ -44,6 +44,15 @@ GRAM_INDEX_SCHEMA = T.StructType(
     ]
 )
 
+# Identifies the gram_key convention persisted in gram_index. The store
+# sums counts across batches written over its whole lifetime, so every
+# batch must hash grams identically — when the engine's hash changed
+# (md5-60bit → chained xxhash64, round 4), old index rows would never
+# match new batches' keys and cross-batch detection would silently
+# degrade to intra-batch only. The marker makes that loud. k is part of
+# the format: k-gram keys of different k never compare equal.
+GRAM_HASH_FORMAT = "xxhash64-chain-v1"
+
 
 @dataclass
 class SpanStore:
@@ -56,10 +65,44 @@ class SpanStore:
     def _index_dir(self) -> str:
         return os.path.join(self.root, "gram_index")
 
+    @property
+    def _format_tag(self) -> str:
+        return f"{GRAM_HASH_FORMAT};k={self.k}"
+
+    def _check_format(self, writing: bool = False) -> None:
+        """Refuse to mix gram_key conventions: an index dir with batches
+        but a missing/mismatched ``_format`` marker was written under a
+        different hash or k — probing it yields silent false-negatives,
+        so fail with a rebuild instruction instead. ``writing`` stamps
+        the marker on a store's first batch."""
+        marker = os.path.join(self._index_dir, "_format")
+        has_batches = os.path.isdir(self._index_dir) and any(
+            d.startswith("batch=") for d in os.listdir(self._index_dir)
+        )
+        found = None
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                found = fh.read().strip()
+        if found is None and not has_batches:
+            if writing:
+                os.makedirs(self._index_dir, exist_ok=True)
+                with open(marker, "w") as fh:
+                    fh.write(self._format_tag)
+            return
+        if found != self._format_tag:
+            raise ValueError(
+                f"gram_index at {self._index_dir} was written under gram-key "
+                f"format {found!r}, this store expects {self._format_tag!r} — "
+                f"keys are incompatible (cross-batch span detection would "
+                f"silently miss). Rebuild the index: delete gram_index/ and "
+                f"re-ingest accepted batches."
+            )
+
     def index(self, exclude_batch: int | str | None = None) -> DataFrame:
         """Aggregated (gram_key, n) over accepted batches; ``exclude_batch``
         hides that batch's partition so a REPLAY does not probe against
         its own previous attempt."""
+        self._check_format()
         if not os.path.isdir(self._index_dir):
             return self.spark.createDataFrame([], GRAM_INDEX_SCHEMA)
         batches = [
@@ -88,6 +131,7 @@ class SpanStore:
         """Detect duplicated spans in ``df`` against (batch ∪ accepted
         corpus), then fold the batch's gram counts into the index.
         Returns the batch's (id, span_start, span_end, span_tokens)."""
+        self._check_format(writing=True)
         pos = kgram_positions(df, k=self.k, text_col=text_col, id_col=id_col)
         batch_counts = pos.groupBy("gram_key").agg(
             F.count("*").cast("long").alias("n")

@@ -138,14 +138,23 @@ def trim_duplicated_spans(
     )
 
     toks_expr = tokens(normalize_text(F.col(text_col)))
+    # Two nested 1-element transforms let-bind BOTH arrays: the outer
+    # binds the token array, the inner binds the per-token hash array —
+    # honoring gram_hash_chain's bound-value contract (its k slice
+    # references would otherwise re-run the per-token hashing k+1 times
+    # per row during barrier materialization).
     packed = F.element_at(
         F.transform(
             F.array(toks_expr),
-            lambda t: F.struct(
-                t.alias("toks"),
-                gram_hash_chain(
-                    F.transform(t, lambda x: F.xxhash64(x)), k
-                ).alias("gh"),
+            lambda t: F.element_at(
+                F.transform(
+                    F.array(F.transform(t, lambda x: F.xxhash64(x))),
+                    lambda hs: F.struct(
+                        t.alias("toks"),
+                        gram_hash_chain(hs, k).alias("gh"),
+                    ),
+                ),
+                1,
             ),
         ),
         1,

@@ -146,8 +146,23 @@ class ManifestStore(IngestStore):
         state.observe(obs, F.count(F.lit(1)).alias("n_rows")).write.mode(
             "overwrite"
         ).partitionBy("data_year").parquet(parts_dir)
+        n = int(obs.get["n_rows"] or 0)
+        if n == 0:
+            # Zero rows → the partitioned write emitted no leaf dirs and
+            # no schema footer. Persist one schema-only leaf (file schema
+            # = state schema minus the partition column, like every other
+            # leaf) so the manifest references a readable empty state.
+            leaf = os.path.join(parts_dir, f"data_year={NULL_YEAR}")
+            state.drop("data_year").limit(0).write.mode("overwrite").parquet(
+                leaf
+            )
+            self._write_manifest(
+                location,
+                [{"data_year": NULL_YEAR, "path": leaf, "row_count": 0}],
+            )
+            return 0
         self._write_manifest(location, self._scan_part_counts(parts_dir))
-        return int(obs.get["n_rows"])
+        return n
 
     def read_state_at(self, location: str) -> DataFrame:
         entries = self._manifest_entries(location)

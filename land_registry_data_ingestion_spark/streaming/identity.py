@@ -10,20 +10,44 @@ has exactly the checkpoint's lifetime: restarts of the same stream
 reuse it (replays stay idempotent, overwriting their own effect), while
 a recreated checkpoint — same path or not — or a second stream mints a
 fresh tag and can never silently overwrite or suppress another lineage's
-data. On a non-posix checkpoint filesystem the fallback is a digest of
-the path, which still separates distinct streams (the common hazard).
+data.
+
+The token is written through the CHECKPOINT'S filesystem, not the
+driver's: production checkpoints are URIs (``hdfs://``, ``s3a://``) or
+shared mounts, and a driver-local token would (a) survive a checkpoint
+recreation it must not survive, and (b) vanish on driver failover,
+minting a new tag mid-lineage so a replayed in-flight batch lands under
+a new address and double-applies. A URI-schemed path goes through the
+Hadoop FileSystem resolved FROM that URI (exactly where the checkpoint
+state itself lives); a plain local path uses posix I/O. There is no
+silent digest fallback for URIs — if the checkpoint FS cannot be
+reached the sink must not start, because every exactly-once guarantee
+downstream hangs off this token's lifetime being the checkpoint's.
 """
 
 from __future__ import annotations
 
-import hashlib
 import os
+import re
 import uuid
+
+# Real URI scheme per RFC 3986 (≥2 chars, so a windows drive letter
+# never matches). file: URIs take the Hadoop path too — same semantics,
+# one code path for anything schemed.
+_URI_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]+:")
+
+_TOKEN_NAME = "_lrdi_stream_id"
 
 
 def stream_identity(checkpoint_dir: str) -> str:
     """A 12-hex tag with the checkpoint's lifetime (see module doc)."""
-    token_path = os.path.join(checkpoint_dir, "_lrdi_stream_id")
+    if _URI_SCHEME.match(checkpoint_dir):
+        return _identity_on_checkpoint_fs(checkpoint_dir)
+    return _identity_posix(checkpoint_dir)
+
+
+def _identity_posix(checkpoint_dir: str) -> str:
+    token_path = os.path.join(checkpoint_dir, _TOKEN_NAME)
     try:
         with open(token_path) as fh:
             tag = fh.read().strip()
@@ -32,10 +56,48 @@ def stream_identity(checkpoint_dir: str) -> str:
     except OSError:
         pass
     tag = uuid.uuid4().hex[:12]
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    with open(token_path, "w") as fh:
+        fh.write(tag)
+    return tag
+
+
+def _identity_on_checkpoint_fs(checkpoint_dir: str) -> str:
+    """Read-or-mint the token via the Hadoop FileSystem the checkpoint
+    URI resolves to (the same FS Structured Streaming writes its offsets
+    and commits through), so token lifetime == checkpoint lifetime on
+    every deployment shape. Raises if no SparkSession is active or the
+    FS is unreachable — starting a batch-addressed sink without a
+    durable stream identity would reintroduce the batch-0 clobber this
+    module exists to prevent."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            f"stream_identity({checkpoint_dir!r}): URI checkpoint needs an "
+            f"active SparkSession to reach the checkpoint filesystem"
+        )
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    token = jvm.org.apache.hadoop.fs.Path(hpath, _TOKEN_NAME)
+    if fs.exists(token):
+        stream = fs.open(token)
+        try:
+            reader = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            tag = reader.readLine()
+        finally:
+            stream.close()
+        if tag and tag.strip():
+            return tag.strip()
+    tag = uuid.uuid4().hex[:12]
+    fs.mkdirs(hpath)
+    out = fs.create(token, True)
     try:
-        os.makedirs(checkpoint_dir, exist_ok=True)
-        with open(token_path, "w") as fh:
-            fh.write(tag)
-        return tag
-    except OSError:
-        return hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
+        out.write(bytearray(tag.encode("utf-8")))
+    finally:
+        out.close()
+    return tag

@@ -302,3 +302,26 @@ def test_rejected_snapshot_discards_uncommitted_state(spark, tmp_path):
         assert not os.path.exists(loc)
         if isinstance(st, ManifestStore):
             assert not os.path.exists(st._parts_dir(loc))
+
+
+def test_empty_snapshot_accepted_not_crashed(spark, store, tmp_path):
+    """Zero-row snapshot: F.sum over no rows observes NULL — the gate
+    must read that as 0 bad rows (the reference accepts an empty file),
+    not raise TypeError and strand the orphan state dir."""
+    from land_registry_data_ingestion_spark.operators.state import (
+        ManifestStore,
+    )
+
+    empty = _write(tmp_path, "pp-complete-empty.csv", [])
+    for cls, root in [
+        (IngestStore, tmp_path / "e_plain"),
+        (ManifestStore, tmp_path / "e_manifest"),
+    ]:
+        st = cls(spark=spark, root=str(root))
+        row = ingest_snapshot(
+            st, empty, "r_empty", now=datetime.datetime(2024, 1, 1)
+        )
+        assert row["decision"] == "archive"
+        assert row["row_count"] == 0
+        # the empty state is READABLE, not a footer-less dir
+        assert st.current_state().count() == 0

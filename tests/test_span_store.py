@@ -111,3 +111,39 @@ def test_streaming_span_dedup(spark, tmp_path):
         {(2, 0, 9)},   # b0 then b1
         {(1, 6, 15)},  # b1 then b0
     )
+
+
+def test_format_marker_stamped_and_checked(spark, tmp_path):
+    """The gram_index carries its gram-key convention; a store with a
+    different k (or a future hash change) must refuse the index instead
+    of silently probing incompatible keys."""
+    import pytest
+
+    root = str(tmp_path / "ss")
+    store = SpanStore(spark=spark, root=root, k=8)
+    store.ingest_batch(_df(spark, [(1, _words(20))]), 0)
+    assert (tmp_path / "ss" / "gram_index" / "_format").read_text().endswith(
+        ";k=8"
+    )
+    mismatched = SpanStore(spark=spark, root=root, k=6)
+    with pytest.raises(ValueError, match="gram-key format"):
+        mismatched.index()
+    with pytest.raises(ValueError, match="gram-key format"):
+        mismatched.ingest_batch(_df(spark, [(2, _words(20))]), 1)
+    # the matching store keeps working
+    store.index().collect()
+
+
+def test_legacy_unmarked_index_refused(spark, tmp_path):
+    """batch= partitions with NO marker predate the current hash — keys
+    may not be comparable, so fail with the rebuild instruction."""
+    import os
+
+    import pytest
+
+    root = str(tmp_path / "ss")
+    store = SpanStore(spark=spark, root=root, k=8)
+    store.ingest_batch(_df(spark, [(1, _words(20))]), 0)
+    os.remove(os.path.join(root, "gram_index", "_format"))
+    with pytest.raises(ValueError, match="Rebuild the index"):
+        store.index()
