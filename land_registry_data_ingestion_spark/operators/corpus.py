@@ -146,6 +146,81 @@ def segment_dedup(
     )
 
 
+def _segments_with_counts(text: Column, seg_len: int) -> Column:
+    """``array<struct<seg,nt>>``: each fixed-length word segment PLUS its
+    token count, derived arithmetically from ONE tokenization (segment i
+    of n tokens holds ``least(seg_len, n-(i-1)*seg_len)`` tokens). The
+    token array is let-bound (1-element ``transform``) so the per-segment
+    slice references read one bound value — the fused-pipeline
+    counterpart of :func:`_segments`, for consumers that need surviving
+    TOKEN COUNTS without ever rebuilding a cleaned string."""
+    norm = normalize_text(text)
+    out_t = "array<struct<seg:string,nt:int>>"
+    build = F.element_at(
+        F.transform(
+            F.array(tokens(norm)),
+            lambda toks: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.ceil(F.size(toks) / F.lit(float(seg_len))).cast("int"),
+                ),
+                lambda i: F.struct(
+                    F.array_join(
+                        F.slice(toks, (i - 1) * seg_len + 1, seg_len), " "
+                    ).alias("seg"),
+                    F.least(
+                        F.lit(seg_len), F.size(toks) - (i - 1) * seg_len
+                    ).cast("int").alias("nt"),
+                ),
+            ),
+        ),
+        1,
+    )
+    return F.when(norm == "", F.array().cast(out_t)).otherwise(build)
+
+
+def segment_dedup_token_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_len: int = 10,
+) -> DataFrame:
+    """Surviving-token counts of :func:`segment_dedup`, WITHOUT building
+    ``clean_text``: (id, n_tokens) where ``n_tokens`` equals
+    ``token_count(segment_dedup(df).clean_text)`` exactly (segments are
+    whitespace-joined tokens, so the cleaned text's token count is the
+    sum of kept segments' counts).
+
+    This is the fused path for compositions whose downstream stages need
+    only LENGTHS (min-length filters, packing budgets): the corpus is
+    tokenized once, the dedup window shuffles (id, pos, seg, nt) as
+    before, and no stage ever re-tokenizes — where the string-building
+    composition pays the segment reassembly plus one full re-tokenize
+    per downstream length consumer."""
+    seg_rows = (
+        barrier(
+            spread(df).select(
+                F.col(id_col),
+                _segments_with_counts(F.col(text_col), seg_len).alias("_segs"),
+            )
+        )
+        .select(id_col, F.posexplode("_segs").alias("pos", "_s"))
+        .select(
+            id_col,
+            "pos",
+            F.col("_s.seg").alias("seg"),
+            F.col("_s.nt").alias("nt"),
+        )
+    )
+    w = Window.partitionBy("seg").orderBy(id_col, "pos")
+    ranked = seg_rows.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy(id_col).agg(
+        F.sum(F.when(F.col("rn") == 1, F.col("nt")).otherwise(0))
+        .cast("long")
+        .alias("n_tokens")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates_per_mille: dict[str, int],
@@ -184,6 +259,7 @@ def pack_sequences(
     order_col: str = "doc_id",
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_col: str | None = None,
 ) -> DataFrame:
     """Sequence packing, concat-then-chunk (GPT-style): within each shard
     (``part_col``), documents are laid end-to-end in ``order_col`` order
@@ -195,8 +271,13 @@ def pack_sequences(
     exactly how packing runs at scale (a global order would serialize the
     corpus through one task). The running sum shuffles only
     (shard, order, n_tokens) — the text never moves.
+
+    ``n_col``: a precomputed token-count column to use instead of
+    tokenizing ``text_col`` — the fused-pipeline path (an upstream stage
+    already knows each document's length; re-deriving it from text is a
+    wasted corpus pass).
     """
-    n = token_count(F.col(text_col))
+    n = F.col(n_col).cast("long") if n_col else token_count(F.col(text_col))
     w = (
         Window.partitionBy(part_col)
         .orderBy(order_col)

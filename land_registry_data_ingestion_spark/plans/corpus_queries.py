@@ -17,6 +17,7 @@ from land_registry_data_ingestion_spark.operators.corpus import (
     decontaminate,
     pack_sequences,
     segment_dedup,
+    segment_dedup_token_counts,
     stratified_sample,
     tfidf_top_terms,
 )
@@ -309,24 +310,32 @@ def text_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard.
 
     This is the flagship shape of the engine: four corpus passes fuse into
-    a single DAG Catalyst optimizes as one query — the text column exists
-    in exactly two shuffles (the segment window and the doc reassembly),
-    every later stage carries only ids + counts, and the final packing
-    window runs shard-parallel. The stages are the same operators declared
-    individually (``text_segment_dedup``, ``text_stratified_sample``,
+    a single DAG Catalyst optimizes as one query. The composition's
+    downstream stages consume only LENGTHS (the ≥20 filter, the packing
+    budget), so it rides the fused ``segment_dedup_token_counts`` path:
+    the corpus is tokenized exactly ONCE, per-segment token counts are
+    arithmetic off that tokenization, and the cleaned text string is never
+    rebuilt — where the naive composition reassembled ``clean_text`` and
+    re-tokenized it in both the filter and the packer (round 5; the
+    round-4 span-family shared-barrier fix is the template). Text leaves
+    the plan after the one segment-dedup window; everything later moves
+    ids + counts. The stages are the same operators declared individually
+    (``text_segment_dedup``, ``text_stratified_sample``,
     ``text_pack_sequences``), so their per-stage oracles triangulate this
-    composition."""
-    from land_registry_data_ingestion_spark.functions.text import token_count
-
+    composition — and the oracle SQL still states the straightforward
+    rebuild-then-retokenize semantics, pinning the fused plan to the
+    unfused definition."""
     t = load_tables(spark, sf_dir)
-    clean = segment_dedup(t.documents, seg_len=10)
-    joined = clean.join(t.documents.select("doc_id", "lang", "source"), "doc_id")
-    kept = joined.filter(token_count(F.col("clean_text")) >= 20)
+    counts = segment_dedup_token_counts(t.documents, seg_len=10)
+    joined = counts.join(
+        t.documents.select("doc_id", "lang", "source"), "doc_id"
+    )
+    kept = joined.filter(F.col("n_tokens") >= 20)
     sampled = stratified_sample(
         kept, {"en": 300, "zh": 800}, default_per_mille=600
     )
     return pack_sequences(
-        sampled, budget=512, part_col="source", text_col="clean_text"
+        sampled, budget=512, part_col="source", n_col="n_tokens"
     )
 
 

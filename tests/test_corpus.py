@@ -117,3 +117,42 @@ def test_knn_classify_majority_and_tiebreak(spark):
     assert len(out) == 1
     assert out[0]["predicted_label"] == 1
     assert out[0]["n_votes"] == 3
+
+
+def test_segment_dedup_token_counts_matches_string_path(spark):
+    """The fused counts path must equal token_count over the unfused
+    clean_text for every doc — including all-dropped docs (0), short
+    tails, and docs with messy whitespace/empty text."""
+    from land_registry_data_ingestion_spark.functions.text import token_count
+    from land_registry_data_ingestion_spark.operators.corpus import (
+        segment_dedup,
+        segment_dedup_token_counts,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    rows = [
+        (1, boiler + " " + " ".join(f"x{i}" for i in range(13))),
+        (2, boiler),                       # fully duplicated vs doc 1 → 0
+        (3, "  one   two\tthree "),        # short tail segment + whitespace
+        (4, ""),                           # empty: absent from both
+        (5, " ".join(f"y{i}" for i in range(25))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    try:
+        fused = {
+            r["doc_id"]: r["n_tokens"]
+            for r in segment_dedup_token_counts(df, seg_len=10).collect()
+        }
+        unfused = {
+            r["doc_id"]: r["n"]
+            for r in segment_dedup(df, seg_len=10)
+            .select(
+                "doc_id", token_count(F.col("clean_text")).alias("n")
+            )
+            .collect()
+        }
+    finally:
+        release_caches()
+    assert fused == unfused
+    assert fused[2] == 0 and fused[4 if 4 in fused else 2] == 0
+    assert 4 not in fused  # empty text yields no segments on either path
