@@ -240,8 +240,10 @@ def main() -> None:
     # two best still disagree by >1.5× the query is re-run (up to 4
     # total), so one stall can't masquerade as a regression. An explicit
     # System.gc() between queries keeps heap debt from one query's spikes
-    # out of the next query's window.
-    def timed(fn) -> float:
+    # out of the next query's window. Returns (min, max, n_runs) — the
+    # spread is recorded so a number taken during a stall episode is
+    # VISIBLY unstable instead of silently wrong.
+    def timed(fn) -> tuple[float, float, int]:
         times: list[float] = []
         while True:
             start = time.perf_counter()
@@ -255,48 +257,83 @@ def main() -> None:
                 # take 2-3 executions; a stall inflates one run only)
                 settled = b / a <= 1.5 and times[-1] >= a * 0.8
                 if len(times) >= 4 or a < 0.3 or settled:
-                    return a
+                    return a, max(times), len(times)
 
     def gc_between():
         spark.sparkContext._jvm.System.gc()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = REGISTRY[name]
-        timings[name] = round(
-            timed(
-                lambda: spec.fn(spark, sf_dir)
-                .write.format("noop")
-                .mode("overwrite")
-                .save()
-            ),
-            3,
+    def noop_write(spec, data_dir):
+        return lambda: (
+            spec.fn(spark, data_dir).write.format("noop").mode("overwrite").save()
         )
+
+    timings: dict[str, float] = {}
+    headline_spread: dict[str, list] = {}
+    for name in HEADLINE:
+        lo, hi, n = timed(noop_write(REGISTRY[name], sf_dir))
+        timings[name] = round(lo, 3)
+        headline_spread[name] = [round(lo, 3), round(hi, 3), n]
         gc_between()
 
     scale: dict | None = None
     if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
         scale_dir, build_sec, rows = build_scale_dir(spark, sf_dir)
-        scale_timings: dict[str, float] = {}
+        # TWO separated passes: this host has stall EPISODES long enough
+        # to cover one whole adaptive min-of-2-4 window, which forged
+        # 2-2.8× "regressions" on unchanged plans in round 4. Pass 2
+        # replays the section minutes later in REVERSE order (maximizing
+        # per-query wall-clock separation from its pass-1 window) after a
+        # GC + cooldown; the reported number is each query's min across
+        # both passes, and both pass minima are published so inter-pass
+        # disagreement is visible instead of silently wrong.
+        p1: dict[str, tuple[float, float, int]] = {}
         for name in SCALE_QUERIES:
-            spec = REGISTRY[name]
-            scale_timings[name] = round(
-                timed(
-                    lambda: spec.fn(spark, scale_dir)
-                    .write.format("noop")
-                    .mode("overwrite")
-                    .save()
-                ),
-                3,
-            )
+            p1[name] = timed(noop_write(REGISTRY[name], scale_dir))
             gc_between()
+        gc_between()
+        time.sleep(float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "20")))
+        p2: dict[str, tuple[float, float, int]] = {}
+        for name in reversed(SCALE_QUERIES):
+            # pass 2 is confirmatory: plans and codegen are warm, so one
+            # run usually suffices; re-run once only if it looks stalled
+            # relative to pass 1.
+            f = noop_write(REGISTRY[name], scale_dir)
+            start = time.perf_counter()
+            f()
+            t = time.perf_counter() - start
+            if t > p1[name][0] * 1.25:
+                start = time.perf_counter()
+                f()
+                t2 = time.perf_counter() - start
+                p2[name] = (min(t, t2), max(t, t2), 2)
+            else:
+                p2[name] = (t, t, 1)
+            gc_between()
+        scale_timings = {
+            name: round(min(p1[name][0], p2[name][0]), 3)
+            for name in SCALE_QUERIES
+        }
+        scale_spread = {
+            name: {
+                "min": scale_timings[name],
+                "max": round(max(p1[name][1], p2[name][1]), 3),
+                "pass_min": [round(p1[name][0], 3), round(p2[name][0], 3)],
+                "runs": p1[name][2] + p2[name][2],
+            }
+            for name in SCALE_QUERIES
+        }
         scale = {
             "rows": rows,
             "build_sec": build_sec,
-            "runs_per_query": "2-4 adaptive",
-            "agg": "min",
+            "runs_per_query": "2-4 adaptive + 1-2 confirmatory (pass 2)",
+            "agg": "min across two separated passes",
             "total_sec": round(sum(scale_timings.values()), 3),
+            "pass_totals": [
+                round(sum(v[0] for v in p1.values()), 3),
+                round(sum(v[0] for v in p2.values()), 3),
+            ],
             "queries": scale_timings,
+            "spread": scale_spread,
         }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -314,6 +351,7 @@ def main() -> None:
         "runs_per_query": "2-4 adaptive",
         "agg": "min",
         "queries": timings,
+        "queries_spread": headline_spread,
         "sf": sf_val,
     }
     if scale is not None:
@@ -331,6 +369,13 @@ def main() -> None:
     if scale is not None:
         out["scale_total_sec"] = scale["total_sec"]
         out["scale_n_queries"] = len(scale["queries"])
+        # spread fields (compact): the two pass minima totals — when they
+        # disagree, one pass sat in a stall window and the per-query mins
+        # (sidecar "spread") say which queries.
+        out["scale_pass_totals"] = scale["pass_totals"]
+        out["headline_max_total"] = round(
+            sum(v[1] for v in headline_spread.values()), 3
+        )
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1500:
         # Keep the parse contract over per-query detail: collapse the

@@ -25,7 +25,7 @@ Scale design notes (the point of each algorithm at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -459,54 +459,66 @@ def near_dup_groups(
     Returns (doc, canonical_doc, n_members) for every doc that appears
     in ≥1 pair; canonical_doc = min doc id of the component, so output
     is deterministic and oracle-checkable.
+
+    Plan shape (round 5 — one data exchange per round, down from ~5):
+    edges are cached hash-partitioned on ``dst`` and labels carry
+    hash(id) partitioning out of each round's cached join output, so
+    the probe join (dst == id) and the label update join (id == src,
+    against the hash(src)-partitioned aggregate) both align with ZERO
+    new exchange — only the propagation aggregate (groupBy src) moves
+    data, which is the step that IS the propagation. Shuffle-hash hints
+    keep the per-round joins sort-free, the convergence count reads the
+    round's own cached output (old and new label ride the same barrier
+    — no separate compare join), and component sizes come from one
+    window over the final labels instead of a groupBy + self-join.
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = barrier(fwd.union(rev).distinct())
+    edges = barrier(fwd.union(rev).distinct().repartition("dst"))
     labels = barrier(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    prev_cache = labels
     for _ in range(max_iters):
         nbr = (
-            edges.join(labels, edges["dst"] == labels["id"])
+            edges.join(labels.hint("shuffle_hash"), edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        updated = barrier(
-            labels.join(nbr, labels["id"] == nbr["src"], "left")
+        joined = barrier(
+            labels.join(
+                nbr.hint("shuffle_hash"), labels["id"] == nbr["src"], "left"
+            )
             .select(
                 labels["id"].alias("id"),
+                labels["label"].alias("_old"),
                 F.least(
                     labels["label"],
                     F.coalesce(F.col("nbr_label"), labels["label"]),
                 ).alias("label"),
             )
         )
-        n_changed = (
-            updated.join(
-                labels.withColumnRenamed("label", "old_label"), "id"
-            )
-            .filter(F.col("label") != F.col("old_label"))
-            .count()
-        )
-        # the count materialized `updated`; the previous round's cached
-        # labels are dead weight from here (same discipline as the BPE
-        # merge loop — per-round caches must not accumulate)
-        labels.unpersist(blocking=False)
-        labels = updated
+        # materializes this round's barrier AND is the convergence probe
+        n_changed = joined.filter(F.col("label") != F.col("_old")).count()
+        # the previous round's cache is dead weight from here (same
+        # discipline as the BPE merge loop — per-round caches must not
+        # accumulate)
+        prev_cache.unpersist(blocking=False)
+        prev_cache = joined
+        labels = joined.select("id", "label")
         if n_changed == 0:
             break
     else:
         raise RuntimeError(
             f"label propagation did not converge in {max_iters} rounds"
         )
-    sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
-    return labels.join(sizes, "label").select(
+    wl = Window.partitionBy("label")
+    return labels.select(
         F.col("id").alias("doc"),
         F.col("label").alias("canonical_doc"),
-        "n_members",
+        F.count("*").over(wl).alias("n_members"),
     )
 
 
