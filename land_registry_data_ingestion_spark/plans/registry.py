@@ -79,42 +79,19 @@ _LOADED = False
 # the registry are ignored; registered queries missing from this list are
 # appended in module-load order.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # Round 4 front-of-window. First: the 8 queries with no external green
-    # row in any round (added after the round-3 driver run) — with these
-    # checked, cumulative driver coverage reaches 112/112.
-    "agg_kmv_by_group",
-    "sim_ivf_recall",
-    "evt_type_correlation",
-    "text_corpus_report",
-    "evt_user_entropy",
-    "mm_frame_sample",
-    "win_running_total",
-    "ord_intersect",
-    # Next: queries whose implementation changed AFTER their last external
-    # green row. The merge family's shared core moved into
-    # ingest.merge_update_frame in round 3 (after its round-2 rows), and
-    # the round-4 perf work (barrier storage-level parameterization,
-    # repetition-filter single-pass n-grams, triangle edge barrier)
-    # touches the plans below — their hashes must stay pinned by a fresh
-    # driver row, not only the repo oracle.
-    "cdc_merge_state",
-    "cdc_merge_outcomes",
-    "cdc_merge_ledger",
-    "text_repetition_filters",
+    # Round 5 front-of-window. First: the queries whose PLAN changed this
+    # round — their hashes must be re-pinned by a fresh driver row, not
+    # only the repo oracle. (text_pipeline_pack: fused token-count path;
+    # text_dup_span_trim: bound hash array in the shared barrier;
+    # dedup_near_dup_groups: one-exchange propagation rounds + window
+    # sizes.)
     "text_pipeline_pack",
-    "text_segment_dedup",
-    "text_decontaminate",
-    "sim_pq_topk",
-    "dedup_semantic",
-    "evt_graph_triangles",
-    "text_dup_spans",
     "text_dup_span_trim",
-    "win_equidepth_histogram",
-    "evt_sliding_users_24h",
-    # Remainder: round-robin continuation. Oldest external rows first
-    # (round-1 era), then round-2 rows, then the round-3-checked block —
-    # every query keeps landing inside the ~50-row window every few
-    # rounds so no green row goes stale indefinitely.
+    "dedup_near_dup_groups",
+    # Next: the round-robin remainder whose newest external row is
+    # r2-era — the oldest green rows in the ledger (round-4 checked the
+    # then-never-checked + all round-4-touched plans; the blocks below
+    # were last externally driven in round 2).
     "evt_conflate_latest",
     "evt_hourly_window",
     "evt_json_extract",
@@ -156,7 +133,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "dedup_near_dup_groups",
     "dedup_embedding_cosine",
     "text_token_count",
     "text_quality_score",
@@ -206,6 +182,27 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "evt_type_pagerank",
     "rel_multi_join_chain",
     "text_curriculum_shards",
+    # Round-4 external rows (freshest) — very back of the rotation.
+    "agg_kmv_by_group",
+    "sim_ivf_recall",
+    "evt_type_correlation",
+    "text_corpus_report",
+    "evt_user_entropy",
+    "mm_frame_sample",
+    "win_running_total",
+    "ord_intersect",
+    "cdc_merge_state",
+    "cdc_merge_outcomes",
+    "cdc_merge_ledger",
+    "text_repetition_filters",
+    "text_segment_dedup",
+    "text_decontaminate",
+    "sim_pq_topk",
+    "dedup_semantic",
+    "evt_graph_triangles",
+    "text_dup_spans",
+    "win_equidepth_histogram",
+    "evt_sliding_users_24h",
 )
 
 
