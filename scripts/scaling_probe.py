@@ -47,6 +47,13 @@ PROBES = {
     "text_repetition_filters": ("documents", 4.0),
     "evt_sliding_users_24h": ("events", 3.0),
     "win_equidepth_histogram": ("orders", 3.0),
+    # Composed pipelines (round 5): the three most user-visible
+    # compositions carry the same two-point evidence as the heavy
+    # singles. cdc_merge_state's driver is the STATE side (built from
+    # orders), so orders growth is state growth.
+    "text_pipeline_pack": ("documents", 4.0),
+    "text_decontaminate": ("documents", 4.0),
+    "cdc_merge_state": ("orders", 3.0),
 }
 
 
