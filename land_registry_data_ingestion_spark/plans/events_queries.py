@@ -472,8 +472,19 @@ def evt_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dst").isNotNull())
         .select(F.col("event_type").alias("src"), "dst")
     )
-    edges = trans.groupBy("src", "dst").agg(
-        F.count("*").cast("double").alias("w")
+    from land_registry_data_ingestion_spark.util import barrier
+
+    # ONE pass over the event log: the type-pair graph is bounded by
+    # |event_type|² (driver-scale), so barrier it small=True; the
+    # nodes/en barriers below then materialize from these cached rows.
+    # Barriering only nodes and en (the old shape) re-ran the full
+    # lag-window extraction once per barrier — 2× the only expensive
+    # stage in the query.
+    edges = barrier(
+        trans.groupBy("src", "dst").agg(
+            F.count("*").cast("double").alias("w")
+        ),
+        small=True,
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     en = edges.join(outw, "src").select(
@@ -484,11 +495,11 @@ def evt_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(edges.select(F.col("dst").alias("v")))
         .distinct()
     )
-    from land_registry_data_ingestion_spark.util import barrier
-
-    # the aggregated graph is tiny and feeds every iteration — cut it
-    # once so the unrolled joins don't recompute the event-log window
-    nodes, en = barrier(nodes), barrier(en)
+    # each iteration references en once and nodes once — cache both so
+    # the unrolled joins read ~|types|² rows instead of re-aggregating
+    # them per reference (tiny-data stage overhead is the cost here, so
+    # fewer stages beats fewer caches)
+    nodes, en = barrier(nodes, small=True), barrier(en, small=True)
     n_nodes = nodes.agg(F.count("*").cast("double").alias("n"))
     pr = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "v", (F.lit(1.0) / F.col("n")).alias("pr")
