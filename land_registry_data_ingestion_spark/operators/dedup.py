@@ -487,7 +487,18 @@ def near_dup_groups(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        joined = barrier(
+        # localCheckpoint, not barrier: each round's plan references
+        # ``labels`` TWICE (the probe join and the update join), so an
+        # un-truncated lineage doubles per round — exponential logical
+        # plans that OOM the driver's analyzer near round ~12 (caught by
+        # the 12-node-path test; a persist materializes data but Catalyst
+        # still re-analyzes the full tree). localCheckpoint cuts the plan
+        # to a LogicalRDD each round, keeps the physical partitioning
+        # (so the co-partitioning alignment below still holds), and is
+        # eager — materialization doubles as this round's barrier. On a
+        # cluster with a reliable checkpoint dir, ``checkpoint()`` gives
+        # the same truncation with fault tolerance.
+        joined = (
             labels.join(
                 nbr.hint("shuffle_hash"), labels["id"] == nbr["src"], "left"
             )
@@ -499,8 +510,8 @@ def near_dup_groups(
                     F.coalesce(F.col("nbr_label"), labels["label"]),
                 ).alias("label"),
             )
+            .localCheckpoint(eager=True)
         )
-        # materializes this round's barrier AND is the convergence probe
         n_changed = joined.filter(F.col("label") != F.col("_old")).count()
         # the previous round's cache is dead weight from here (same
         # discipline as the BPE merge loop — per-round caches must not

@@ -84,10 +84,11 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # only the repo oracle. (text_pipeline_pack: fused token-count path;
     # text_dup_span_trim: bound hash array in the shared barrier;
     # dedup_near_dup_groups: one-exchange propagation rounds + window
-    # sizes.)
+    # sizes; evt_type_pagerank: chained barriers, one event-log pass.)
     "text_pipeline_pack",
     "text_dup_span_trim",
     "dedup_near_dup_groups",
+    "evt_type_pagerank",
     # Next: the round-robin remainder whose newest external row is
     # r2-era — the oldest green rows in the ledger (round-4 checked the
     # then-never-checked + all round-4-touched plans; the blocks below
@@ -179,7 +180,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "cdc_incremental_rollup",
     "rel_skew_join_salted",
     "evt_ohlc_hourly",
-    "evt_type_pagerank",
     "rel_multi_join_chain",
     "text_curriculum_shards",
     # Round-4 external rows (freshest) — very back of the rotation.

@@ -273,6 +273,26 @@ def test_near_dup_groups_connected_components(spark):
     assert empty.count() == 0
 
 
+def test_near_dup_groups_long_path_many_rounds(spark):
+    """A 12-node path (diameter 11) forces min-label propagation through
+    many rounds of the one-exchange loop — exercising the per-round
+    barrier release and the convergence probe far past the shallow
+    dup-family shapes the planted-corpus tests produce. Edges are listed
+    high→low so the min label must travel the full path length."""
+    from land_registry_data_ingestion_spark.operators.dedup import (
+        near_dup_groups,
+    )
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i + 1, i + 2) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    rows = near_dup_groups(pairs).collect()
+    assert {r["doc"] for r in rows} == set(range(1, n + 1))
+    assert all(r["canonical_doc"] == 1 for r in rows)
+    assert all(r["n_members"] == n for r in rows)
+
+
 def test_ivf_refined_centroids_improve_or_hold_recall(spark, embeddings):
     """Lloyd refinement must actually move the quantizer and must not
     degrade recall below the seeded baseline's floor."""
