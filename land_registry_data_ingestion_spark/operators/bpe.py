@@ -107,15 +107,20 @@ def train_bpe(
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
         prev = current
-        current = barrier(
-            current.select("freq", _merge_udf(a, b)("syms").alias("syms")),
-            small=True,
-        )
-        current.count()
-        # The new round's frame is materialized — the previous round's
-        # cache is dead weight. At realistic merge counts (tens of
-        # thousands of rounds) leaving these tracked would accumulate
-        # thousands of cached frames until some later release_caches().
+        # localCheckpoint, not barrier: a persist leaves round k's
+        # logical plan k selects deep, and Catalyst re-analyzes the full
+        # tree on every action — measured as a driver-heap OOM at only
+        # ~60 merge rounds (2k docs, default heap). The eager checkpoint
+        # cuts each round's plan to a LogicalRDD of the materialized
+        # word-type table, so round cost is flat in the round number all
+        # the way to realistic (tens-of-thousands) merge counts; storage
+        # stays memory-first like small=True, and the superseded round's
+        # blocks are reclaimed by the ContextCleaner once unreferenced.
+        current = current.select(
+            "freq", _merge_udf(a, b)("syms").alias("syms")
+        ).localCheckpoint(eager=True)
+        # round 0's input is the one plain persist — release it once the
+        # first checkpoint supersedes it (no-op for checkpointed frames)
         prev.unpersist(blocking=False)
     return merges
 

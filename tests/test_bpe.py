@@ -107,3 +107,28 @@ def test_merge_table_round_trips(spark, tmp_path):
         for r in bpe_encode(_df(spark), load_merges(path)).collect()
     }
     assert a == b
+
+
+def test_deep_merge_counts_stay_flat(spark):
+    """Regression: the merge loop must survive merge counts far past the
+    dozen the parity tests use. Before lineage truncation, every round
+    left the plan one persisted select deeper and Catalyst re-analyzed
+    the whole tree per action — a driver-heap OOM at ~60 rounds. A
+    vocabulary-rich corpus (distinct repeated pseudo-words) keeps ≥60
+    merges productive; parity vs the Sennrich reference must hold for
+    the full deep sequence, not just the first few rounds."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcdefghij"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(6, 12)))
+        for _ in range(80)
+    ]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(30)) for _ in range(40)
+    ]
+    got = train_bpe(_df(spark, texts), n_merges=60)
+    want = _reference_bpe(texts, n_merges=60)
+    assert len(got) == 60, "corpus did not sustain 60 productive merges"
+    assert got == want
