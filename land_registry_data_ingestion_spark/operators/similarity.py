@@ -963,7 +963,16 @@ def kmeans_parallel_init(
         picked = assigned.filter(
             coin < (F.lit(float(l)) * F.col("dist") / F.lit(float(total)))
         ).select(id_col, vec_col)
-        centers = centers.unionByName(picked).dropDuplicates([id_col])
+        # eager truncation per round: centers stays a lazy union chain
+        # otherwise, and every later round's center collect re-runs ALL
+        # earlier rounds' corpus passes (O(rounds²) scans). The frame is
+        # candidate-scale (≤ 1 + rounds·l rows), so the checkpoint cost
+        # is the one corpus pass that round already owes for its picks.
+        centers = (
+            centers.unionByName(picked)
+            .dropDuplicates([id_col])
+            .localCheckpoint(eager=True)
+        )
 
     # weight step: heaviest candidates win (id tie-break), exactly k out
     weights = (
