@@ -28,4 +28,14 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL for a degenerate side (cosine undefined), never an error or
+    a NaN: dead/padded all-zero and NaN-poisoned embeddings occur in
+    real corpora. Under ANSI mode (Spark 4 default) a plain ``/`` fails
+    the whole query with DIVIDE_BY_ZERO on the first zero-norm vector
+    (hence try_divide), and a NaN result would rank FIRST under ``desc``
+    ordering (Spark sorts NaN above every double), handing a garbage
+    vector rank 1 in every top-k (hence nanvl → NULL). NULL ranks last
+    and fails every ``>= threshold`` filter, so degenerate vectors drop
+    out of top-k/pair results instead of crashing or winning them."""
+    cos = F.try_divide(dot_product(a, b), l2_norm(a) * l2_norm(b))
+    return F.nanvl(cos, F.lit(None).cast("double"))

@@ -1021,10 +1021,19 @@ def _nearest_cosine_distance(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             vnorm = np.sqrt(_seq_pair_dots(M, M))
-            cos = np.round(
-                _seq_cross_dots(M, C) / np.multiply.outer(vnorm, cnorm), 6
-            )
-            yield pdf.assign(dist=1.0 - cos.max(axis=1))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.round(
+                    _seq_cross_dots(M, C)
+                    / np.multiply.outer(vnorm, cnorm),
+                    6,
+                )
+                dist = 1.0 - cos.max(axis=1)
+            # zero-norm / NaN-component vectors have no defined cosine:
+            # their NaN dist would cross Arrow as NULL and fail the
+            # non-nullable field. Pin them to dist 0 ("coincides with a
+            # center") so degenerate vectors can never be sampled as
+            # new centers — garbage must not seed the quantizer.
+            yield pdf.assign(dist=np.where(np.isfinite(dist), dist, 0.0))
 
     return spread(corpus.select(id_col, vec_col)).mapInPandas(
         kernel, out_schema

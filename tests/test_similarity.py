@@ -359,3 +359,47 @@ def test_kmeans_parallel_init_deterministic_and_balanced(spark, embeddings):
     assert cost(kmeans_parallel_init(emb, n_centroids=k)) <= cost(
         seed_centroids(emb, n_centroids=k)
     )
+
+
+def test_degenerate_embeddings_never_crash_or_win(spark):
+    """Zero-norm and NaN-poisoned embeddings occur in real corpora
+    (dead rows, failed encoders). They must neither fail the query —
+    under ANSI mode a plain divide raises DIVIDE_BY_ZERO on the first
+    zero vector — nor WIN it: a NaN cosine sorts above every double
+    under desc, handing a garbage vector rank 1 in every top-k. Both
+    now map to NULL (rank last, fail thresholds). And k-means|| init
+    must not seed centers from them: the NaN distance crossed Arrow as
+    NULL and failed the kernel's non-nullable dist field outright."""
+    import math
+
+    from land_registry_data_ingestion_spark.operators.similarity import (
+        brute_force_topk,
+        kmeans_parallel_init,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),          # zero norm
+            (3, [1.0, 1.0, 1.0, 1.0]),
+            (4, [-1.0, 0.0, 0.0, 0.0]),
+            (5, [float("nan"), 1.0, 0.0, 0.0]),  # NaN component
+        ],
+        ["vec_id", "embedding"],
+    )
+
+    rows = brute_force_topk(emb, emb.filter("vec_id = 1"), k=4).collect()
+    got = {r["neighbor_id"]: (r["cosine"], r["rank"]) for r in rows}
+    assert not any(
+        c is not None and (math.isnan(c) or math.isinf(c))
+        for c, _ in got.values()
+    )
+    # real vectors outrank degenerate ones; NULL cosines sort last
+    real_ranks = [got[n][1] for n in (3, 4)]
+    degenerate_ranks = [got[n][1] for n in (2, 5)]
+    assert max(real_ranks) < min(degenerate_ranks)
+    assert all(got[n][0] is None for n in (2, 5))
+
+    centers = kmeans_parallel_init(emb, n_centroids=2, rounds=2).collect()
+    assert len(centers) == 2
+    assert {r["vec_id"] for r in centers} <= {1, 3, 4}
