@@ -110,12 +110,20 @@ def cdc_merge(
     """
     ts = batch_timestamp if batch_timestamp is not None else F.current_timestamp()
 
-    cur = current.alias("cur")
-    upd = updates.alias("upd")
+    # Row-presence INDICATORS, not key nullability: a NULL-keyed row on
+    # either side never equality-matches, so after the full-outer join it
+    # surfaces with its own columns populated but its key NULL — testing
+    # the key would misread it as "side absent". That misread made a
+    # NULL-keyed update row vanish from outcomes/invalid_ops/ledger
+    # (silent batch-accounting loss) and dropped a NULL-keyed state row
+    # from new_state on every merge via three-valued filter logic.
+    cur = current.withColumn("_cur_present", F.lit(True)).alias("cur")
+    upd = updates.withColumn("_upd_present", F.lit(True)).alias("upd")
     joined = cur.join(upd, F.col(f"cur.{key_col}") == F.col(f"upd.{key_col}"), "full_outer")
 
-    cur_exists = F.col(f"cur.{key_col}").isNotNull()
-    upd_exists = F.col(f"upd.{key_col}").isNotNull()
+    cur_exists = F.col("cur._cur_present").isNotNull()
+    upd_exists = F.col("upd._upd_present").isNotNull()
+    upd_keyed = upd_exists & F.col(f"upd.{key_col}").isNotNull()
     cur_deleted = cur_exists & F.col("cur.is_deleted")
     cur_live = cur_exists & ~F.col("cur.is_deleted")
     identical = cur_live & _all_values_equal(value_cols)
@@ -123,6 +131,11 @@ def cdc_merge(
 
     outcome = (
         F.when(~upd_exists, F.lit(None).cast("string"))  # untouched state row
+        # a NULL key can address no row (the reference's PK is NOT NULL —
+        # its per-row path would fail the batch); surfaced like invalid
+        # ops so callers can reject the batch, counted in the ledger's
+        # input_file_row_count only.
+        .when(~upd_keyed, F.lit("invalid_key"))
         .when(
             op == "A",
             F.when(identical, "add_ignore")
@@ -192,43 +205,47 @@ def cdc_merge(
         .alias("is_deleted"),
     ]
 
-    # Two cases where the update side exists but nothing may be inserted:
-    # a delete aimed at a missing key (reference :326-336 ignores it) and
-    # an unrecognized/null op against a missing key — without the second
-    # filter the full-outer join would materialize a phantom row with the
-    # update's key and all-NULL values/audit. An invalid op against an
-    # EXISTING key keeps the current row untouched (takes_update_values is
-    # false), mirroring "ignore"; the rows themselves are surfaced on
+    # Cases where the update side exists but nothing may be inserted: a
+    # delete aimed at a missing key (reference :326-336 ignores it), an
+    # unrecognized/null op against a missing key, and any NULL-keyed
+    # update — without these exclusions the full-outer join would
+    # materialize a phantom row with the update's key (or NULL) and
+    # all-NULL values/audit. An invalid op against an EXISTING key keeps
+    # the current row untouched (takes_update_values is false), mirroring
+    # "ignore"; the rows themselves are surfaced on
     # ``MergeResult.invalid_ops`` so callers can fail the batch the way
     # the reference's RuntimeError does (database_updater.py:1011-1013).
-    new_state = annotated.filter(
-        F.col("_outcome").isNull()
-        | (F.col("_outcome") != "delete_ignore_missing")
-    ).filter(
-        ~((F.col("_outcome") == "invalid_op") & ~cur_exists)
-    ).select(key, *values, *audit)
+    # Both predicates are wrapped null-safe (outcome is NULL on untouched
+    # state rows; a bare comparison would three-valued-drop them).
+    phantom = F.coalesce(
+        (F.col("_outcome") == "delete_ignore_missing")
+        | (F.col("_outcome").isin("invalid_op", "invalid_key") & ~cur_exists),
+        F.lit(False),
+    )
+    new_state = annotated.filter(~phantom).select(key, *values, *audit)
 
     outcomes = annotated.filter(upd_exists).select(
         F.col(f"upd.{key_col}").alias(key_col),
         F.col(f"upd.{op_col}").alias(op_col),
         F.col("_outcome").alias("outcome"),
     )
-    invalid_ops = outcomes.filter(F.col("outcome") == "invalid_op")
+    invalid_ops = outcomes.filter(
+        F.col("outcome").isin("invalid_op", "invalid_key")
+    )
 
     # Before/after images for IVM: same annotated probe, no extra join.
     # A touched row is live AFTER the merge iff it survives into
     # new_state and its final is_deleted is false (same expressions the
     # state projection uses).
-    survives = (
-        (F.col("_outcome") != "delete_ignore_missing")
-        & ~((F.col("_outcome") == "invalid_op") & ~cur_exists)
-    )
+    survives = ~phantom
     new_is_deleted = (
         F.when(becomes_undeleted, F.lit(False))
         .when(becomes_deleted, F.lit(True))
         .otherwise(F.coalesce(F.col("cur.is_deleted"), F.lit(False)))
     )
-    transitions = annotated.filter(upd_exists).select(
+    # keyed only: a NULL-keyed update touches no state, so it has no
+    # before/after image — and a NULL group key would pollute IVM rollups
+    transitions = annotated.filter(upd_keyed).select(
         F.col(f"upd.{key_col}").alias(key_col),
         cur_live.alias("old_live"),
         *[F.col(f"cur.{c}").alias(f"old_{c}") for c in value_cols],
@@ -296,6 +313,11 @@ def merge_ledger(outcomes: DataFrame, op_col: str = "record_op") -> DataFrame:
     - ``operation_count_delete_change_delete`` ← delete_change_delete
     - ``operation_count_delete_ignore``   ← delete_ignore_missing
                                             + delete_ignore_deleted
+
+    ``invalid_op`` / ``invalid_key`` rows count in the
+    ``input_file_row_count*`` totals only — no operation was performed
+    (the reference fails the whole batch instead; callers get the same
+    option via ``MergeResult.invalid_ops``).
     """
     o = F.col("outcome")
 

@@ -306,3 +306,53 @@ def test_incremental_rollup_drops_emptied_and_creates_new_groups(spark):
         ).collect()
     }
     assert got == {"NEW": (1, 20.0)}
+
+
+def test_null_keyed_rows_accounted_not_vanished(spark):
+    """A NULL-keyed update can address no row (the reference's PK is NOT
+    NULL — its per-row path fails the batch), but it must be ACCOUNTED:
+    before the row-presence indicators, upd_exists tested the update's
+    KEY, so a NULL-keyed update was misread as "no update side" — absent
+    from outcomes, invalid_ops, and the ledger's input_file_row_count
+    (silent batch-size loss), and only kept out of state by three-valued
+    filter logic. A NULL-keyed row already IN state was worse: every
+    merge silently dropped it."""
+    from pyspark.sql import functions as F
+
+    from land_registry_data_ingestion_spark.operators.ingest import init_state
+    from land_registry_data_ingestion_spark.operators.merge import (
+        cdc_merge,
+        merge_ledger,
+    )
+
+    ts = F.lit("2024-01-01").cast("timestamp")
+    cur = init_state(
+        spark.createDataFrame([("a", 1), (None, 7)], "k string, v int"),
+        batch_timestamp=ts,
+    )
+    upd = spark.createDataFrame(
+        [("a", 10, "C"), (None, 99, "A")], "k string, v int, record_op string"
+    )
+    res = cdc_merge(cur, upd, "k", ["v"], batch_timestamp=ts)
+
+    state = {r["k"]: r["v"] for r in res.new_state.collect()}
+    assert state == {"a": 10, None: 7}  # untouched NULL-key state row survives
+
+    outcomes = {
+        (r["k"], r["record_op"]): r["outcome"] for r in res.outcomes.collect()
+    }
+    assert outcomes == {
+        ("a", "C"): "change_change",
+        (None, "A"): "invalid_key",
+    }
+    assert res.invalid_ops.count() == 1
+
+    # the ledger counts every input row, including the invalid one
+    row = merge_ledger(res.outcomes).collect()[0]
+    assert row["input_file_row_count"] == 2
+    assert row["input_file_row_count_insert"] == 1
+    assert row["operation_count_insert"] == 0  # invalid_key performed nothing
+    assert row["operation_count_update"] == 1
+
+    # transitions stay keyed: no NULL group key leaks into IVM rollups
+    assert [r["k"] for r in res.transitions.collect()] == ["a"]
