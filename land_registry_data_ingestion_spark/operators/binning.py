@@ -85,6 +85,12 @@ def grouped_exact_quantiles(
     wn = Window.partitionBy(*group_cols)
     ranked = (
         df.select(*group_cols, F.col(value_col).cast("double").alias("_v"))
+        # aggregate semantics: quantile_cont / numpy quantile IGNORE
+        # NULLs. Left in, they'd rank (NULLS FIRST) and shift every
+        # quantile down — median of [1, 2, NULL] must be 1.5, not 1.0.
+        # A group of only NULLs drops out entirely, matching SQL (the
+        # aggregate returns NULL ≈ no row in this exploded layout).
+        .filter(F.col("_v").isNotNull())
         .withColumn("_rn", F.row_number().over(w))
         .withColumn("_n", F.count(F.lit(1)).over(wn))
     )

@@ -42,3 +42,20 @@ def test_ties_and_integer_index(spark):
     rows = [("a", v) for v in [1.0, 2.0, 2.0, 2.0, 7.0]]
     got = _got(spark, rows, [0.5])
     assert got[("a", 0.5)] == 2.0
+
+
+def test_null_values_excluded_like_quantile_cont(spark):
+    """quantile_cont / numpy quantile IGNORE NULL values. Before the
+    isNotNull filter, NULLs ranked first in the window and shifted
+    every quantile down: median of [1, 2, NULL] came out 1.0 instead of
+    1.5. All-NULL groups must vanish, matching the SQL aggregate."""
+    from land_registry_data_ingestion_spark.operators.binning import (
+        grouped_exact_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", None), ("b", None), ("b", None)],
+        "grp string, x double",
+    )
+    rows = grouped_exact_quantiles(df, ["grp"], "x", [0.5]).collect()
+    assert {(r["grp"], r["pct"], r["val"]) for r in rows} == {("a", 0.5, 1.5)}
