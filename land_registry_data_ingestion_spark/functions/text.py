@@ -24,10 +24,21 @@ def tokens(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    """Token count as BIGINT (0 for empty/blank text)."""
-    return F.when(F.trim(col) == "", F.lit(0)).otherwise(
-        F.size(tokens(col))
-    ).cast("long")
+    """Token count as BIGINT (0 for empty/blank text, NULL for NULL).
+
+    Counts on WHITESPACE-NORMALIZED text (tabs/newlines → space, then
+    trim): Spark's ``trim`` strips only ASCII spaces, so splitting raw
+    text gave phantom empty tokens at the edges — ``"\\thello\\n"``
+    counted 3 instead of 1, and tab/newline-only text counted 2 instead
+    of 0. Scraped corpora lead and trail with exactly those characters.
+    Lowercasing is skipped (irrelevant to the count); every other
+    ``tokens()`` call site already goes through ``normalize_text``."""
+    stripped = F.trim(F.regexp_replace(col, WHITESPACE, " "))
+    return (
+        F.when(stripped == "", F.lit(0))
+        .otherwise(F.size(F.split(stripped, WHITESPACE)))
+        .cast("long")
+    )
 
 
 # GPT-2-style pre-tokenization, simplified to ASCII classes and no
@@ -50,9 +61,13 @@ def bpe_ish_token_count(col: Column) -> Column:
 
 
 def punct_ratio(col: Column) -> Column:
-    """Share of characters that are not alphanumeric or space."""
+    """Share of characters that are not alphanumeric or space; NULL for
+    empty text. try_divide, not ``/``: under ANSI mode (Spark 4 default)
+    one empty document would fail the whole quality query with
+    DIVIDE_BY_ZERO — and DuckDB's double division by zero returns NULL,
+    so NULL is also the oracle-aligned value."""
     clean = F.length(F.regexp_replace(col, r"[A-Za-z0-9 ]", ""))
-    return clean / F.length(col)
+    return F.try_divide(clean, F.length(col))
 
 
 def fingerprint(col: Column) -> Column:

@@ -26,9 +26,11 @@ from land_registry_data_ingestion_spark.sources.parquet import load_tables
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKS = f"string_split_regex({_NORM}, '\\s+')"
+# whitespace-normalized count — mirrors functions/text.py::token_count
+_WSNORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
 _NTOK_RAW = (
-    "CAST(CASE WHEN trim(text) = '' THEN 0"
-    " ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)"
+    f"CAST(CASE WHEN {_WSNORM} = '' THEN 0"
+    f" ELSE len(string_split_regex({_WSNORM}, '\\s+')) END AS BIGINT)"
 )
 
 # Word-3-gram shingles (mirrors functions/text.py::word_shingles).

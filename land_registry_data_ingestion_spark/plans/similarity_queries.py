@@ -361,9 +361,11 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RRF_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _RRF_TOKS = f"string_split_regex({_RRF_NORM}, '\\s+')"
+# whitespace-normalized count — mirrors functions/text.py::token_count
+_RRF_WSNORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
 _RRF_NTOK = (
-    "CAST(CASE WHEN trim(text) = '' THEN 0"
-    " ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)"
+    f"CAST(CASE WHEN {_RRF_WSNORM} = '' THEN 0"
+    f" ELSE len(string_split_regex({_RRF_WSNORM}, '\\s+')) END AS BIGINT)"
 )
 
 

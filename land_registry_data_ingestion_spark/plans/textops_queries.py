@@ -22,9 +22,15 @@ from land_registry_data_ingestion_spark.sources.parquet import load_tables
 
 # Shared SQL fragments (DuckDB): normalized text and token list.
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-_TOKS_RAW = "string_split_regex(trim(text), '\\s+')"
 _TOKS_NORM = f"string_split_regex({_NORM}, '\\s+')"
-_NTOK = f"CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_RAW}) END AS BIGINT)"
+# whitespace-normalized token count (DuckDB trim, like Spark's, strips
+# only spaces — raw split gave phantom edge tokens on tabs/newlines);
+# mirrors functions/text.py::token_count, which skips the lowercase.
+_WSNORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+_NTOK = (
+    f"CAST(CASE WHEN {_WSNORM} = '' THEN 0"
+    f" ELSE len(string_split_regex({_WSNORM}, '\\s+')) END AS BIGINT)"
+)
 
 
 def _sw_list(lang: str) -> str:

@@ -60,3 +60,44 @@ def test_model_gets_batches_not_rows(spark):
     # worker, so assert via the result instead when that's flaky.
     out = with_language_id(docs, model=counting_model).collect()
     assert all(r["predicted_lang"] == "und" for r in out)
+
+
+def test_edge_whitespace_and_empty_docs(spark):
+    """Scraped corpora lead/trail with tabs and newlines and contain
+    empty documents. Two regressions pinned here: (a) Spark's trim
+    strips only ASCII spaces, so raw-split token counting produced
+    phantom edge tokens ('\\thello\\n' counted 3, tab/newline-only text
+    counted 2); (b) punct_ratio divided by length(text), so ONE empty
+    document failed the whole quality query under ANSI mode with
+    DIVIDE_BY_ZERO (DuckDB's double 0/0 is NULL, so NULL is also the
+    oracle-aligned value)."""
+    from pyspark.sql import Row
+
+    from land_registry_data_ingestion_spark.operators.textops import (
+        gopher_quality_flags,
+        with_quality_score,
+        with_token_count,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=""),
+            Row(doc_id=2, text="   \t\n  "),
+            Row(doc_id=3, text="\thello\n"),
+            Row(doc_id=4, text="plain words here"),
+            Row(doc_id=5, text=None),
+        ]
+    )
+    counts = {r["doc_id"]: r["n_tokens"] for r in with_token_count(docs).collect()}
+    assert counts == {1: 0, 2: 0, 3: 1, 4: 3, 5: None}
+
+    quality = {
+        r["doc_id"]: r["punct_ratio"] for r in with_quality_score(docs).collect()
+    }
+    assert quality[1] is None and quality[4] == 0.0
+
+    flags = {
+        r["doc_id"]: r["passes_gopher"]
+        for r in gopher_quality_flags(docs).collect()
+    }
+    assert flags[1] is False  # empty doc fails rules, doesn't crash them
