@@ -111,7 +111,13 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             "n_wedges",
             "n_triangles",
             F.round(
-                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+                # try_divide: a wedge-free graph (no node with 2+
+                # neighbours) has n_wedges = 0 — clustering is
+                # undefined (NULL), not a query-killing ANSI error
+                F.try_divide(
+                    F.lit(3.0) * F.col("n_triangles"), F.col("n_wedges")
+                ),
+                6,
             ).alias("clustering"),
         )
     )

@@ -314,7 +314,10 @@ def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = t.events.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev("value").alias("sigma")
     )
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    # try_divide: a type whose values are all identical has sigma = 0 —
+    # under ANSI a plain '/' fails the whole query; NULL z matches the
+    # DuckDB oracle (double /0 → NULL) and falls out of the >3 filter.
+    z = F.try_divide(F.col("value") - F.col("mu"), F.col("sigma"))
     return (
         t.events.join(F.broadcast(stats), "event_type")
         .filter(F.abs(z) > 3)
@@ -889,11 +892,14 @@ def evt_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"p_{a}_{b}")
         )
     comp = hourly.agg(*comps)
+    # try_divide: a type with constant hourly counts (e.g. absent from
+    # the log) has zero variance — correlation is undefined (NULL, what
+    # the DuckDB oracle's /0 yields), not a query-killing ANSI error.
     cells = ", ".join(
         f"""'{a}', '{b}',
-        round(CAST(n * p_{a}_{b} - s_{a} * s_{b} AS DOUBLE)
-              / sqrt(CAST((n * q_{a} - s_{a} * s_{a})
-                          * (n * q_{b} - s_{b} * s_{b}) AS DOUBLE)), 6)"""
+        round(try_divide(CAST(n * p_{a}_{b} - s_{a} * s_{b} AS DOUBLE),
+              sqrt(CAST((n * q_{a} - s_{a} * s_{a})
+                          * (n * q_{b} - s_{b} * s_{b}) AS DOUBLE))), 6)"""
         for a, b in pairs
     )
     return comp.select(

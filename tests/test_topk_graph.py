@@ -115,3 +115,34 @@ class TestTriangleStats:
         row = self._run(spark, list(edges))
         assert row["n_triangles"] == _naive_triangles(edges)
         assert row["n_edges"] == len(edges)
+
+
+def test_degenerate_series_and_graphs_yield_null_not_error(spark):
+    """ANSI mode (Spark 4 default) turns /0 into a query-killing error.
+    Three analytics shapes hit it on degenerate-but-real inputs: a
+    wedge-free graph (clustering = 3T/W with W = 0), a constant-value
+    series (z = (x-mu)/sigma with sigma = 0), and a zero-variance
+    Pearson leg. All three now yield NULL — what the DuckDB oracle's
+    double /0 returns — instead of failing the whole query."""
+    from pyspark.sql import functions as F
+
+    from land_registry_data_ingestion_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    # two disjoint edges: no wedges, clustering undefined
+    row = triangle_stats(
+        spark.createDataFrame([(1, 2), (3, 4)], "u int, v int")
+    ).collect()[0]
+    assert row["n_wedges"] == 0 and row["clustering"] is None
+
+    # constant series: sigma = 0 → z NULL → falls out of the filter
+    ev = spark.createDataFrame(
+        [(i, "const", 5.0) for i in range(5)],
+        "event_id int, event_type string, value double",
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev("value").alias("sigma")
+    )
+    z = F.try_divide(F.col("value") - F.col("mu"), F.col("sigma"))
+    assert ev.join(F.broadcast(stats), "event_type").filter(F.abs(z) > 3).count() == 0
