@@ -688,10 +688,25 @@ def _dot(a: Column, b: Column) -> Column:
 def _ivf_assign_attached(withc: DataFrame, vec_col: str) -> DataFrame:
     vec = F.col(vec_col).cast("array<double>")
     vnorm = l2_norm(F.col(vec_col))
+    # degenerate (zero-norm / NaN) vectors or centroids score -2.0 —
+    # below every real cosine, so assignment degrades to the smallest
+    # centroid id deterministically instead of an ANSI DIVIDE_BY_ZERO
+    # or a NaN winning the struct-max.
     scored = F.transform(
         F.col("_cents"),
         lambda c: F.struct(
-            F.round(_dot(vec, c["cvec"]) / (vnorm * c["cnorm"]), 6).alias("cos"),
+            F.coalesce(
+                F.nanvl(
+                    F.round(
+                        F.try_divide(
+                            _dot(vec, c["cvec"]), vnorm * c["cnorm"]
+                        ),
+                        6,
+                    ),
+                    F.lit(None).cast("double"),
+                ),
+                F.lit(-2.0),
+            ).alias("cos"),
             (-c["cid"]).alias("ncid"),
         ),
     )
@@ -748,12 +763,26 @@ def ivf_topk(
     )
     qvec = F.col("q_vec").cast("array<double>")
     qnorm = l2_norm(F.col("q_vec"))
+    # same degenerate-vector guard as assignment: a zero-norm query
+    # probes the smallest-cid lists deterministically (+2.0 sorts last
+    # ascending) instead of crashing the query.
     probe_scored = F.transform(
         F.col("_cents"),
         lambda c: F.struct(
-            (-F.round(_dot(qvec, c["cvec"]) / (qnorm * c["cnorm"]), 6)).alias(
-                "ncos"
-            ),
+            (
+                -F.coalesce(
+                    F.nanvl(
+                        F.round(
+                            F.try_divide(
+                                _dot(qvec, c["cvec"]), qnorm * c["cnorm"]
+                            ),
+                            6,
+                        ),
+                        F.lit(None).cast("double"),
+                    ),
+                    F.lit(-2.0),
+                )
+            ).alias("ncos"),
             c["cid"].alias("cid"),
         ),
     )
@@ -796,7 +825,15 @@ def normalize_vectors(
     normalization is a write-time transform, not a query-time one)."""
     vec = F.col(vec_col).cast("array<double>")
     norm = l2_norm(F.col(vec_col))
-    return df.withColumn(out_col, F.transform(vec, lambda x: x / norm))
+    # try_divide + coalesce: a zero-norm (dead) embedding stays the zero
+    # vector instead of failing the whole write under ANSI mode — its
+    # dot products remain 0, so it silently matches nothing downstream.
+    return df.withColumn(
+        out_col,
+        F.transform(
+            vec, lambda x: F.coalesce(F.try_divide(x, norm), F.lit(0.0))
+        ),
+    )
 
 
 def knn_classify(

@@ -403,3 +403,34 @@ def test_degenerate_embeddings_never_crash_or_win(spark):
     centers = kmeans_parallel_init(emb, n_centroids=2, rounds=2).collect()
     assert len(centers) == 2
     assert {r["vec_id"] for r in centers} <= {1, 3, 4}
+
+
+def test_normalize_and_ivf_tolerate_degenerate_vectors(spark):
+    """Zero-norm embeddings must not fail vector normalization or IVF
+    assignment/probing under ANSI mode. A normalized zero vector stays
+    the zero vector (dots stay 0 - matches nothing); a degenerate
+    vector or query scores -2.0 against every centroid, below any real
+    cosine, so it assigns/probes the smallest centroid id
+    deterministically instead of crashing or NaN-winning."""
+    from land_registry_data_ingestion_spark.operators.similarity import (
+        ivf_topk,
+        normalize_vectors,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [1.0, 1.0, 0.0, 0.0]),
+            (4, [0.5, 0.1, 0.0, 0.0]),
+            (5, [float("nan"), 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    unit = {r["vec_id"]: r["unit_vec"] for r in normalize_vectors(emb).collect()}
+    assert unit[2] == [0.0, 0.0, 0.0, 0.0]
+    assert abs(sum(x * x for x in unit[3]) - 1.0) < 1e-9
+
+    out = ivf_topk(emb, emb.filter("vec_id in (1, 2)"), n_centroids=2, k=2)
+    rows = out.collect()
+    assert len(rows) > 0  # the query ran; degenerate inputs didn't kill it
