@@ -834,8 +834,14 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_KMV_K).alias("k"),
             F.round(est, 4).alias("est_distinct"),
             "exact_distinct",
+            # try_divide: on an empty table exact_distinct is 0 — the
+            # relative error is undefined (NULL, the oracle's /0 value),
+            # not a query-killing ANSI error
             F.round(
-                F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"),
+                F.try_divide(
+                    F.abs(est - F.col("exact_distinct")),
+                    F.col("exact_distinct"),
+                ),
                 4,
             ).alias("rel_err"),
         )
