@@ -165,6 +165,8 @@ def sample_video_frames(
 
     One input row → ``duration/every_ms`` output rows; the UDF yields
     multiple rows per input (generator form of mapInPandas)."""
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
