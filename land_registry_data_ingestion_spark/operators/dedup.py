@@ -448,13 +448,16 @@ def near_dup_groups(
     canonical_doc``).
 
     Each iteration is one distributed join + aggregate (label ← min of
-    own and neighbors' labels); the driver only checks a convergence
-    COUNT per iteration, never collects data. Iterations needed = graph
-    diameter — near-dup clusters are shallow (dup families link through
-    shared content), so convergence is a handful of rounds. For
-    adversarial million-node chains, swap in large-star/small-star
-    (Kiveris et al., "Connected Components in MapReduce") — same
-    join-per-round shape, O(log²) rounds.
+    own and neighbors' labels) PLUS a pointer jump (label ← label's
+    label, the path-halving step of pointer-jumping CC algorithms à la
+    Kiveris et al.); the driver only checks a convergence COUNT per
+    iteration, never collects data. The jump makes convergence
+    O(log diameter) instead of O(diameter): shallow dup families finish
+    in 2-3 rounds either way, but band-df capping can sparsify large
+    replicated families into LONG chains — the 400k-doc scaling tier
+    produced components that neighbor-min alone could not resolve in 25
+    rounds, while path halving collapses any realistic chain well
+    inside the budget (25 rounds ≈ diameter 2²⁵).
 
     Returns (doc, canonical_doc, n_members) for every doc that appears
     in ≥1 pair; canonical_doc = min doc id of the component, so output
@@ -487,27 +490,53 @@ def near_dup_groups(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # Pointer jumping: alongside the neighbor min, each node also
+        # adopts its LABEL'S label (label(v) is a node in v's component,
+        # so label(label(v)) is too — the update stays within the
+        # component and is monotone decreasing). Neighbor-min alone
+        # converges in O(diameter) rounds, and diameter is adversarial
+        # in practice: the tier-2 scaling probe (400k docs, band-df cap
+        # sparsifying 80-way dup families into chains) blew past 25
+        # rounds. With the jump, chains halve every round —
+        # O(log diameter) — so 25 rounds covers any component a real
+        # corpus can produce. One extra shuffle-hash join per round on
+        # the (id, label) table; the round count it buys back dominates.
+        jump = (
+            labels.select(
+                F.col("id").alias("jid"), F.col("label").alias("jsrc")
+            )
+            .join(
+                labels.hint("shuffle_hash").select(
+                    F.col("id").alias("lid"), F.col("label").alias("jlabel")
+                ),
+                F.col("jsrc") == F.col("lid"),
+            )
+            .select("jid", "jlabel")
+        )
         # localCheckpoint, not barrier: each round's plan references
-        # ``labels`` TWICE (the probe join and the update join), so an
-        # un-truncated lineage doubles per round — exponential logical
-        # plans that OOM the driver's analyzer near round ~12 (caught by
-        # the 12-node-path test; a persist materializes data but Catalyst
-        # still re-analyzes the full tree). localCheckpoint cuts the plan
-        # to a LogicalRDD each round, keeps the physical partitioning
-        # (so the co-partitioning alignment below still holds), and is
-        # eager — materialization doubles as this round's barrier. On a
-        # cluster with a reliable checkpoint dir, ``checkpoint()`` gives
-        # the same truncation with fault tolerance.
+        # ``labels`` THREE times (probe join, jump join, update join),
+        # so an un-truncated lineage grows exponentially — plans that
+        # OOM the driver's analyzer near round ~12 (caught by the
+        # 12-node-path test; a persist materializes data but Catalyst
+        # still re-analyzes the full tree). localCheckpoint cuts the
+        # plan to a LogicalRDD each round, keeps the physical
+        # partitioning (so the co-partitioning alignment below still
+        # holds), and is eager — materialization doubles as this
+        # round's barrier. On a cluster with a reliable checkpoint dir,
+        # ``checkpoint()`` gives the same truncation with fault
+        # tolerance.
         joined = (
             labels.join(
                 nbr.hint("shuffle_hash"), labels["id"] == nbr["src"], "left"
             )
+            .join(jump, labels["id"] == F.col("jid"), "left")
             .select(
                 labels["id"].alias("id"),
                 labels["label"].alias("_old"),
                 F.least(
                     labels["label"],
                     F.coalesce(F.col("nbr_label"), labels["label"]),
+                    F.coalesce(F.col("jlabel"), labels["label"]),
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)

@@ -9,6 +9,7 @@ land in COVERAGE.md's scaling table.
 
 Run: ``python scripts/scaling_probe.py`` (~15 min including the one-time
 tier-2 build; the replicated dirs cache under /tmp like the bench's).
+``python scripts/scaling_probe.py q1 q2`` probes only the named queries.
 """
 
 from __future__ import annotations
@@ -54,6 +55,11 @@ PROBES = {
     "text_pipeline_pack": ("documents", 4.0),
     "text_decontaminate": ("documents", 4.0),
     "cdc_merge_state": ("orders", 3.0),
+    # Iterative operator (round 5, post-lineage-truncation): pairs from
+    # banded MinHash over documents, then label-propagation rounds —
+    # the growth factor drives both the pair count and the rounds' edge
+    # shuffles.
+    "dedup_near_dup_groups": ("documents", 4.0),
 }
 
 
@@ -104,7 +110,11 @@ def main() -> None:
     out = {}
     import math
 
-    for name, (table, growth) in PROBES.items():
+    only = set(sys.argv[1:])
+    probes = {
+        n: spec for n, spec in PROBES.items() if not only or n in only
+    }
+    for name, (table, growth) in probes.items():
         t1 = round(timed(name, tier1), 3)
         t2 = round(timed(name, tier2), 3)
         exp = round(math.log(t2 / t1) / math.log(growth), 2)

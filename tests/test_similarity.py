@@ -274,16 +274,18 @@ def test_near_dup_groups_connected_components(spark):
 
 
 def test_near_dup_groups_long_path_many_rounds(spark):
-    """A 12-node path (diameter 11) forces min-label propagation through
-    many rounds of the one-exchange loop — exercising the per-round
-    barrier release and the convergence probe far past the shallow
-    dup-family shapes the planted-corpus tests produce. Edges are listed
-    high→low so the min label must travel the full path length."""
+    """A 200-node path (diameter 199) is resolvable ONLY because the
+    loop pointer-jumps (label ← label's label) alongside the neighbor
+    min: neighbor-min alone needs diameter rounds (max_iters=25 would
+    raise), while path halving converges in O(log diameter) ≈ 8. Also
+    the original regression shape: pre-lineage-truncation, each round's
+    plan grew exponentially and OOM'd the driver's analyzer near round
+    12."""
     from land_registry_data_ingestion_spark.operators.dedup import (
         near_dup_groups,
     )
 
-    n = 12
+    n = 200
     pairs = spark.createDataFrame(
         [(i + 1, i + 2) for i in range(n - 1)], ["doc_a", "doc_b"]
     )
