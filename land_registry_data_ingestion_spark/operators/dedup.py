@@ -305,9 +305,16 @@ def minhash_near_duplicates(
     band_size: int = 4,
     threshold: float = 0.5,
     max_band_df: int | None = None,
+    family_edges: str = "all-pairs",
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified with exact Jaccard
     (verify step touches only candidate pairs).
+
+    ``family_edges``: ``"all-pairs"`` (default) emits every member-level
+    pair — the declared PAIRS semantics. ``"star"`` emits a
+    connectivity-equivalent linear-size edge set (family-min ↔ member
+    stars + one rep-level edge per verified family pair) for consumers
+    that only need connected components (``near_dup_groups``).
 
     **Identical-content collapse** (the dedup-cascade): real corpora are
     full of exact duplicates, and every m-way duplicate family would
@@ -399,6 +406,45 @@ def minhash_near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("cfp_a", "cfp_b", "jaccard")
     )
+
+    if family_edges == "star":
+        # CONNECTIVITY-ONLY output for consumers that group, not rank:
+        # an m-way identical family contributes m-1 star edges
+        # (family-min ↔ member) instead of C(m,2), and an inter-family
+        # rep pair stays ONE edge (rep ↔ rep) instead of m_a·m_b.
+        # Connected components are provably identical — every member
+        # reaches its rep through the star, and reps carry the verified
+        # inter-family links — but the edge count is linear in corpus
+        # size where the cross product is quadratic in family size (the
+        # 400k-doc scaling tier measured exponent 2.38 on the expanded
+        # form: 80-way families → 16× the edges of the 20-way tier).
+        rep_doc = members.filter(F.col("n_shingles") > 0).groupBy(
+            "cfp"
+        ).agg(F.min("doc").alias("rep"))
+        ra = rep_doc.select(F.col("cfp").alias("cfp_a"), F.col("rep").alias("da"))
+        rb = rep_doc.select(F.col("cfp").alias("cfp_b"), F.col("rep").alias("db"))
+        cross = (
+            rep_pairs.join(ra, "cfp_a")
+            .join(rb, "cfp_b")
+            .select(
+                F.least("da", "db").alias("doc_a"),
+                F.greatest("da", "db").alias("doc_b"),
+                "jaccard",
+            )
+        )
+        intra = (
+            members.filter(F.col("n_shingles") > 0)
+            .join(rep_doc, "cfp")
+            .filter(F.col("doc") != F.col("rep"))
+            .select(
+                F.col("rep").alias("doc_a"),
+                F.col("doc").alias("doc_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        if threshold > 1.0:
+            return cross
+        return cross.unionByName(intra)
 
     # Expand representative pairs to member pairs (families differ, so
     # member ids interleave → re-order with least/greatest).

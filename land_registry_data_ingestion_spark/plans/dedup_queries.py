@@ -175,8 +175,17 @@ def dedup_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     = min id per component. The oracle replays the closure with a
     recursive CTE — exact group parity, not just pair parity."""
     t = load_tables(spark, sf_dir)
+    # star family edges: components are provably identical to the
+    # all-pairs expansion the oracle's closure replays, but the edge set
+    # is linear in corpus size instead of quadratic in dup-family size
+    # (exponent 2.38 → ~1 on the 400k-doc scaling tier).
     pairs = minhash_near_duplicates(
-        t.documents, "doc_id", num_hashes=16, band_size=4, threshold=0.3
+        t.documents,
+        "doc_id",
+        num_hashes=16,
+        band_size=4,
+        threshold=0.3,
+        family_edges="star",
     )
     return near_dup_groups(pairs)
 
