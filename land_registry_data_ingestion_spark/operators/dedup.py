@@ -571,7 +571,26 @@ def near_dup_groups(
         # round's barrier. On a cluster with a reliable checkpoint dir,
         # ``checkpoint()`` gives the same truncation with fault
         # tolerance.
-        joined = (
+        #
+        # The persist LAYERED ON TOP is a second, distinct truncation —
+        # of the SIZE ESTIMATE, not the plan. Dataset.checkpoint copies
+        # the pre-checkpoint plan's Statistics into the LogicalRDD
+        # (originStats), and join estimation MULTIPLIES sizeInBytes; a
+        # loop of self-referencing joins therefore roughly CUBES the
+        # estimate every round. The numbers stop meaning anything
+        # almost immediately, and by convergence on the 400k-doc tier
+        # the estimate was a ~20k-DIGIT BigInteger whose Karatsuba/
+        # Toom-Cook multiplications made Catalyst's stats visitor the
+        # bottleneck: 122 s of single-threaded DRIVER time in one round
+        # against 8 s of executor time (jstack: BigInteger.multiply).
+        # A materialized InMemoryRelation instead reports the ACTUAL
+        # cached size, so planning each round on the persisted frame
+        # re-seeds the estimate at ~11 bits and the per-round stats
+        # cost is flat. The count() below is what materializes it;
+        # barrier() supplies the tracked DISK_ONLY persist (the final
+        # round's cache is then released with the query's other
+        # barriers — in-loop rounds release below, idempotently).
+        joined = barrier(
             labels.join(
                 nbr.hint("shuffle_hash"), labels["id"] == nbr["src"], "left"
             )
