@@ -505,7 +505,15 @@ def refine_centroids(
             "left_anti",
         )
         prev = cur
-        cur = barrier(means.unionByName(kept), small=True)
+        # localCheckpoint inside the barrier: each round references
+        # ``cur`` TWICE (assignment + anti-join), so without truncation
+        # the logical tree doubles per round — the analyzer-OOM shape
+        # near_dup_groups hit at ~12 rounds. Centroid frames are tiny,
+        # so the eager checkpoint costs one pass the round already owes;
+        # the barrier on top keeps the tracked release + fast re-reads.
+        cur = barrier(
+            means.unionByName(kept).localCheckpoint(eager=True), small=True
+        )
         cur.count()  # materialize through prev BEFORE dropping its cache
         prev.unpersist(blocking=False)
     return cur
