@@ -136,6 +136,11 @@ SCALE_QUERIES = [
     "win_equidepth_histogram",
     "text_dup_span_trim",
     "evt_sliding_users_24h",
+    # round 5: the iterative CC query joined the scale section once its
+    # two structural fixes landed (star family edges; per-round stats
+    # re-seed) — before them it was quadratic in dup-family size and
+    # driver-bound at this tier, exactly what this section must catch.
+    "dedup_near_dup_groups",
     # NOT rel_skew_join_salted: it reads `part`, which the replicated
     # scale dir does not carry (SCALE_SPEC tables only).
 ]

@@ -178,7 +178,8 @@ def dedup_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # star family edges: components are provably identical to the
     # all-pairs expansion the oracle's closure replays, but the edge set
     # is linear in corpus size instead of quadratic in dup-family size
-    # (exponent 2.38 → ~1 on the 400k-doc scaling tier).
+    # (measured two-session exponent on the 400k-doc scaling tier:
+    # 2.38 all-pairs → 0.89 star; COVERAGE.md "Two-point scaling").
     pairs = minhash_near_duplicates(
         t.documents,
         "doc_id",

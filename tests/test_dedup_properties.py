@@ -1,0 +1,64 @@
+"""Property-based near-dup tests: the star edge set must yield the SAME
+connected components as the declared all-pairs expansion on arbitrary
+family structures — identical-duplicate families of random sizes, random
+cross-family similarity, shingle-free docs mixed in."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from land_registry_data_ingestion_spark.operators.dedup import (
+    minhash_near_duplicates,
+    near_dup_groups,
+)
+from land_registry_data_ingestion_spark.util import release_caches
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# A small pool of base texts with graded overlap: consecutive bases share
+# most of their vocabulary, so minhash at threshold 0.5 links SOME base
+# pairs and not others — the component structure varies per draw instead
+# of collapsing to one blob or none.
+_BASES = [
+    " ".join(f"w{j}" for j in range(i, i + 40)) for i in range(0, 50, 5)
+]
+
+# families: list of (base_idx, member_count); member docs share EXACT text
+_family = st.tuples(
+    st.integers(min_value=0, max_value=len(_BASES) - 1),
+    st.integers(min_value=1, max_value=5),
+)
+_corpus = st.lists(_family, min_size=1, max_size=6)
+
+
+@settings(**_SETTINGS)
+@given(families=_corpus, n_empty=st.integers(min_value=0, max_value=2))
+def test_star_components_equal_all_pairs_components(spark, families, n_empty):
+    rows = []
+    doc_id = 0
+    for base_idx, m in families:
+        for _ in range(m):
+            rows.append((doc_id, _BASES[base_idx]))
+            doc_id += 1
+    for _ in range(n_empty):
+        rows.append((doc_id, ""))  # shingle-free: must never appear
+        doc_id += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def components(mode):
+        pairs = minhash_near_duplicates(
+            docs, "doc_id", threshold=0.5, family_edges=mode
+        )
+        out = {
+            r["doc"]: (r["canonical_doc"], r["n_members"])
+            for r in near_dup_groups(pairs).collect()
+        }
+        release_caches()
+        return out
+
+    assert components("star") == components("all-pairs")
