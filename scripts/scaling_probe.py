@@ -60,6 +60,13 @@ PROBES = {
     # the growth factor drives both the pair count and the rounds' edge
     # shuffles.
     "dedup_near_dup_groups": ("documents", 4.0),
+    # NOT evt_graph_triangles: its graph derives from lineitem's part
+    # co-purchases, and replication remaps l_orderkey but not l_partkey,
+    # so every replica order repeats the same part pairs and the DISTINCT
+    # edge set is invariant under any growth factor — a replication-based
+    # probe would time an unchanged graph core behind a bigger scan and
+    # report a meaningless (even negative) exponent. Its scale story is
+    # the plan-level Σ outdeg² wedge bound (operators/graph.py).
 }
 
 
