@@ -833,13 +833,18 @@ def normalize_vectors(
     normalization is a write-time transform, not a query-time one)."""
     vec = F.col(vec_col).cast("array<double>")
     norm = l2_norm(F.col(vec_col))
-    # try_divide + coalesce: a zero-norm (dead) embedding stays the zero
-    # vector instead of failing the whole write under ANSI mode — its
+    # try_divide + nanvl + coalesce: a zero-norm (dead) embedding stays
+    # the zero vector instead of failing the whole write under ANSI mode,
+    # and a NaN-poisoned embedding (NaN norm — NOT null, so try_divide
+    # alone passes it through) collapses to the zero vector too — its
     # dot products remain 0, so it silently matches nothing downstream.
     return df.withColumn(
         out_col,
         F.transform(
-            vec, lambda x: F.coalesce(F.try_divide(x, norm), F.lit(0.0))
+            vec,
+            lambda x: F.coalesce(
+                F.nanvl(F.try_divide(x, norm), F.lit(None)), F.lit(0.0)
+            ),
         ),
     )
 

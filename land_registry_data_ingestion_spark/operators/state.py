@@ -211,8 +211,25 @@ class ManifestStore(IngestStore):
             "overwrite"
         ).partitionBy("data_year").parquet(parts_dir)
         carry = list(carry or [])
+        n = int(obs.get["n_rows"] or 0)
+        if n == 0 and not carry:
+            # Same degenerate shape as write_state's zero-row gate: an
+            # empty merged state with nothing carried forward writes no
+            # leaf dirs, and a manifest with zero entries would make
+            # read_state_at call spark.read.parquet() with zero paths.
+            # Reachable since empty snapshots became acceptable (empty
+            # accepted state + a batch of all-invalid updates).
+            leaf = os.path.join(parts_dir, f"data_year={NULL_YEAR}")
+            new_state.drop("data_year").limit(0).write.mode(
+                "overwrite"
+            ).parquet(leaf)
+            self._write_manifest(
+                location,
+                [{"data_year": NULL_YEAR, "path": leaf, "row_count": 0}],
+            )
+            return 0
         self._write_manifest(location, self._scan_part_counts(parts_dir) + carry)
-        return int(obs.get["n_rows"]) + sum(e["row_count"] for e in carry)
+        return n + sum(e["row_count"] for e in carry)
 
     # -- time travel ----------------------------------------------------
 

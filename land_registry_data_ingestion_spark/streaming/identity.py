@@ -46,20 +46,53 @@ def stream_identity(checkpoint_dir: str) -> str:
     return _identity_posix(checkpoint_dir)
 
 
+def _read_or_fail(read_once, token_desc: str) -> str:
+    """Re-read a token another driver just minted. A few bounded retries
+    cover the winner's create→write window; an empty token after that is
+    corrupt state (crash mid-mint, or truncation) and must surface — a
+    silent re-mint would fork the stream identity and double-apply any
+    replayed in-flight batch."""
+    import time
+
+    for _ in range(5):
+        tag = read_once()
+        if tag:
+            return tag
+        time.sleep(0.1)
+    raise RuntimeError(
+        f"stream identity token {token_desc} exists but is empty — "
+        f"corrupt checkpoint state; refusing to re-mint over it"
+    )
+
+
 def _identity_posix(checkpoint_dir: str) -> str:
     token_path = os.path.join(checkpoint_dir, _TOKEN_NAME)
-    try:
-        with open(token_path) as fh:
-            tag = fh.read().strip()
-            if tag:
-                return tag
-    except OSError:
-        pass
-    tag = uuid.uuid4().hex[:12]
+
+    def read_once() -> str | None:
+        try:
+            with open(token_path) as fh:
+                return fh.read().strip() or None
+        except OSError:
+            return None
+
+    tag = read_once()
+    if tag:
+        return tag
     os.makedirs(checkpoint_dir, exist_ok=True)
-    with open(token_path, "w") as fh:
-        fh.write(tag)
-    return tag
+    new_tag = uuid.uuid4().hex[:12]
+    try:
+        # O_EXCL: exactly one of two concurrently starting drivers mints;
+        # the loser re-reads the winner's tag instead of silently
+        # overwriting it with a different one.
+        fd = os.open(token_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return _read_or_fail(read_once, token_path)
+    try:
+        os.write(fd, new_tag.encode("utf-8"))
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    return new_tag
 
 
 def _identity_on_checkpoint_fs(checkpoint_dir: str) -> str:
@@ -82,7 +115,10 @@ def _identity_on_checkpoint_fs(checkpoint_dir: str) -> str:
     hpath = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     token = jvm.org.apache.hadoop.fs.Path(hpath, _TOKEN_NAME)
-    if fs.exists(token):
+
+    def read_once() -> str | None:
+        if not fs.exists(token):
+            return None
         stream = fs.open(token)
         try:
             reader = jvm.java.io.BufferedReader(
@@ -91,13 +127,25 @@ def _identity_on_checkpoint_fs(checkpoint_dir: str) -> str:
             tag = reader.readLine()
         finally:
             stream.close()
-        if tag and tag.strip():
-            return tag.strip()
-    tag = uuid.uuid4().hex[:12]
+        return tag.strip() if tag and tag.strip() else None
+
+    if fs.exists(token):
+        # An existing token is read, never overwritten; existing-but-empty
+        # is corrupt state and surfaces via _read_or_fail.
+        return _read_or_fail(read_once, str(token))
+    new_tag = uuid.uuid4().hex[:12]
     fs.mkdirs(hpath)
-    out = fs.create(token, True)
     try:
-        out.write(bytearray(tag.encode("utf-8")))
+        # overwrite=False: minting is first-writer-wins, so two drivers in
+        # a failover overlap can never hold different tags with one
+        # silently clobbered.
+        out = fs.create(token, False)
+    except Exception as e:  # FileAlreadyExistsException via py4j
+        if "AlreadyExists" in type(e).__name__ or "AlreadyExists" in str(e):
+            return _read_or_fail(read_once, str(token))
+        raise
+    try:
+        out.write(bytearray(new_tag.encode("utf-8")))
     finally:
         out.close()
-    return tag
+    return new_tag

@@ -254,3 +254,37 @@ def test_schema_evolution_across_carried_partitions(spark, tmp_path):
     rows = {r.k: r for r in out.collect()}
     assert rows["K1"].channel is None and rows["K1"].price == 100
     assert rows["K2"].channel == "web" and rows["K2"].price == 250
+
+
+def test_empty_merge_into_empty_state_stays_readable(spark, tmp_path):
+    """A merge producing an empty new_state with NO carry entries (empty
+    accepted snapshot, then a batch whose only row is a D for a missing
+    key in the NULL-year partition) must write the schema-only leaf like
+    write_state's zero-row gate — an empty manifest would make every
+    later read_state_at call spark.read.parquet() with zero paths."""
+    from land_registry_data_ingestion_spark.operators.ingest import (
+        merge_update_frame,
+    )
+    from land_registry_data_ingestion_spark.sources.csv import (
+        read_price_paid_csv,
+    )
+
+    store = ManifestStore(spark=spark, root=str(tmp_path / "empty_merge"))
+    empty = _write(tmp_path, "empty.csv", [])
+    ingest_snapshot(store, empty, "r0", now=datetime.datetime(2024, 1, 1))
+    assert store.current_state().count() == 0
+
+    # D for a key that doesn't exist, with a NULL transaction_date: its
+    # update year is the NULL_YEAR partition, so the empty state's one
+    # schema-only entry counts as touched (carry = []) and the ignored
+    # delete leaves new_state empty — the exact zero-leaf shape.
+    upd = (
+        read_price_paid_csv(
+            spark, _write(tmp_path, "d.csv", [_line("T0009", 1, "2020-01-01", "D")])
+        )
+        .withColumn("transaction_date", F.lit(None).cast("timestamp"))
+    )
+    row = merge_update_frame(store, upd, run_id="r1")
+    assert row["row_count"] == 0
+    assert store.current_state().count() == 0  # readable, not a crash
+    assert store.state_as_of("r1").count() == 0

@@ -472,6 +472,10 @@ def test_normalize_and_ivf_tolerate_degenerate_vectors(spark):
     unit = {r["vec_id"]: r["unit_vec"] for r in normalize_vectors(emb).collect()}
     assert unit[2] == [0.0, 0.0, 0.0, 0.0]
     assert abs(sum(x * x for x in unit[3]) - 1.0) < 1e-9
+    # NaN-poisoned embedding: norm is NaN (not NULL), so try_divide alone
+    # would propagate NaN into every element of unit_vec — the nanvl
+    # guard must collapse it to the zero vector like the zero-norm case.
+    assert unit[5] == [0.0, 0.0, 0.0, 0.0]
 
     out = ivf_topk(emb, emb.filter("vec_id in (1, 2)"), n_centroids=2, k=2)
     rows = out.collect()

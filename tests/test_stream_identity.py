@@ -36,6 +36,39 @@ def test_uri_checkpoint_goes_through_hadoop_fs(spark, tmp_path):
     assert stream_identity(cp) != tag
 
 
+def test_posix_concurrent_mint_single_winner(tmp_path):
+    """Two drivers starting concurrently (failover overlap) must agree on
+    ONE tag: minting is O_EXCL first-writer-wins, losers re-read the
+    winner's token instead of silently overwriting it."""
+    import concurrent.futures
+
+    cp = str(tmp_path / "cp_race")
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        tags = list(ex.map(lambda _: stream_identity(cp), range(8)))
+    assert len(set(tags)) == 1
+    assert (tmp_path / "cp_race" / "_lrdi_stream_id").read_text() == tags[0]
+
+
+def test_posix_empty_token_is_corrupt_state_not_remint(tmp_path):
+    """An existing-but-empty token (crash mid-mint) must surface as an
+    error: silently minting a fresh tag over it forks the stream identity
+    and double-applies any replayed in-flight batch."""
+    cp = tmp_path / "cp_empty"
+    cp.mkdir()
+    (cp / "_lrdi_stream_id").write_text("")
+    with pytest.raises(RuntimeError, match="empty"):
+        stream_identity(str(cp))
+
+
+def test_uri_empty_token_is_corrupt_state_not_remint(spark, tmp_path):
+    """Same contract on the Hadoop-FS path."""
+    cp = tmp_path / "cp_uri_empty"
+    cp.mkdir()
+    (cp / "_lrdi_stream_id").write_text("")
+    with pytest.raises(RuntimeError, match="empty"):
+        stream_identity(f"file:{cp}")
+
+
 def test_uri_without_active_session_fails_loudly(monkeypatch):
     """No silent driver-local fallback for URI checkpoints — that is the
     exact stale-tag / failover double-apply hazard."""
