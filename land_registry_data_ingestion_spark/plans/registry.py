@@ -73,136 +73,145 @@ _LOADED = False
 
 # The external correctness harness samples a bounded prefix (~50) of the
 # registry in insertion order, so ordering is part of the verification
-# contract: queries that have not yet earned an external green row are
-# listed first, round-robin'ing the remainder across rounds so every
-# declared query lands inside the window on some round. Names absent from
-# the registry are ignored; registered queries missing from this list are
-# appended in module-load order.
+# contract. The rotation rule, applied before each round's driver run:
+#
+#   1. DEPENDENCY PROMOTION — every declared query that transitively
+#      imports a package module touched since the last driver run moves
+#      into the front of the window (computed by
+#      `scripts/gen_query_index.py --touched-since <last-round-commit>`,
+#      a function-level static import walk; QUERY_DEPS.json is the
+#      committed map). A semantics change must never ride on external
+#      rows that predate it.
+#   2. STALENESS — remaining slots fill oldest-newest-green-row first
+#      (per-query ages are the union of the CORRECTNESS_r*.json files),
+#      so no query's external evidence falls more than a few rounds
+#      behind. Never-checked queries count as infinitely stale.
+#
+# Names absent from the registry are ignored; registered queries missing
+# from this list are appended in module-load order.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # Round 5 front-of-window. First: the queries whose PLAN changed this
-    # round — their hashes must be re-pinned by a fresh driver row, not
-    # only the repo oracle. (text_pipeline_pack: fused token-count path;
-    # text_dup_span_trim: bound hash array in the shared barrier;
-    # dedup_near_dup_groups: one-exchange propagation rounds + window
-    # sizes; evt_type_pagerank: chained barriers, one event-log pass.)
-    "text_pipeline_pack",
-    "text_dup_span_trim",
+    # Round 6 front-of-window. First: the 8 queries whose newest external
+    # row is r2-era — three rounds stale, two of them consumers of the
+    # token-count semantics changed in r5 (VERDICT r5 "wrong" #3).
+    "agg_exact_quantiles",
+    "agg_rollup",
+    "rel_profile_table",
+    "text_curate_corpus",
+    "text_gopher_filters",
+    "text_hash_split",
+    "text_redact_pii",
+    "text_vocabulary",
+    # Dependency-promoted (rule 1): operators/similarity.py changed this
+    # round (normalize_vectors NaN guard) — its consumer queries not
+    # already in the staleness blocks below re-enter the window.
+    "dedup_embedding_cosine",
+    "dedup_semantic",
+    "sim_cosine_pairs",
+    "sim_ivf_recall",
+    "sim_ivf_topk",
+    "sim_lsh_ann_pairs",
+    "sim_pq_topk",
+    "sim_topk_bruteforce",
+    # Staleness (rule 2): the 34 queries whose newest external row is
+    # r3-era. 8 + 8 + 34 = 50 — exactly the observed window size.
+    "agg_kmv_distinct",
+    "agg_topk_per_group",
+    "cdc_incremental_rollup",
+    "cdc_scd2_history",
+    "cdc_state_as_of",
+    "evt_anomaly_zscore",
+    "evt_asof_join",
+    "evt_ewma",
+    "evt_funnel",
+    "evt_gap_fill",
+    "evt_ohlc_hourly",
+    "evt_range_join",
+    "evt_retention",
+    "evt_rolling_24h",
+    "mm_feature_extract",
+    "mm_metadata_stats",
+    "rel_multi_join_chain",
+    "rel_pivot_wide",
+    "rel_skew_join_salted",
+    "sim_hybrid_rrf",
+    "sim_kmeans_clusters",
+    "sim_knn_classify",
+    "text_bm25_search",
+    "text_curriculum_shards",
+    "text_dsir_weights",
+    "text_edit_distance_pairs",
+    "text_lm_perplexity",
+    "text_pack_sequences",
+    "text_stratified_sample",
+    "text_temperature_mixing",
+    "text_tfidf_topterms",
+    "text_token_budget_sample",
+    "text_weighted_sample",
+    "win_distribution",
+    # Back of the rotation: r4-era rows (they re-enter in round 7)...
+    "agg_kmv_by_group",
+    "cdc_merge_ledger",
+    "cdc_merge_outcomes",
+    "cdc_merge_state",
+    "evt_graph_triangles",
+    "evt_sliding_users_24h",
+    "evt_type_correlation",
+    "evt_user_entropy",
+    "mm_frame_sample",
+    "ord_intersect",
+    "text_corpus_report",
+    "text_decontaminate",
+    "text_dup_spans",
+    "text_repetition_filters",
+    "text_segment_dedup",
+    "win_equidepth_histogram",
+    "win_running_total",
+    # ...then the 45 r5-era rows (freshest) at the very back.
+    "agg_count_distinct",
+    "agg_dup_detect",
+    "agg_group_count",
+    "agg_multi",
+    "agg_scalar_max",
+    "cdc_rewind_versions",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
     "dedup_near_dup_groups",
-    "evt_type_pagerank",
-    # Next: the round-robin remainder whose newest external row is
-    # r2-era — the oldest green rows in the ledger (round-4 checked the
-    # then-never-checked + all round-4-touched plans; the blocks below
-    # were last externally driven in round 2).
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
     "evt_conflate_latest",
     "evt_hourly_window",
     "evt_json_extract",
     "evt_sessionize",
-    "sim_cosine_pairs",
-    "sim_topk_bruteforce",
-    "sim_ivf_topk",
-    "sim_lsh_ann_pairs",
+    "evt_type_pagerank",
+    "f_datetime_parts",
+    "f_sha256",
+    "f_working_day_calendar",
+    "ord_except",
+    "ord_sort_limit",
+    "ord_union",
     "q1_delay_histogram_days",
     "q1_delay_histogram_weeks",
     "q2_interval_binning",
     "q3_inverse_volume_weights",
     "q4_normalized_delay",
     "q5_smoothed_delay",
-    "rel_project_filter",
     "rel_anti_join",
-    "rel_semi_join",
+    "rel_full_outer_reconcile",
     "rel_inner_join_agg",
     "rel_left_join_broadcast",
-    "rel_full_outer_reconcile",
-    "agg_scalar_max",
-    "agg_count_distinct",
-    "agg_group_count",
-    "agg_multi",
-    "agg_dup_detect",
-    "win_row_number",
-    "win_rolling_mean",
-    "win_latest_row",
-    "win_lag_delta",
-    "ord_sort_limit",
-    "ord_union",
-    "ord_except",
-    "f_sha256",
-    "f_datetime_parts",
-    "f_working_day_calendar",
-    "cdc_rewind_versions",
-    "dedup_exact_groups",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "text_token_count",
-    "text_quality_score",
-    "text_language_id",
+    "rel_project_filter",
+    "rel_semi_join",
+    "text_dup_span_trim",
     "text_fingerprint",
-    "text_gopher_filters",
-    "text_redact_pii",
-    "text_hash_split",
-    "text_vocabulary",
-    "text_curate_corpus",
-    "agg_exact_quantiles",
-    "agg_rollup",
-    "rel_profile_table",
-    # Round-3 external rows (freshest) — back of the rotation.
-    "sim_knn_classify",
-    "evt_asof_join",
-    "evt_funnel",
-    "evt_retention",
-    "evt_anomaly_zscore",
-    "mm_feature_extract",
-    "text_stratified_sample",
-    "text_pack_sequences",
-    "text_tfidf_topterms",
-    "text_bm25_search",
-    "text_lm_perplexity",
-    "cdc_scd2_history",
-    "agg_topk_per_group",
-    "agg_kmv_distinct",
-    "evt_gap_fill",
-    "evt_ewma",
-    "text_weighted_sample",
-    "text_edit_distance_pairs",
-    "win_distribution",
-    "rel_pivot_wide",
-    "text_temperature_mixing",
-    "cdc_state_as_of",
-    "sim_hybrid_rrf",
-    "text_dsir_weights",
-    "evt_range_join",
-    "evt_rolling_24h",
-    "sim_kmeans_clusters",
-    "text_token_budget_sample",
-    "mm_metadata_stats",
-    "cdc_incremental_rollup",
-    "rel_skew_join_salted",
-    "evt_ohlc_hourly",
-    "rel_multi_join_chain",
-    "text_curriculum_shards",
-    # Round-4 external rows (freshest) — very back of the rotation.
-    "agg_kmv_by_group",
-    "sim_ivf_recall",
-    "evt_type_correlation",
-    "text_corpus_report",
-    "evt_user_entropy",
-    "mm_frame_sample",
-    "win_running_total",
-    "ord_intersect",
-    "cdc_merge_state",
-    "cdc_merge_outcomes",
-    "cdc_merge_ledger",
-    "text_repetition_filters",
-    "text_segment_dedup",
-    "text_decontaminate",
-    "sim_pq_topk",
-    "dedup_semantic",
-    "evt_graph_triangles",
-    "text_dup_spans",
-    "win_equidepth_histogram",
-    "evt_sliding_users_24h",
+    "text_language_id",
+    "text_pipeline_pack",
+    "text_quality_score",
+    "text_token_count",
+    "win_lag_delta",
+    "win_latest_row",
+    "win_rolling_mean",
+    "win_row_number",
 )
 
 
