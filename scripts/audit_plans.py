@@ -1,16 +1,32 @@
 #!/usr/bin/env python
 """Physical-plan audit over the whole declared query surface.
 
-For every registry query, render the physical plan and extract the
-health signals the plan gates assert piecemeal — exchange count, python
-eval operators, cartesians, scan count and widest ReadSchema — into one
-table (stdout + PLAN_AUDIT.md). Run after adding operators:
+For every registry query, render the formatted physical plan and extract
+the health signals the plan gates assert piecemeal — exchange count,
+python eval operators, cartesians, scan count and widest ReadSchema —
+into one table (stdout + PLAN_AUDIT.md). Run after adding operators:
 
     python scripts/audit_plans.py [sf_dir]
 
-The table makes plan regressions reviewable at a glance (a query whose
-exchange count jumped, a scan that stopped pruning columns) without
-re-reading 98 explain dumps.
+COUNTING RULE (two numbers per operator class, "cold/final"):
+
+- ``cold``  = operators that execute across one cold end-to-end run:
+  every operator OUTSIDE InMemoryRelation build subtrees, plus each
+  DISTINCT cached build plan counted ONCE. Formatted mode re-prints a
+  cached relation's build plan at every reference — usually under the
+  same operator ids, but a cache re-analyzed during query construction
+  (the barrier/localCheckpoint pattern) prints with FRESH ids, so id
+  dedup alone over-counts; build subtrees are therefore deduped by
+  normalized CONTENT (ids and exprIds stripped, nested cache subtrees
+  compared by their own canonical form).
+- ``final`` = operators outside every InMemoryRelation build subtree:
+  what the final action executes given the barriers are already
+  materialized (barrier-built queries materialize caches eagerly at
+  build time, so this is the per-action steady-state cost).
+
+A query with no caches has cold == final. Both inflate neither on
+shared subtrees nor on AQE's superseded "Initial Plan" dumps (stripped
+before counting).
 """
 
 from __future__ import annotations
@@ -60,46 +76,164 @@ def _strip_initial_plans(plan: str) -> str:
     return "\n".join(out)
 
 
-# Tree lines render "OpName [modifiers] (id)[, annotations]" after the
-# tree-drawing prefix; capture the leading op token and the node's id
-# (first "(N)" on the line). Formatted mode numbers operators globally
-# across the whole display (including cached-plan subtrees), so deduping
-# by id is exact even when a shared subtree is printed many times. The
-# "(id) Op" detail headings start with "(" and never match.
-_TREE_LINE = re.compile(
-    r"^[\s:+|-]*(?:\* )?([A-Za-z][A-Za-z0-9_]*)[^(\n]*\((\d+)\)", re.M
+# Tree lines render "<prefix>OpName [modifiers] (id)"; details sections
+# start with "(id) OpName" at column 0.
+_TREE_NODE = re.compile(
+    r"^(?P<pre>[\s:|+*-]*)(?P<body>[A-Za-z][^\n]*?)\s*\((?P<id>\d+)\)\s*$"
 )
+_DETAIL_HEAD = re.compile(r"^\((\d+)\) ", re.M)
 
 
-def _uniq(plan: str, op: str) -> int:
-    """Count DISTINCT LIVE physical nodes of type ``op``: ids collected
-    from tree lines (never the detail headings, which keep listing nodes
-    whose subtree was stripped as a superseded initial plan). A
-    self-join or unrolled iteration prints shared subtrees many times,
-    so a raw substring count would inflate thousands-fold on iterative
-    plans. Multi-word ops ("Scan parquet") fall back to detail headings
-    — their tree lines embed a path before the id."""
-    ids = {m[1] for m in _TREE_LINE.findall(plan) if m[0] == op}
-    if not ids and " " in op:
-        ids = set(re.findall(rf"\((\d+)\) {op}", plan))
-    return len(ids)
+def _normalize(text: str) -> str:
+    """Strip run-varying identifiers so two prints of the same plan
+    fragment compare equal: operator ids, exprIds, codegen ids."""
+    text = re.sub(r"#\d+", "#", text)
+    text = re.sub(r"\(\d+\)", "()", text)
+    text = re.sub(r"\[plan_id=\d+\]", "", text)
+    text = re.sub(r"\[id=#?\]", "", text)
+    return re.sub(r"\s+", " ", text).strip()
+
+
+def _parse(plan: str):
+    """Split the formatted display into ordered tree nodes
+    [(depth, op, id)] and a detail map {id: normalized detail text}."""
+    lines = plan.split("\n")
+    nodes: list[tuple[int, str, str]] = []
+    i = 0
+    for i, line in enumerate(lines):
+        if _DETAIL_HEAD.match(line):
+            break
+        m = _TREE_NODE.match(line)
+        if not m:
+            continue
+        body = m.group("body")
+        op = body.split()[0]
+        if op == "Scan":  # "Scan parquet <table>" — keep the source kind
+            op = " ".join(body.split()[:2])
+        nodes.append((len(m.group("pre")), op, m.group("id")))
+    details: dict[str, str] = {}
+    cur_id: str | None = None
+    buf: list[str] = []
+    for line in lines[i:]:
+        m = _DETAIL_HEAD.match(line)
+        if m:
+            if cur_id is not None:
+                details.setdefault(cur_id, _normalize("\n".join(buf)))
+            cur_id, buf = m.group(1), [line]
+        elif cur_id is not None:
+            buf.append(line)
+    if cur_id is not None:
+        details.setdefault(cur_id, _normalize("\n".join(buf)))
+    return nodes, details
+
+
+def _count_ops(plan: str) -> tuple[dict[str, int], dict[str, int]]:
+    """Return (cold, final) op-name -> count maps per the module's
+    counting rule."""
+    nodes, details = _parse(plan)
+    n = len(nodes)
+
+    def span_end(start: int) -> int:
+        d = nodes[start][0]
+        j = start + 1
+        while j < n and nodes[j][0] > d:
+            j += 1
+        return j
+
+    seen_spans: set[tuple] = set()
+    cold: dict[str, set | int] = {}
+    final: dict[str, set] = {}
+
+    def canonical(start: int, end: int) -> tuple:
+        """Canonical form of a cache-build span: direct nodes' (relative
+        depth, op, detail), with nested cache spans replaced by their own
+        canonical tuples."""
+        base = nodes[start][0]
+        out: list = []
+        j = start + 1
+        while j < end:
+            depth, op, nid = nodes[j]
+            if op == "InMemoryRelation":
+                sub_end = span_end(j)
+                out.append(("IMR", canonical(j, sub_end)))
+                j = sub_end
+            else:
+                out.append((depth - base, op, details.get(nid, "")))
+                j += 1
+        return tuple(out)
+
+    def count_span(start: int, end: int) -> None:
+        """Count one UNIQUE build span's direct ops (nested cache spans
+        recurse and dedup independently)."""
+        ids_by_op: dict[str, set] = {}
+        j = start + 1
+        while j < end:
+            depth, op, nid = nodes[j]
+            if op == "InMemoryRelation":
+                sub_end = span_end(j)
+                key = ("IMR", canonical(j, sub_end))
+                if key not in seen_spans:
+                    seen_spans.add(key)
+                    count_span(j, sub_end)
+                j = sub_end
+            else:
+                ids_by_op.setdefault(op, set()).add(nid)
+                j += 1
+        for op, ids in ids_by_op.items():
+            cold[op] = cold.get(op, 0) + len(ids)
+
+    # top-level walk
+    top_ids: dict[str, set] = {}
+    j = 0
+    while j < n:
+        depth, op, nid = nodes[j]
+        if op == "InMemoryRelation":
+            end = span_end(j)
+            key = ("IMR", canonical(j, end))
+            if key not in seen_spans:
+                seen_spans.add(key)
+                count_span(j, end)
+            j = end
+        else:
+            top_ids.setdefault(op, set()).add(nid)
+            j += 1
+    final_counts = {op: len(ids) for op, ids in top_ids.items()}
+    cold_counts = {
+        op: int(cnt) for op, cnt in cold.items() if isinstance(cnt, int)
+    }
+    for op, c in final_counts.items():
+        cold_counts[op] = cold_counts.get(op, 0) + c
+    return cold_counts, final_counts
 
 
 def audit(plan: str) -> dict:
     plan = _strip_initial_plans(plan)
     scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     widest = max((s.count(",") + 1 for s in scans), default=0)
+    cold, final = _count_ops(plan)
+
+    def pair(*ops: str) -> tuple[int, int]:
+        return (
+            sum(cold.get(o, 0) for o in ops),
+            sum(final.get(o, 0) for o in ops),
+        )
+
+    scan_ops = [o for o in cold if o.startswith("Scan ")]
     return {
-        "exchanges": _uniq(plan, "Exchange"),
-        "scans": _uniq(plan, "Scan parquet") + _uniq(plan, "FileScan"),
+        "exchanges": pair("Exchange"),
+        "scans": pair(*scan_ops) if scan_ops else (0, 0),
         "widest_scan_cols": widest,
-        "py_eval": _uniq(plan, "BatchEvalPython") + _uniq(plan, "ArrowEvalPython"),
-        "cartesian": _uniq(plan, "CartesianProduct"),
-        "bnlj": _uniq(plan, "BroadcastNestedLoopJoin"),
-        "map_in_pandas": _uniq(plan, "MapInPandas")
-        + _uniq(plan, "FlatMapGroupsInPandas"),
-        "sorts": _uniq(plan, "Sort"),
+        "py_eval": pair("BatchEvalPython", "ArrowEvalPython")[0],
+        "cartesian": pair("CartesianProduct")[0],
+        "bnlj": pair("BroadcastNestedLoopJoin"),
+        "map_in_pandas": pair("MapInPandas", "FlatMapGroupsInPandas")[0],
+        "sorts": pair("Sort"),
     }
+
+
+def _fmt(p) -> str:
+    c, f = p
+    return str(c) if c == f else f"{c}/{f}"
 
 
 def main() -> None:
@@ -126,6 +260,13 @@ def main() -> None:
         f"{len(rows)} queries at `{sf_dir}`. py-eval must be 0 everywhere; "
         "cartesian must be 0; BNLJ only with a provably tiny broadcast side.",
         "",
+        "Counting rule (see script header): `cold/final` where they "
+        "differ — `cold` counts every operator once per cold end-to-end "
+        "run (distinct cached build plans counted once, deduped by "
+        "normalized content, not just operator id), `final` counts the "
+        "post-barrier final action only (caches warm). A single number "
+        "means the query has no cached subtrees (cold == final).",
+        "",
         "Caveat: queries whose iterative core runs via eager "
         "localCheckpoint (`dedup_near_dup_groups`) execute those rounds "
         "at BUILD time, so the audited plan is only the final stage over "
@@ -142,9 +283,9 @@ def main() -> None:
             lines.append(f"| {name} | ERROR: {err} |" + " |" * 7)
             continue
         lines.append(
-            f"| {name} | {a['exchanges']} | {a['scans']} | "
+            f"| {name} | {_fmt(a['exchanges'])} | {_fmt(a['scans'])} | "
             f"{a['widest_scan_cols']} | {a['py_eval']} | {a['cartesian']} | "
-            f"{a['bnlj']} | {a['map_in_pandas']} | {a['sorts']} |"
+            f"{_fmt(a['bnlj'])} | {a['map_in_pandas']} | {_fmt(a['sorts'])} |"
         )
     out = "\n".join(lines) + "\n"
     out_path = os.path.join(REPO_ROOT, "PLAN_AUDIT.md")
