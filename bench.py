@@ -15,13 +15,35 @@ families) where data, not session/stage overhead, dominates — sf0.1's 5k
 documents sit on a ~1 s stage-overhead floor that hides real throughput
 changes round-over-round. Disable with ``SPARK_GRAFT_BENCH_SCALE=0``;
 the replicated tables are cached under /tmp between runs.
+
+Stall forensics (this host has multi-second stall EPISODES long enough
+to cover a whole adaptive min-of-2-4 window — and, round 5 showed, both
+passes of a single-session two-pass scheme):
+
+- The scale section's pass 2 runs in a FRESH SUBPROCESS (new JVM), so
+  the reported min-across-passes spans two genuinely separate sessions
+  — a stall episode pinned to one session can no longer forge a
+  regression. Falls back to the in-process reverse pass if the
+  subprocess fails.
+- Every query gets a normalized PLAN FINGERPRINT (formatted explain,
+  ids/paths/numbers stripped). ``BENCH_FLOORS.json`` — committed,
+  regenerated with ``SPARK_GRAFT_BENCH_WRITE_FLOORS=1`` — records each
+  query's best-known floor + fingerprint; at bench time each query is
+  annotated ``plan_changed`` (fingerprint differs — a real plan change,
+  timing deltas are expected) or ``suspect_stall`` (same plan, >1.5×
+  the committed floor — host noise until reproduced across sessions).
+  The compact line carries both lists.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
+import subprocess
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -197,7 +219,127 @@ def build_scale_dir(spark, sf_dir: str) -> tuple[str, float, dict[str, int]]:
     return out_dir, build_sec, rows
 
 
+_FP_NOISE = re.compile(
+    r"#\d+|\(\d+\)|\[plan_id=\d+\]|\d+"  # exprIds, op ids, any number
+)
+_FP_PATH = re.compile(r"(file:)?/[^\s,\]\)]+")  # data/RDD/checkpoint paths
+
+
+def plan_fingerprint(df) -> str:
+    """12-hex digest of the plan SHAPE: formatted explain with operator
+    ids, exprIds, paths, and every literal number masked — stable across
+    sessions (checkpointed queries embed per-session RDD ids; scale dirs
+    embed spec tags) but different whenever the operator tree changes."""
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    text = df._jdf.queryExecution().explainString(jmode)
+    text = _FP_PATH.sub("<path>", text)
+    text = _FP_NOISE.sub("#", text)
+    return hashlib.sha256(text.encode()).hexdigest()[:12]
+
+
+def load_floors() -> dict:
+    try:
+        with open(os.path.join(REPO_ROOT, "BENCH_FLOORS.json")) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def annotate(
+    section: dict, name: str, best: float, fp: str
+) -> dict | None:
+    """Compare one query against the committed floor: a fingerprint
+    mismatch means the plan changed (timing deltas expected); the same
+    plan reading >1.5x the floor is a suspected host stall until it
+    reproduces across sessions."""
+    ref = section.get(name)
+    if not ref:
+        return None
+    if ref.get("plan") != fp:
+        return {"plan_changed": True}
+    if ref.get("floor") and best > ref["floor"] * 1.5:
+        return {"suspect_stall": True, "floor": ref["floor"]}
+    return None
+
+
+def _timed_adaptive(fn) -> tuple[float, float, int]:
+    # Min over adaptive repeats: the first execution of an
+    # expression-heavy plan is dominated by one-time JIT/codegen
+    # compilation, and this host shows sporadic multi-second stalls
+    # unrelated to the plan. Two runs always; when the two best still
+    # disagree by >1.5x the query is re-run (up to 4 total). Returns
+    # (min, max, n_runs) — the spread makes a stall-window number
+    # VISIBLY unstable instead of silently wrong.
+    times: list[float] = []
+    while True:
+        start = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - start)
+        if len(times) >= 2:
+            a, b = sorted(times)[:2]
+            settled = b / a <= 1.5 and times[-1] >= a * 0.8
+            if len(times) >= 4 or a < 0.3 or settled:
+                return a, max(times), len(times)
+
+
+def _scale_pass2_child() -> None:
+    """Subprocess entry: replay the scale section in REVERSE order in a
+    fresh JVM and write per-query (min, max, runs) JSON. A separate
+    process is the point — its measurement window shares no session
+    state (and no session-pinned stall episode) with pass 1."""
+    with open(os.environ["SPARK_GRAFT_BENCH_CHILD_IN"]) as f:
+        child_in = json.load(f)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="lrdi-bench-pass2",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.shuffle.partitions": str(max(int(cpus), 16)),
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "24g"
+            ),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    _load_all()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(int(cpus) * 4).repartition(int(cpus)).mapInPandas(
+        lambda batches: batches, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    scale_dir = child_in["scale_dir"]
+    p1 = child_in["p1_min"]
+    out: dict[str, list] = {}
+    for name in reversed(SCALE_QUERIES):
+        def run(n=name):
+            REGISTRY[n].fn(spark, scale_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        start = time.perf_counter()
+        run()
+        t = time.perf_counter() - start
+        # confirmatory: plans/codegen warm after the first query; re-run
+        # once only if it looks stalled relative to pass 1's minimum.
+        if t > p1.get(name, t) * 1.25:
+            start = time.perf_counter()
+            run()
+            t2 = time.perf_counter() - start
+            out[name] = [min(t, t2), max(t, t2), 2]
+        else:
+            out[name] = [t, t, 1]
+        spark.sparkContext._jvm.System.gc()
+    with open(os.environ["SPARK_GRAFT_BENCH_CHILD_OUT"], "w") as f:
+        json.dump(out, f)
+
+
 def main() -> None:
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD_OUT"):
+        _scale_pass2_child()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
@@ -235,78 +377,78 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     REGISTRY["agg_scalar_max"].fn(spark, sf_dir).collect()
 
-    # Min over adaptive repeats: at sf0.1 the first execution of an
-    # expression-heavy plan is dominated by one-time JIT/codegen
-    # compilation (measured: dedup_simhash 7.9 s cold vs 2.6 s warm, same
-    # plan), which says nothing about engine throughput — and this host
-    # shows sporadic multi-second stalls unrelated to the plan (identical
-    # back-to-back runs measured at 2.7 s and 14.7 s; GC logs and
-    # /proc/stat steal both clean). Two runs are taken always; when the
-    # two best still disagree by >1.5× the query is re-run (up to 4
-    # total), so one stall can't masquerade as a regression. An explicit
-    # System.gc() between queries keeps heap debt from one query's spikes
-    # out of the next query's window. Returns (min, max, n_runs) — the
-    # spread is recorded so a number taken during a stall episode is
-    # VISIBLY unstable instead of silently wrong.
-    def timed(fn) -> tuple[float, float, int]:
-        times: list[float] = []
-        while True:
-            start = time.perf_counter()
-            fn()
-            times.append(time.perf_counter() - start)
-            if len(times) >= 2:
-                a, b = sorted(times)[:2]
-                # stop when the measurement has settled: two best runs
-                # agree AND the latest run is no longer improving on the
-                # best by >20% (JIT warm-up of a large generated stage can
-                # take 2-3 executions; a stall inflates one run only)
-                settled = b / a <= 1.5 and times[-1] >= a * 0.8
-                if len(times) >= 4 or a < 0.3 or settled:
-                    return a, max(times), len(times)
-
     def gc_between():
         spark.sparkContext._jvm.System.gc()
 
-    def noop_write(spec, data_dir):
-        return lambda: (
-            spec.fn(spark, data_dir).write.format("noop").mode("overwrite").save()
-        )
+    def noop_write(spec, data_dir, sink: dict):
+        def run():
+            df = spec.fn(spark, data_dir)
+            sink["df"] = df
+            df.write.format("noop").mode("overwrite").save()
+
+        return run
+
+    floors = load_floors()
+    flags: dict[str, dict] = {}
 
     timings: dict[str, float] = {}
     headline_spread: dict[str, list] = {}
+    headline_plans: dict[str, str] = {}
     for name in HEADLINE:
-        lo, hi, n = timed(noop_write(REGISTRY[name], sf_dir))
+        sink: dict = {}
+        lo, hi, n = _timed_adaptive(noop_write(REGISTRY[name], sf_dir, sink))
         timings[name] = round(lo, 3)
         headline_spread[name] = [round(lo, 3), round(hi, 3), n]
+        headline_plans[name] = plan_fingerprint(sink["df"])
+        note = annotate(floors.get("headline", {}), name, lo, headline_plans[name])
+        if note:
+            flags[name] = note
         gc_between()
 
-    scale: dict | None = None
-    if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
-        scale_dir, build_sec, rows = build_scale_dir(spark, sf_dir)
-        # TWO separated passes: this host has stall EPISODES long enough
-        # to cover one whole adaptive min-of-2-4 window, which forged
-        # 2-2.8× "regressions" on unchanged plans in round 4. Pass 2
-        # replays the section minutes later in REVERSE order (maximizing
-        # per-query wall-clock separation from its pass-1 window) after a
-        # GC + cooldown; the reported number is each query's min across
-        # both passes, and both pass minima are published so inter-pass
-        # disagreement is visible instead of silently wrong.
-        p1: dict[str, tuple[float, float, int]] = {}
-        for name in SCALE_QUERIES:
-            p1[name] = timed(noop_write(REGISTRY[name], scale_dir))
-            gc_between()
-        gc_between()
-        time.sleep(float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "20")))
+    def _run_pass2(
+        scale_dir: str, p1: dict[str, tuple[float, float, int]]
+    ) -> tuple[dict[str, tuple[float, float, int]], str]:
+        """Pass 2 in a fresh subprocess JVM; in-process reverse replay as
+        the fallback if the subprocess fails (never fail the bench for
+        the forensic layer)."""
+        p1_min = {n: v[0] for n, v in p1.items()}
+        try:
+            with tempfile.TemporaryDirectory() as td:
+                cin = os.path.join(td, "in.json")
+                cout = os.path.join(td, "out.json")
+                with open(cin, "w") as f:
+                    json.dump({"scale_dir": scale_dir, "p1_min": p1_min}, f)
+                env = dict(os.environ)
+                env["SPARK_GRAFT_BENCH_CHILD_IN"] = cin
+                env["SPARK_GRAFT_BENCH_CHILD_OUT"] = cout
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env,
+                    capture_output=True,
+                    timeout=3600,
+                )
+                if proc.returncode == 0 and os.path.exists(cout):
+                    with open(cout) as f:
+                        raw = json.load(f)
+                    if set(raw) >= set(SCALE_QUERIES):
+                        return (
+                            {n: tuple(raw[n]) for n in SCALE_QUERIES},
+                            "subprocess",
+                        )
+                print(
+                    "pass-2 subprocess failed:\n"
+                    + proc.stderr.decode(errors="replace")[-2000:],
+                    file=sys.stderr,
+                )
+        except Exception as e:
+            print(f"pass-2 subprocess error: {e!r}", file=sys.stderr)
         p2: dict[str, tuple[float, float, int]] = {}
         for name in reversed(SCALE_QUERIES):
-            # pass 2 is confirmatory: plans and codegen are warm, so one
-            # run usually suffices; re-run once only if it looks stalled
-            # relative to pass 1.
-            f = noop_write(REGISTRY[name], scale_dir)
+            f = noop_write(REGISTRY[name], scale_dir, {})
             start = time.perf_counter()
             f()
             t = time.perf_counter() - start
-            if t > p1[name][0] * 1.25:
+            if t > p1_min[name] * 1.25:
                 start = time.perf_counter()
                 f()
                 t2 = time.perf_counter() - start
@@ -314,6 +456,31 @@ def main() -> None:
             else:
                 p2[name] = (t, t, 1)
             gc_between()
+        return p2, "in-process (subprocess failed)"
+
+    scale: dict | None = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
+        scale_dir, build_sec, rows = build_scale_dir(spark, sf_dir)
+        # TWO passes in TWO sessions: this host has stall EPISODES long
+        # enough to cover one whole adaptive min-of-2-4 window (which
+        # forged 2-2.8× "regressions" on unchanged plans in round 4) and
+        # — round 5 showed — long enough to cover both passes when they
+        # share one session. Pass 2 therefore replays the section in
+        # REVERSE order in a fresh subprocess JVM; the reported number is
+        # each query's min across both sessions, and both session minima
+        # are published so inter-session disagreement stays visible.
+        p1: dict[str, tuple[float, float, int]] = {}
+        scale_plans: dict[str, str] = {}
+        for name in SCALE_QUERIES:
+            sink = {}
+            p1[name] = _timed_adaptive(
+                noop_write(REGISTRY[name], scale_dir, sink)
+            )
+            scale_plans[name] = plan_fingerprint(sink["df"])
+            gc_between()
+        gc_between()
+        time.sleep(float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "20")))
+        p2, pass2_mode = _run_pass2(scale_dir, p1)
         scale_timings = {
             name: round(min(p1[name][0], p2[name][0]), 3)
             for name in SCALE_QUERIES
@@ -324,14 +491,25 @@ def main() -> None:
                 "max": round(max(p1[name][1], p2[name][1]), 3),
                 "pass_min": [round(p1[name][0], 3), round(p2[name][0], 3)],
                 "runs": p1[name][2] + p2[name][2],
+                "plan": scale_plans[name],
             }
             for name in SCALE_QUERIES
         }
+        for name in SCALE_QUERIES:
+            note = annotate(
+                floors.get("scale", {}),
+                name,
+                scale_timings[name],
+                scale_plans[name],
+            )
+            if note:
+                flags[name] = note
         scale = {
             "rows": rows,
             "build_sec": build_sec,
             "runs_per_query": "2-4 adaptive + 1-2 confirmatory (pass 2)",
-            "agg": "min across two separated passes",
+            "agg": "min across two passes",
+            "pass2_mode": pass2_mode,
             "total_sec": round(sum(scale_timings.values()), 3),
             "pass_totals": [
                 round(sum(v[0] for v in p1.values()), 3),
@@ -357,12 +535,47 @@ def main() -> None:
         "agg": "min",
         "queries": timings,
         "queries_spread": headline_spread,
+        "queries_plan": headline_plans,
+        "flags": flags,
         "sf": sf_val,
     }
     if scale is not None:
         detail["scale"] = scale
     with open(os.path.join(REPO_ROOT, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=2)
+
+    if os.environ.get("SPARK_GRAFT_BENCH_WRITE_FLOORS") == "1":
+        # Refresh the committed floor sidecar from THIS run: per-query
+        # best time + plan fingerprint. An unchanged plan keeps the best
+        # floor ever seen; a changed plan starts a fresh floor. Only
+        # written on explicit request so a driver run can never
+        # overwrite its own reference.
+        def floor_entry(prev: dict, best: float, fp: str) -> dict:
+            if prev.get("plan") == fp and prev.get("floor"):
+                best = min(best, prev["floor"])
+            return {"floor": round(best, 3), "plan": fp}
+
+        new_floors = {
+            "headline": {
+                n: floor_entry(
+                    floors.get("headline", {}).get(n, {}),
+                    timings[n],
+                    headline_plans[n],
+                )
+                for n in HEADLINE
+            },
+        }
+        if scale is not None:
+            new_floors["scale"] = {
+                n: floor_entry(
+                    floors.get("scale", {}).get(n, {}),
+                    scale["queries"][n],
+                    scale["spread"][n]["plan"],
+                )
+                for n in SCALE_QUERIES
+            }
+        with open(os.path.join(REPO_ROOT, "BENCH_FLOORS.json"), "w") as f:
+            json.dump(new_floors, f, indent=1)
 
     out = {
         "metric": "headline_queries_total_wall_seconds",
@@ -371,9 +584,21 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    # Stall forensics on the compact line: names only (details + plan
+    # fingerprints live in the sidecar). An unchanged-plan query reading
+    # >1.5x its committed floor is listed in suspect_stall; a query whose
+    # fingerprint moved is listed in plan_changed (its timing delta is a
+    # real plan change, not noise).
+    out["suspect_stall"] = sorted(
+        n for n, v in flags.items() if v.get("suspect_stall")
+    )
+    out["plan_changed"] = sorted(
+        n for n, v in flags.items() if v.get("plan_changed")
+    )
     if scale is not None:
         out["scale_total_sec"] = scale["total_sec"]
         out["scale_n_queries"] = len(scale["queries"])
+        out["scale_pass2"] = scale["pass2_mode"]
         # spread fields (compact): the two pass minima totals — when they
         # disagree, one pass sat in a stall window and the per-query mins
         # (sidecar "spread") say which queries.
@@ -390,6 +615,12 @@ def main() -> None:
         )
         out["queries"] = slowest
         out["queries_truncated_to_slowest"] = 10
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1500:
+        # Last resort: collapse the forensics lists to counts (the names
+        # survive in the sidecar's "flags").
+        out["suspect_stall"] = len(out["suspect_stall"])
+        out["plan_changed"] = len(out["plan_changed"])
         line = json.dumps(out, separators=(",", ":"))
     sys.stdout.flush()
     print(line, flush=True)
