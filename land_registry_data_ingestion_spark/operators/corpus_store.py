@@ -80,15 +80,14 @@ class CorpusStore:
         view — the duplicate probe for a batch REPLAY must not see the
         failed attempt's rows, or the replay would classify every document
         as already-known and land an empty batch over the old one."""
-        if not os.path.isdir(self._index_dir):
+        from land_registry_data_ingestion_spark.operators.compaction import (
+            live_partitions,
+        )
+
+        names = live_partitions(self._index_dir, exclude_batch)
+        if not names:
             return self.spark.createDataFrame([], INDEX_SCHEMA)
-        dirs = [
-            os.path.join(self._index_dir, d)
-            for d in sorted(os.listdir(self._index_dir))
-            if d.startswith("batch=") and d != f"batch={exclude_batch}"
-        ]
-        if not dirs:
-            return self.spark.createDataFrame([], INDEX_SCHEMA)
+        dirs = [os.path.join(self._index_dir, d) for d in names]
         return self.spark.read.schema(INDEX_SCHEMA).parquet(*dirs)
 
     def corpus(self, schema_like: DataFrame | None = None) -> DataFrame:
@@ -106,16 +105,48 @@ class CorpusStore:
 
     def bands(self, exclude_batch: int | str | None = None) -> DataFrame:
         """Persisted LSH bands of accepted documents (near-dup mode)."""
-        if not os.path.isdir(self._bands_dir):
+        from land_registry_data_ingestion_spark.operators.compaction import (
+            live_partitions,
+        )
+
+        names = live_partitions(self._bands_dir, exclude_batch)
+        if not names:
             return self.spark.createDataFrame([], BANDS_SCHEMA)
-        dirs = [
-            os.path.join(self._bands_dir, d)
-            for d in sorted(os.listdir(self._bands_dir))
-            if d.startswith("batch=") and d != f"batch={exclude_batch}"
-        ]
-        if not dirs:
-            return self.spark.createDataFrame([], BANDS_SCHEMA)
+        dirs = [os.path.join(self._bands_dir, d) for d in names]
         return self.spark.read.schema(BANDS_SCHEMA).parquet(*dirs)
+
+    def compact(
+        self,
+        exclude_batch: int | str | None = None,
+        min_partitions: int = 32,
+    ) -> dict[str, str | None]:
+        """Fold committed per-batch index (and, in near-dup mode, band)
+        partitions into one partition each (`operators/compaction.py`):
+        the duplicate probe's anti-join side stops paying O(batches)
+        listing/planning. The CORPUS partitions are deliberately NOT
+        compacted — they hold the documents themselves, so folding them
+        is an O(corpus) rewrite for a read that is already one
+        recursive-glob scan. ``exclude_batch`` MUST name any batch that
+        could still be replayed."""
+        from land_registry_data_ingestion_spark.operators.compaction import (
+            compact,
+        )
+
+        out: dict[str, str | None] = {}
+        for key, (d, schema) in {
+            "index": (self._index_dir, INDEX_SCHEMA),
+            "bands": (self._bands_dir, BANDS_SCHEMA),
+        }.items():
+            out[key] = compact(
+                self.spark,
+                d,
+                lambda paths, s=schema: self.spark.read.schema(s).parquet(
+                    *paths
+                ),
+                exclude_batch=exclude_batch,
+                min_partitions=min_partitions,
+            )
+        return out
 
     def ingest_batch(
         self,

@@ -102,15 +102,12 @@ class SpanStore:
         """Aggregated (gram_key, n) over accepted batches; ``exclude_batch``
         hides that batch's partition so a REPLAY does not probe against
         its own previous attempt."""
+        from land_registry_data_ingestion_spark.operators.compaction import (
+            live_partitions,
+        )
+
         self._check_format()
-        if not os.path.isdir(self._index_dir):
-            return self.spark.createDataFrame([], GRAM_INDEX_SCHEMA)
-        batches = [
-            d
-            for d in os.listdir(self._index_dir)
-            if d.startswith("batch=")
-            and d != f"batch={exclude_batch}"
-        ]
+        batches = live_partitions(self._index_dir, exclude_batch)
         if not batches:
             return self.spark.createDataFrame([], GRAM_INDEX_SCHEMA)
         paths = [os.path.join(self._index_dir, d) for d in batches]
@@ -119,6 +116,39 @@ class SpanStore:
             .parquet(*paths)
             .groupBy("gram_key")
             .agg(F.sum("n").alias("n"))
+        )
+
+    def compact(
+        self,
+        exclude_batch: int | str | None = None,
+        min_partitions: int = 32,
+    ) -> str | None:
+        """Fold committed per-batch gram-count partitions into one
+        pre-aggregated partition (`operators/compaction.py`): caps the
+        O(batches) listing/planning cost every probe pays, and collapses
+        repeated gram_keys so the probe's full-outer join reads each key
+        once. ``exclude_batch`` MUST name any batch that could still be
+        replayed (the in-flight one) — its partition stays addressable.
+        No-op below ``min_partitions`` live partitions, so calling this
+        per batch amortizes the rewrite to 1/min_partitions."""
+        from land_registry_data_ingestion_spark.operators.compaction import (
+            compact,
+        )
+
+        self._check_format()
+
+        def read(paths: list[str]) -> DataFrame:
+            return self.spark.read.schema(GRAM_INDEX_SCHEMA).parquet(*paths)
+
+        return compact(
+            self.spark,
+            self._index_dir,
+            read,
+            transform=lambda df: df.groupBy("gram_key").agg(
+                F.sum("n").alias("n")
+            ),
+            exclude_batch=exclude_batch,
+            min_partitions=min_partitions,
         )
 
     def ingest_batch(

@@ -29,9 +29,20 @@ def run_span_dedup_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     trigger_available_now: bool = True,
+    compact_every: int = 32,
 ) -> StreamingQuery:
     """Start the span-dedup sink. ``on_spans(spans_df, batch_id)`` runs
-    AFTER the batch's counts are committed to the index."""
+    AFTER the batch's counts are committed to the index.
+
+    ``compact_every``: once the index accumulates this many live
+    per-batch partitions they are folded into one pre-aggregated
+    partition (``SpanStore.compact``) before the next ingest — without
+    it, every batch's probe re-plans O(batches) directories and the
+    per-batch wall time creeps up (measured by the 100-batch soak,
+    ``scripts/soak_streams.py``). Compaction runs at the TOP of the
+    batch with the in-flight batch excluded: everything else is
+    checkpoint-committed, so no foldable partition can ever be
+    replayed. ``0`` disables."""
     from land_registry_data_ingestion_spark.streaming.identity import (
         stream_identity,
     )
@@ -48,9 +59,14 @@ def run_span_dedup_stream(
         from land_registry_data_ingestion_spark.util import release_caches
 
         try:
+            batch_tag = f"{stream_tag}-{batch_id:08d}"
+            if compact_every:
+                store.compact(
+                    exclude_batch=batch_tag, min_partitions=compact_every
+                )
             spans = store.ingest_batch(
                 batch,
-                f"{stream_tag}-{batch_id:08d}",
+                batch_tag,
                 text_col=text_col,
                 id_col=id_col,
             )

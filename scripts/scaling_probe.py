@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Two-point scaling probe for the heaviest declared operators.
+"""Two/three-point scaling probe for the heaviest declared operators.
 
 Times each query at the bench's scale tier (tier 1) and at a tier with
 the query's driving table grown by a known factor (tier 2), then reports
@@ -10,6 +10,15 @@ land in COVERAGE.md's scaling table.
 Run: ``python scripts/scaling_probe.py`` (~15 min including the one-time
 tier-2 build; the replicated dirs cache under /tmp like the bench's).
 ``python scripts/scaling_probe.py q1 q2`` probes only the named queries.
+
+``--three-point`` (verdict-r5 #4): for the queries whose two-point
+exponent sits close enough to 1.0 that a creeping superlinear term could
+hide inside two-point host noise (``dedup_near_dup_groups`` 0.89,
+``text_repetition_filters`` 0.81, plus ``text_dup_span_trim`` as the
+well-understood control), add a documents ×8 tier and fit the exponent
+by least squares over all THREE (log growth, log t) points. A quadratic
+term that two points can absorb into the constant shows up as a fit
+exponent pulled above the two-point value and a visibly convex residual.
 """
 
 from __future__ import annotations
@@ -39,6 +48,25 @@ TIER2_SPEC = {
     "documents": ("doc_id", 80),
     "embeddings": ("vec_id", 10),
     "events": ("user_id", 30),
+}
+
+# Tier 3 = tier 1 with documents grown x8 (vs tier 2's x4); every other
+# table stays at its tier-1 factor so the third point isolates the same
+# driving axis the first two measured.
+TIER3_SPEC = {
+    "orders": ("o_orderkey", 40),
+    "lineitem": ("l_orderkey", 10),
+    "documents": ("doc_id", 160),
+    "embeddings": ("vec_id", 10),
+    "events": ("user_id", 10),
+}
+
+# Three-point set: the two highest two-point exponents + one control
+# whose linear story is already well understood from the plan.
+THREE_POINT = {
+    "dedup_near_dup_groups": ("documents", [1.0, 4.0, 8.0]),
+    "text_repetition_filters": ("documents", [1.0, 4.0, 8.0]),
+    "text_dup_span_trim": ("documents", [1.0, 4.0, 8.0]),
 }
 
 # query -> (driving table, tier2/tier1 growth factor)
@@ -88,15 +116,21 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     base = "/root/testdata/sf0.1"
+    three_point = "--three-point" in sys.argv
     tier1, _, rows1 = bench.build_scale_dir(spark, base)
+    print("tier1:", rows1, file=sys.stderr)
     saved = bench.SCALE_SPEC
-    bench.SCALE_SPEC = TIER2_SPEC
     try:
+        bench.SCALE_SPEC = TIER2_SPEC
         tier2, _, rows2 = bench.build_scale_dir(spark, base)
+        print("tier2:", rows2, file=sys.stderr)
+        tier3 = None
+        if three_point:
+            bench.SCALE_SPEC = TIER3_SPEC
+            tier3, _, rows3 = bench.build_scale_dir(spark, base)
+            print("tier3:", rows3, file=sys.stderr)
     finally:
         bench.SCALE_SPEC = saved
-    print("tier1:", rows1, file=sys.stderr)
-    print("tier2:", rows2, file=sys.stderr)
 
     def timed(name: str, sf_dir: str) -> float:
         times: list[float] = []
@@ -117,7 +151,48 @@ def main() -> None:
     out = {}
     import math
 
-    only = set(sys.argv[1:])
+    only = {a for a in sys.argv[1:] if not a.startswith("--")}
+
+    if three_point:
+        probes3 = {
+            n: spec
+            for n, spec in THREE_POINT.items()
+            if not only or n in only
+        }
+        for name, (table, growths) in probes3.items():
+            ts = [
+                round(timed(name, d), 3) for d in (tier1, tier2, tier3)
+            ]
+            # least-squares slope over (log growth, log t); with three
+            # points the residual sign says convex (hidden superlinear
+            # term) vs concave (fixed overhead still amortizing).
+            xs = [math.log(g) for g in growths]
+            ys = [math.log(t) for t in ts]
+            n_pts = len(xs)
+            mx, my = sum(xs) / n_pts, sum(ys) / n_pts
+            slope = sum(
+                (x - mx) * (y - my) for x, y in zip(xs, ys)
+            ) / sum((x - mx) ** 2 for x in xs)
+            pair_exps = [
+                round(
+                    (ys[i + 1] - ys[i]) / (xs[i + 1] - xs[i]), 2
+                )
+                for i in range(n_pts - 1)
+            ]
+            out[name] = {
+                "driver_table": table,
+                "growths": growths,
+                "sec": ts,
+                "fit_exponent": round(slope, 2),
+                "segment_exponents": pair_exps,
+                # convex (rising segment exponents) = superlinear term
+                # emerging; flat/falling = overhead amortizing.
+                "convex": pair_exps[-1] > pair_exps[0] + 0.05,
+            }
+            print(name, out[name], file=sys.stderr)
+        print(json.dumps(out))
+        return
+
     probes = {
         n: spec for n, spec in PROBES.items() if not only or n in only
     }

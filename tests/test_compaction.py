@@ -1,0 +1,188 @@
+"""Batch-partition compaction for the incremental stores
+(operators/compaction.py): folding committed ``batch=`` partitions must
+be invisible to every reader — same index contents, same probe results,
+same replay semantics — while bounding the partition count a long-lived
+store pays per probe."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Row
+
+from land_registry_data_ingestion_spark.operators.compaction import (
+    compact,
+    live_partitions,
+)
+from land_registry_data_ingestion_spark.operators.corpus_store import (
+    CorpusStore,
+)
+from land_registry_data_ingestion_spark.operators.span_store import SpanStore
+
+
+def _words(n, prefix="w"):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([Row(doc_id=d, text=t) for d, t in rows])
+
+
+def _index_counts(store):
+    return {
+        (r.gram_key, r.n) for r in store.index().collect()
+    }
+
+
+def test_span_store_compaction_preserves_index(spark, tmp_path):
+    store = SpanStore(spark=spark, root=str(tmp_path / "ss"), k=8)
+    for b in range(5):
+        store.ingest_batch(
+            _df(spark, [(b * 10, _words(12, f"b{b}"))]), b
+        )
+    before = _index_counts(store)
+    name = store.compact(min_partitions=2)
+    assert name is not None and name.startswith("batch=compact-")
+    assert _index_counts(store) == before
+    # all five per-batch partitions folded into one
+    assert live_partitions(store._index_dir) == [name]
+
+
+def test_span_store_detection_across_compaction(spark, tmp_path):
+    store = SpanStore(spark=spark, root=str(tmp_path / "ss"), k=8)
+    passage = _words(10, "p")
+    store.ingest_batch(_df(spark, [(1, f"{_words(6, 'a')} {passage}")]), 0)
+    store.ingest_batch(_df(spark, [(2, _words(12, "c"))]), 1)
+    store.compact(min_partitions=2)
+    # a later batch repeating batch 0's passage is still caught even
+    # though batch 0's partition no longer exists by name
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in store.ingest_batch(
+            _df(spark, [(3, f"{passage} {_words(9, 'd')}")]), 2
+        ).collect()
+    }
+    assert spans == {(3, 0, 9)}
+
+
+def test_compaction_excludes_inflight_batch(spark, tmp_path):
+    """A replayable (in-flight) batch's partition must survive
+    compaction so the replay can overwrite itself and probe without
+    seeing its own previous attempt."""
+    store = SpanStore(spark=spark, root=str(tmp_path / "ss"), k=8)
+    body = _words(12, "z")
+    for b in range(3):
+        store.ingest_batch(_df(spark, [(b, _words(12, f"u{b}"))]), b)
+    # batch 3 = first (crashed) attempt, then compact as the replay would
+    store.ingest_batch(_df(spark, [(30, body)]), 3)
+    store.compact(exclude_batch=3, min_partitions=2)
+    live = live_partitions(store._index_dir)
+    assert "batch=3" in live and len(live) == 2
+    # replay of batch 3: its own prior counts are excluded, so the body
+    # is NOT flagged against itself
+    spans = store.ingest_batch(_df(spark, [(30, body)]), 3).collect()
+    assert spans == []
+
+
+def test_crash_window_does_not_double_count(spark, tmp_path):
+    """Between the compact partition's atomic rename and the deletion of
+    the folded dirs, both are on disk — readers must count each batch
+    exactly once (the _folded.json subsumption rule)."""
+    store = SpanStore(spark=spark, root=str(tmp_path / "ss"), k=8)
+    for b in range(3):
+        store.ingest_batch(_df(spark, [(b, _words(12, f"u{b}"))]), b)
+    before = _index_counts(store)
+
+    # simulate the crash: run a real compaction, then RESTORE one folded
+    # dir (as if deletion never ran) by re-ingesting nothing — instead,
+    # copy semantics: capture a folded dir before compacting.
+    import shutil
+
+    src = os.path.join(store._index_dir, "batch=1")
+    saved = str(tmp_path / "saved_batch1")
+    shutil.copytree(src, saved)
+    store.compact(min_partitions=2)
+    shutil.copytree(saved, src)  # the leftover the crash would leave
+
+    # reader: still the pre-compaction contents, not batch 1 twice
+    assert _index_counts(store) == before
+    # next compaction garbage-collects the leftover
+    store.compact(min_partitions=999)
+    assert not os.path.isdir(src)
+
+
+def test_compaction_below_threshold_is_noop(spark, tmp_path):
+    store = SpanStore(spark=spark, root=str(tmp_path / "ss"), k=8)
+    store.ingest_batch(_df(spark, [(1, _words(12))]), 0)
+    assert store.compact(min_partitions=32) is None
+    assert live_partitions(store._index_dir) == ["batch=0"]
+
+
+def test_compaction_idempotent_retry(spark, tmp_path):
+    """A crashed-and-retried compaction of the same fold set reuses the
+    deterministic tag instead of stacking partitions."""
+    spark.createDataFrame(
+        [Row(gram_key=1, n=2)]
+    ).write.parquet(str(tmp_path / "idx" / "batch=0"))
+    spark.createDataFrame(
+        [Row(gram_key=1, n=3)]
+    ).write.parquet(str(tmp_path / "idx" / "batch=1"))
+
+    def read(paths):
+        return spark.read.parquet(*paths)
+
+    d = str(tmp_path / "idx")
+    n1 = compact(spark, d, read, min_partitions=2)
+    # retry with the folded dirs resurrected (rename landed, delete not)
+    fj = json.load(open(os.path.join(d, n1, "_folded.json")))
+    assert sorted(fj) == ["batch=0", "batch=1"]
+    n2 = compact(spark, d, read, min_partitions=1)
+    # nothing new to fold (single live partition < min 1? no: 1 >= 1 —
+    # refolding a lone compact partition is allowed and idempotent)
+    assert live_partitions(d) == [n2]
+    total = spark.read.parquet(os.path.join(d, n2)).groupBy().sum("n")
+    assert total.collect()[0][0] == 5
+
+
+def test_corpus_store_compaction_preserves_dedup(spark, tmp_path):
+    store = CorpusStore(spark=spark, root=str(tmp_path / "cs"))
+    text = _words(30)
+    for b in range(4):
+        store.ingest_batch(
+            _df(spark, [(b * 10, _words(30, f"b{b}")), (b * 10 + 1, text)]),
+            b,
+        )
+    idx_before = {
+        (r.doc_fingerprint, r.doc_id) for r in store.index().collect()
+    }
+    out = store.compact(min_partitions=2)
+    assert out["index"] is not None
+    assert {
+        (r.doc_fingerprint, r.doc_id) for r in store.index().collect()
+    } == idx_before
+    # the shared `text` was accepted once (batch 0) and stays a known
+    # dup after compaction
+    res = store.ingest_batch(_df(spark, [(99, text)]), 9)
+    assert res["n_accepted"] == 0 and res["n_known_dups"] == 1
+
+
+def test_corpus_store_near_dup_bands_survive_compaction(spark, tmp_path):
+    store = CorpusStore(spark=spark, root=str(tmp_path / "cs"))
+    base = _words(40)
+    for b in range(3):
+        store.ingest_batch(
+            _df(spark, [(b * 10, _words(40, f"x{b}"))]),
+            b,
+            near_dup=True,
+            threshold=0.5,
+        )
+    store.ingest_batch(_df(spark, [(50, base)]), 3, near_dup=True)
+    store.compact(min_partitions=2)
+    # a near-duplicate of batch 3's doc still collides via the folded
+    # band partitions
+    near = base.replace("w39", "changed")
+    res = store.ingest_batch(
+        _df(spark, [(60, near)]), 4, near_dup=True, threshold=0.5
+    )
+    assert res["n_accepted"] == 0 and res["n_near_dups_known"] == 1
