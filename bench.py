@@ -114,7 +114,15 @@ HEADLINE = [
 # inner join tolerates. Replicated documents/embeddings form exact
 # duplicate families — an adversarial (not easier) input for the dedup
 # and ANN operators.
-KEY_STRIDE = 64
+#
+# KEY_STRIDE must exceed EVERY replication factor any tier uses
+# (including the scaling probe's grown tiers — round 6 found the ×80/
+# ×120/×160 tiers silently overflowing the old stride of 64: replica 64
+# of key k collided with replica 0 of key k+1, which chained unrelated
+# duplicate families into one giant component and corrupted every
+# key-grouped measurement on those tiers — the CC convergence trouble
+# round 5 attributed to band-df sparsification was this).
+KEY_STRIDE = 1024
 SCALE_SPEC = {
     "orders": ("o_orderkey", 40),
     "lineitem": ("l_orderkey", 10),
@@ -180,7 +188,7 @@ def build_scale_dir(spark, sf_dir: str) -> tuple[str, float, dict[str, int]]:
 
     from land_registry_data_ingestion_spark.sources.parquet import load_tables
 
-    spec_tag = "_".join(
+    spec_tag = f"s{KEY_STRIDE}_" + "_".join(
         f"{name}{factor}" for name, (_, factor) in sorted(SCALE_SPEC.items())
     )
     # The source sf_dir is part of the cache key: without it, a scale dir
@@ -196,6 +204,13 @@ def build_scale_dir(spark, sf_dir: str) -> tuple[str, float, dict[str, int]]:
     if not os.path.exists(marker):
         tables = load_tables(spark, sf_dir)
         for name, (key, factor) in SCALE_SPEC.items():
+            if factor > KEY_STRIDE:
+                raise ValueError(
+                    f"replication factor {factor} for {name} exceeds "
+                    f"KEY_STRIDE {KEY_STRIDE}: replica ids would collide "
+                    f"with neighboring keys and corrupt key-grouped "
+                    f"semantics"
+                )
             src = tables.table(name)
             reps = spark.range(factor).select(F.col("id").alias("_rep"))
             scaled = src.crossJoin(reps).withColumn(

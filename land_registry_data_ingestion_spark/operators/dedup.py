@@ -487,6 +487,7 @@ def near_dup_groups(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iters: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Turn near-dup PAIRS into canonical GROUPS: connected components by
     iterative min-label propagation, the keep-one semantics a training-
@@ -521,6 +522,8 @@ def near_dup_groups(
     — no separate compare join), and component sizes come from one
     window over the final labels instead of a groupBy + self-join.
     """
+    import time as _time
+
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     edges = barrier(fwd.union(rev).distinct().repartition("dst"))
@@ -529,8 +532,15 @@ def near_dup_groups(
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    if stats is not None:
+        # instrumentation for the scaling/round-cut probes: per-round
+        # wall seconds + changed-label counts (the loop is lazy until
+        # each round's localCheckpoint, so timing the loop body times
+        # the round's actual work)
+        stats["rounds"] = []
     prev_cache = labels
     for _ in range(max_iters):
+        _round_t0 = _time.perf_counter()
         nbr = (
             edges.join(labels.hint("shuffle_hash"), edges["dst"] == labels["id"])
             .groupBy("src")
@@ -607,6 +617,13 @@ def near_dup_groups(
             .localCheckpoint(eager=True)
         )
         n_changed = joined.filter(F.col("label") != F.col("_old")).count()
+        if stats is not None:
+            stats["rounds"].append(
+                {
+                    "sec": round(_time.perf_counter() - _round_t0, 3),
+                    "n_changed": n_changed,
+                }
+            )
         # the previous round's cache is dead weight from here (same
         # discipline as the BPE merge loop — per-round caches must not
         # accumulate)

@@ -151,9 +151,13 @@ def soak_span_stream(spark, src: str, work: str, n_batches: int) -> dict:
         .option("maxFilesPerTrigger", 1)
         .json(src)
     )
+    compact_every = int(os.environ.get("SOAK_COMPACT_EVERY", "32"))
     t0 = time.perf_counter()
     q = run_span_dedup_stream(
-        stream, store, os.path.join(work, "ckpt")
+        stream,
+        store,
+        os.path.join(work, "ckpt"),
+        compact_every=compact_every,
     )
     q.awaitTermination(3600)
     wall = time.perf_counter() - t0
