@@ -167,6 +167,63 @@ def test_corpus_store_compaction_preserves_dedup(spark, tmp_path):
     assert res["n_accepted"] == 0 and res["n_known_dups"] == 1
 
 
+def test_span_stream_auto_compaction_bounds_partitions(spark, tmp_path):
+    """The streaming sink folds the index every ``compact_every`` live
+    partitions; detection must keep seeing pre-fold batches and the
+    partition count must stay bounded."""
+    import json as _json
+
+    from land_registry_data_ingestion_spark.streaming.span_stream import (
+        run_span_dedup_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    passage = _words(10, "p")
+    rows_by_batch = [
+        [{"doc_id": 1, "text": f"{_words(6, 'a')} {passage}"}],
+        *(
+            [[{"doc_id": 10 + b, "text": _words(12, f"u{b}")}]]
+            for b in range(8)
+        ),
+        [{"doc_id": 99, "text": f"{passage} {_words(9, 'z')}"}],
+    ]
+    for i, rows in enumerate(rows_by_batch):
+        p = src / f"b{i:02d}.json"
+        p.write_text("\n".join(_json.dumps(r) for r in rows))
+        # the file source orders by modification time; files written in
+        # one tight loop share a timestamp, so pin an ascending order
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    store = SpanStore(spark=spark, root=str(tmp_path / "ss"), k=8)
+    seen: dict[int, list] = {}
+
+    def on_spans(spans, batch_id):
+        seen[batch_id] = spans.collect()
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = run_span_dedup_stream(
+        stream,
+        store,
+        str(tmp_path / "ckpt"),
+        on_spans=on_spans,
+        compact_every=4,
+    )
+    q.awaitTermination(120)
+
+    # batch 0's passage is still detected in the last batch even though
+    # batch 0's partition was folded away several compactions ago
+    last = max(seen)
+    assert {(r.doc_id, r.span_start, r.span_end) for r in seen[last]} == {
+        (99, 0, 9)
+    }
+    live = live_partitions(store._index_dir)
+    assert len(live) <= 4 + 1  # at most compact_every-1 singles + 1 compact
+
+
 def test_corpus_store_near_dup_bands_survive_compaction(spark, tmp_path):
     store = CorpusStore(spark=spark, root=str(tmp_path / "cs"))
     base = _words(40)
