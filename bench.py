@@ -244,7 +244,15 @@ def plan_fingerprint(df) -> str:
     """12-hex digest of the plan SHAPE: formatted explain with operator
     ids, exprIds, paths, and every literal number masked — stable across
     sessions (checkpointed queries embed per-session RDD ids; scale dirs
-    embed spec tags) but different whenever the operator tree changes."""
+    embed spec tags) but different whenever the operator tree changes.
+
+    MUST be computed at CONSTRUCTION time, before the query ever
+    executes: once a barrier cache materializes, the cache manager
+    substitutes InMemoryRelation subtrees whose printed form depends on
+    runtime state, so a post-execution fingerprint does not reproduce
+    from a fresh session (round 6 measured 23/75 committed floors
+    failing a fresh-session re-derivation before this rule; 75/75
+    after)."""
     jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
@@ -398,10 +406,14 @@ def main() -> None:
     def noop_write(spec, data_dir, sink: dict):
         def run():
             df = spec.fn(spark, data_dir)
-            sink["df"] = df
             df.write.format("noop").mode("overwrite").save()
 
         return run
+
+    def construction_fp(name: str, data_dir: str) -> str:
+        # fingerprint a fresh build OUTSIDE the timed window and before
+        # any execution — see plan_fingerprint's construction-time rule
+        return plan_fingerprint(REGISTRY[name].fn(spark, data_dir))
 
     floors = load_floors()
     flags: dict[str, dict] = {}
@@ -410,11 +422,10 @@ def main() -> None:
     headline_spread: dict[str, list] = {}
     headline_plans: dict[str, str] = {}
     for name in HEADLINE:
-        sink: dict = {}
-        lo, hi, n = _timed_adaptive(noop_write(REGISTRY[name], sf_dir, sink))
+        headline_plans[name] = construction_fp(name, sf_dir)
+        lo, hi, n = _timed_adaptive(noop_write(REGISTRY[name], sf_dir, {}))
         timings[name] = round(lo, 3)
         headline_spread[name] = [round(lo, 3), round(hi, 3), n]
-        headline_plans[name] = plan_fingerprint(sink["df"])
         note = annotate(floors.get("headline", {}), name, lo, headline_plans[name])
         if note:
             flags[name] = note
@@ -487,11 +498,10 @@ def main() -> None:
         p1: dict[str, tuple[float, float, int]] = {}
         scale_plans: dict[str, str] = {}
         for name in SCALE_QUERIES:
-            sink = {}
+            scale_plans[name] = construction_fp(name, scale_dir)
             p1[name] = _timed_adaptive(
-                noop_write(REGISTRY[name], scale_dir, sink)
+                noop_write(REGISTRY[name], scale_dir, {})
             )
-            scale_plans[name] = plan_fingerprint(sink["df"])
             gc_between()
         gc_between()
         time.sleep(float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "20")))
