@@ -19,11 +19,19 @@ well-understood control), add a documents ×8 tier and fit the exponent
 by least squares over all THREE (log growth, log t) points. A quadratic
 term that two points can absorb into the constant shows up as a fit
 exponent pulled above the two-point value and a visibly convex residual.
+
+``--two-session``: committed numbers follow the min-across-sessions
+discipline (this host has stall episodes that cover a whole adaptive
+min-of-2-4 window). This flag automates it: the probe re-invokes itself
+in TWO fresh subprocesses (fresh JVMs, no shared session state), takes
+per-cell minima, and recomputes exponents/fits from the merged cells —
+one invocation, committed-grade output.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -98,7 +106,78 @@ PROBES = {
 }
 
 
+def _merge_sessions(a: dict, b: dict) -> dict:
+    """Per-cell minima of two session outputs, exponents/fits recomputed
+    from the merged cells."""
+    import math
+
+    out = {}
+    for name in a:
+        ra, rb = a[name], b[name]
+        if "sec" in ra:  # three-point entry
+            ts = [min(x, y) for x, y in zip(ra["sec"], rb["sec"])]
+            xs = [math.log(g) for g in ra["growths"]]
+            ys = [math.log(t) for t in ts]
+            n = len(xs)
+            mx, my = sum(xs) / n, sum(ys) / n
+            slope = sum(
+                (x - mx) * (y - my) for x, y in zip(xs, ys)
+            ) / sum((x - mx) ** 2 for x in xs)
+            segs = [
+                round((ys[i + 1] - ys[i]) / (xs[i + 1] - xs[i]), 2)
+                for i in range(n - 1)
+            ]
+            out[name] = {
+                **ra,
+                "sec": [round(t, 3) for t in ts],
+                "fit_exponent": round(slope, 2),
+                "segment_exponents": segs,
+                "convex": segs[-1] > segs[0] + 0.05,
+                "sessions": [ra["sec"], rb["sec"]],
+            }
+        else:  # two-point entry
+            t1 = min(ra["tier1_sec"], rb["tier1_sec"])
+            t2 = min(ra["tier2_sec"], rb["tier2_sec"])
+            out[name] = {
+                **ra,
+                "tier1_sec": t1,
+                "tier2_sec": t2,
+                "exponent": round(
+                    math.log(t2 / t1) / math.log(ra["growth"]), 2
+                ),
+                "sessions": [
+                    [ra["tier1_sec"], ra["tier2_sec"]],
+                    [rb["tier1_sec"], rb["tier2_sec"]],
+                ],
+            }
+    return out
+
+
+def _two_session() -> None:
+    import subprocess
+
+    child_args = [a for a in sys.argv[1:] if a != "--two-session"]
+    outs = []
+    for i in range(2):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)] + child_args,
+            capture_output=True,
+            timeout=7200,
+            text=True,
+        )
+        if proc.returncode != 0:
+            print(proc.stderr[-3000:], file=sys.stderr)
+            raise SystemExit(f"child session {i} failed")
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        outs.append(json.loads(line))
+        print(f"session {i} done", file=sys.stderr)
+    print(json.dumps(_merge_sessions(*outs)))
+
+
 def main() -> None:
+    if "--two-session" in sys.argv:
+        _two_session()
+        return
     spark = get_spark(
         app_name="lrdi-scaling",
         master="local[32]",
