@@ -145,6 +145,75 @@ def test_compaction_idempotent_retry(spark, tmp_path):
     assert total.collect()[0][0] == 5
 
 
+def test_span_stream_restart_after_compaction(spark, tmp_path):
+    """Stop the stream after several compactions, add new source files,
+    restart from the SAME checkpoint + store: the stream identity keeps
+    batch addressing consistent, pre-fold content is still detected, and
+    nothing double-counts across the restart boundary."""
+    import json as _json
+
+    from land_registry_data_ingestion_spark.streaming.span_stream import (
+        run_span_dedup_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    passage = _words(10, "p")
+
+    def write_file(i, rows):
+        p = src / f"b{i:02d}.json"
+        p.write_text("\n".join(_json.dumps(r) for r in rows))
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    write_file(0, [{"doc_id": 1, "text": f"{_words(6, 'a')} {passage}"}])
+    for b in range(1, 6):
+        write_file(b, [{"doc_id": 10 + b, "text": _words(12, f"u{b}")}])
+
+    store = SpanStore(spark=spark, root=str(tmp_path / "ss"), k=8)
+
+    def start(seen):
+        def on_spans(spans, batch_id):
+            seen[batch_id] = spans.collect()
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        return run_span_dedup_stream(
+            stream,
+            store,
+            str(tmp_path / "ckpt"),
+            on_spans=on_spans,
+            compact_every=3,
+        )
+
+    seen1: dict[int, list] = {}
+    q = start(seen1)
+    q.awaitTermination(120)
+    assert max(seen1) == 5
+
+    write_file(6, [{"doc_id": 60, "text": _words(12, "v")}])
+    write_file(7, [{"doc_id": 99, "text": f"{passage} {_words(9, 'z')}"}])
+    seen2: dict[int, list] = {}
+    q = start(seen2)
+    q.awaitTermination(120)
+
+    # the restarted stream continues batch numbering (6, 7) and still
+    # detects the passage introduced before the first compaction
+    assert sorted(seen2) == [6, 7]
+    assert {
+        (r.doc_id, r.span_start, r.span_end) for r in seen2[7]
+    } == {(99, 0, 9)}
+    # exactly one count per gram of the passage's first occurrence: the
+    # passage region of doc 1 contributes n=1 grams (not 2+) — restart
+    # and compaction never double-landed batch 0
+    idx = {r.gram_key: r.n for r in store.index().collect()}
+    assert sum(1 for n in idx.values() if n == 2) == 3  # k=8 over a
+    # 10-token passage → 3 grams shared by doc 1 and doc 99 exactly
+    assert all(n <= 2 for n in idx.values())
+
+
 def test_corpus_store_compaction_preserves_dedup(spark, tmp_path):
     store = CorpusStore(spark=spark, root=str(tmp_path / "cs"))
     text = _words(30)
