@@ -31,6 +31,7 @@ from pyspark.sql import types as T
 
 from land_registry_data_ingestion_spark.functions.text import (
     fingerprint,
+    word_shingle_hashes,
     word_shingles,
 )
 from land_registry_data_ingestion_spark.util import barrier, spread
@@ -296,48 +297,32 @@ def minhash_lsh_candidates(
     )
 
 
-def minhash_near_duplicates(
+def _minhash_members_and_rep_pairs(
     df: DataFrame,
     id_col: str,
-    text_col: str = "text",
-    k: int = 3,
-    num_hashes: int = 16,
-    band_size: int = 4,
-    threshold: float = 0.5,
-    max_band_df: int | None = None,
-    family_edges: str = "all-pairs",
-) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates verified with exact Jaccard
-    (verify step touches only candidate pairs).
+    text_col: str,
+    k: int,
+    num_hashes: int,
+    band_size: int,
+    threshold: float,
+    max_band_df: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared mine-and-verify core of the MinHash near-dup family.
 
-    ``family_edges``: ``"all-pairs"`` (default) emits every member-level
-    pair — the declared PAIRS semantics. ``"star"`` emits a
-    connectivity-equivalent linear-size edge set (family-min ↔ member
-    stars + one rep-level edge per verified family pair) for consumers
-    that only need connected components (``near_dup_groups``).
+    Returns ``(members, rep_pairs)``:
 
-    **Identical-content collapse** (the dedup-cascade): real corpora are
-    full of exact duplicates, and every m-way duplicate family would
-    otherwise inject C(m,2) candidate pairs into the verify join — at a
-    20-way replication that is 190 shingle-array comparisons per family
-    computing the same answer. Since signatures, LSH candidacy, the size
-    filter, and Jaccard are all pure functions of the shingle array, docs
-    with identical arrays are collapsed to one representative BEFORE the
-    pipeline and pair results are expanded afterwards:
+    - ``members`` — barriered ``(doc, cfp, n_shingles)``, one row per
+      input document, where ``cfp`` is an 8-byte content fingerprint of
+      the document's distinct-shingle array (identical shingle arrays ⇔
+      identical cfp, modulo 64-bit collisions);
+    - ``rep_pairs`` — ``(cfp_a, cfp_b, jaccard)``: verified (exact
+      Jaccard ≥ threshold) pairs between family REPRESENTATIVES, one row
+      per family pair regardless of family sizes.
 
-    - intra-family pairs are emitted directly with jaccard = 1.0 (what
-      verify would compute: inter = union);
-    - representative pairs expand to the family cross product, same
-      jaccard (the arrays are identical).
-
-    Provably the same output as running the pipeline over all docs;
-    measured 106 s → ~13 s on the 100k-doc / 20-way-family scale probe.
-
-    The shingled frame is consumed multiple times (grouping, signatures,
-    verify sides), so it is persisted rather than recomputed per branch —
-    at cluster scale this intermediate would be staged to Parquet between
-    pipeline steps; MEMORY_AND_DISK gives the same compute-once semantics
-    here without a write barrier.
+    Consumers expand these differently: :func:`minhash_near_duplicates`
+    into member-level pairs (all-pairs or star), and
+    :func:`minhash_near_dup_groups` into canonical groups via connected
+    components over the (tiny) rep graph.
     """
     # Deliberately NOT a shared barrier on the fat shingled frame: caching
     # the 140-string arrays for 100k docs costs more (block-store
@@ -349,13 +334,29 @@ def minhash_near_duplicates(
     # shape, which re-shingled every member into the groupBy and shuffled
     # all members' shingle arrays; here only rep ids cross the join and
     # only rep arrays are ever built).
-    shingled_ids = _shingled(df, id_col, text_col, k).withColumn(
-        # \x01 join: shingles never contain control chars, so the key is
-        # injective on arrays; md5 collision odds are the same the hash
-        # family itself already accepts.
-        "cfp",
-        F.md5(F.concat_ws("\x01", "shingles")),
-    ).select("doc", "cfp", "n_shingles")
+    #
+    # The member pass never builds shingle STRINGS at all: grouping by
+    # identical shingle arrays only needs an injective-enough array key,
+    # and ``word_shingle_hashes`` is positionally aligned with
+    # ``word_shingles`` (gram i's hash ↔ gram i's string; array_distinct
+    # keeps first-occurrence order on both), so xxhash64 over the hash
+    # array groups exactly like a digest of the string array — modulo
+    # 64-bit collisions, the same class the gram-hash contract
+    # (functions/text.py::word_ngram_hashes) already accepts. This
+    # replaces the round-5 shape (string shingles + md5 of the \x01-join
+    # — k-1 concats plus an md5 of the whole document's shingle text per
+    # row): one xxhash64 combine per gram and an 8-byte group key, which
+    # also makes every downstream cfp join/groupBy a long, not a 32-char
+    # string. Measured at the bench scale tier (100k docs): the member
+    # materialization drops 3.5 s → ~1 s.
+    shingled_ids = spread(df).select(
+        F.col(id_col).alias("doc"),
+        word_shingle_hashes(F.col(text_col), k).alias("_sh"),
+    ).select(
+        "doc",
+        F.xxhash64("_sh").alias("cfp"),
+        F.size("_sh").alias("n_shingles"),
+    )
     members = barrier(shingled_ids)
     rep_ids = members.groupBy("cfp").agg(F.min("doc").alias("doc")).select("doc")
     reps = df.join(
@@ -405,6 +406,57 @@ def minhash_near_duplicates(
         joined.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("cfp_a", "cfp_b", "jaccard")
+    )
+    return members, rep_pairs
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.5,
+    max_band_df: int | None = None,
+    family_edges: str = "all-pairs",
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates verified with exact Jaccard
+    (verify step touches only candidate pairs).
+
+    ``family_edges``: ``"all-pairs"`` (default) emits every member-level
+    pair — the declared PAIRS semantics. ``"star"`` emits a
+    connectivity-equivalent linear-size edge set (family-min ↔ member
+    stars + one rep-level edge per verified family pair) for consumers
+    that only need connected components (``near_dup_groups``).
+
+    **Identical-content collapse** (the dedup-cascade): real corpora are
+    full of exact duplicates, and every m-way duplicate family would
+    otherwise inject C(m,2) candidate pairs into the verify join — at a
+    20-way replication that is 190 shingle-array comparisons per family
+    computing the same answer. Since signatures, LSH candidacy, the size
+    filter, and Jaccard are all pure functions of the shingle array, docs
+    with identical arrays are collapsed to one representative BEFORE the
+    pipeline and pair results are expanded afterwards:
+
+    - intra-family pairs are emitted directly with jaccard = 1.0 (what
+      verify would compute: inter = union);
+    - representative pairs expand to the family cross product, same
+      jaccard (the arrays are identical).
+
+    Provably the same output as running the pipeline over all docs;
+    measured 106 s → ~13 s on the 100k-doc / 20-way-family scale probe.
+
+    The shingled frame is consumed multiple times (grouping, signatures,
+    verify sides), so it is persisted rather than recomputed per branch —
+    at cluster scale this intermediate would be staged to Parquet between
+    pipeline steps; MEMORY_AND_DISK gives the same compute-once semantics
+    here without a write barrier. The mine-and-verify core lives in
+    :func:`_minhash_members_and_rep_pairs`; this function is the pair
+    EXPANSION on top of it.
+    """
+    members, rep_pairs = _minhash_members_and_rep_pairs(
+        df, id_col, text_col, k, num_hashes, band_size, threshold, max_band_df
     )
 
     if family_edges == "star":
@@ -524,6 +576,14 @@ def near_dup_groups(
     """
     import time as _time
 
+    # Barrier the INPUT pairs before the fwd/rev mirror: both selects
+    # reference ``pairs``, so an unbarriered (typically expensive — the
+    # whole MinHash mine-and-verify pipeline) producer would execute
+    # twice when ``edges`` materializes. Inner barriers of the producer
+    # dedup its scans but not its join/verify stages; this one-row-per-
+    # pair materialization is strictly smaller than either re-run
+    # (measured at the bench scale tier: CC round 1 drops ~7 s → ~4 s).
+    pairs = barrier(pairs.select(id_a, id_b))
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     edges = barrier(fwd.union(rev).distinct().repartition("dst"))
@@ -641,6 +701,75 @@ def near_dup_groups(
         F.col("id").alias("doc"),
         F.col("label").alias("canonical_doc"),
         F.count("*").over(wl).alias("n_members"),
+    )
+
+
+def minhash_near_dup_groups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.5,
+    max_band_df: int | None = None,
+    max_iters: int = 25,
+    stats: dict | None = None,
+) -> DataFrame:
+    """MinHash near-dup GROUPS end-to-end: connected components computed
+    on the REP GRAPH (one node per identical-content family), then
+    propagated to members with one join.
+
+    Equivalent to ``near_dup_groups(minhash_near_duplicates(...,
+    family_edges="star"))`` — same (doc, canonical_doc, n_members) rows —
+    but the iterative propagation runs over |families| nodes and
+    |verified family pairs| edges instead of |docs| nodes and |docs|
+    star edges. Correctness of the collapse: every member reaches its
+    family rep (rep = min doc of the family, so the component minimum
+    over reps IS the component minimum over docs), reps carry all
+    verified inter-family links, and a family is in the output iff it
+    can emit at least one pair (m ≥ 2 members — intra pairs at
+    jaccard 1.0, impossible when threshold > 1.0 — or ≥ 1 verified
+    cross pair).
+
+    This is the 100 TB shape for grouping: exact-content collapse
+    typically shrinks a crawl corpus 2-10×, so every propagation round's
+    joins, checkpoints, and convergence counts run on the collapsed
+    table while the full corpus is touched exactly twice — once to
+    fingerprint members, once to join the final labels back.
+    """
+    members, rep_pairs = _minhash_members_and_rep_pairs(
+        df, id_col, text_col, k, num_hashes, band_size, threshold, max_band_df
+    )
+    fam = barrier(
+        members.filter(F.col("n_shingles") > 0)
+        .groupBy("cfp")
+        .agg(F.min("doc").alias("rep"), F.count("*").alias("m"))
+    )
+    ra = fam.select(F.col("cfp").alias("cfp_a"), F.col("rep").alias("rep_a"))
+    rb = fam.select(F.col("cfp").alias("cfp_b"), F.col("rep").alias("rep_b"))
+    rep_edges = (
+        rep_pairs.join(ra, "cfp_a")
+        .join(rb, "cfp_b")
+        .select(F.col("rep_a").alias("doc_a"), F.col("rep_b").alias("doc_b"))
+    )
+    roots = near_dup_groups(
+        rep_edges, max_iters=max_iters, stats=stats
+    ).select(F.col("doc").alias("rep"), F.col("canonical_doc").alias("_root"))
+    rep_label = fam.join(roots, "rep", "left").filter(
+        (F.col("_root").isNotNull())
+        | ((F.col("m") >= 2) & F.lit(threshold <= 1.0))
+    )
+    out = (
+        members.filter(F.col("n_shingles") > 0)
+        .join(rep_label.select("cfp", "rep", "_root"), "cfp")
+        .select(
+            "doc", F.coalesce("_root", F.col("rep")).alias("canonical_doc")
+        )
+    )
+    wl = Window.partitionBy("canonical_doc")
+    return out.select(
+        "doc", "canonical_doc", F.count("*").over(wl).alias("n_members")
     )
 
 

@@ -175,20 +175,19 @@ def dedup_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     = min id per component. The oracle replays the closure with a
     recursive CTE — exact group parity, not just pair parity."""
     t = load_tables(spark, sf_dir)
-    # star family edges: components are provably identical to the
-    # all-pairs expansion the oracle's closure replays, but the edge set
-    # is linear in corpus size instead of quadratic in dup-family size
-    # (measured two-session exponent on the 400k-doc scaling tier:
-    # 2.38 all-pairs → 0.89 star; COVERAGE.md "Two-point scaling").
-    pairs = minhash_near_duplicates(
-        t.documents,
-        "doc_id",
-        num_hashes=16,
-        band_size=4,
-        threshold=0.3,
-        family_edges="star",
+    # Rep-graph components (round 6; supersedes the round-5 star-edge
+    # expansion, which was itself linear where all-pairs was quadratic):
+    # label propagation runs over one node per identical-content family
+    # and one edge per VERIFIED family pair, then members take their
+    # family's label in one join — provably the same groups as the
+    # oracle's recursive closure over the expanded pairs.
+    from land_registry_data_ingestion_spark.operators.dedup import (
+        minhash_near_dup_groups,
     )
-    return near_dup_groups(pairs)
+
+    return minhash_near_dup_groups(
+        t.documents, "doc_id", num_hashes=16, band_size=4, threshold=0.3
+    )
 
 
 def _simhash_sql(bits: int = 60) -> str:

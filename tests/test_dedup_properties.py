@@ -9,6 +9,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from land_registry_data_ingestion_spark.operators.dedup import (
+    minhash_near_dup_groups,
     minhash_near_duplicates,
     near_dup_groups,
 )
@@ -62,3 +63,40 @@ def test_star_components_equal_all_pairs_components(spark, families, n_empty):
         return out
 
     assert components("star") == components("all-pairs")
+
+
+@settings(**_SETTINGS)
+@given(families=_corpus, n_empty=st.integers(min_value=0, max_value=2))
+def test_rep_graph_groups_equal_all_pairs_components(spark, families, n_empty):
+    """minhash_near_dup_groups (CC on the rep graph, labels joined back
+    to members) must emit exactly the groups of the declared all-pairs
+    expansion — same doc set, same canonical ids, same member counts —
+    on arbitrary family structures including singleton families and
+    shingle-free docs."""
+    rows = []
+    doc_id = 0
+    for base_idx, m in families:
+        for _ in range(m):
+            rows.append((doc_id, _BASES[base_idx]))
+            doc_id += 1
+    for _ in range(n_empty):
+        rows.append((doc_id, ""))
+        doc_id += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    composed = {
+        r["doc"]: (r["canonical_doc"], r["n_members"])
+        for r in minhash_near_dup_groups(
+            docs, "doc_id", threshold=0.5
+        ).collect()
+    }
+    release_caches()
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", threshold=0.5, family_edges="all-pairs"
+    )
+    expanded = {
+        r["doc"]: (r["canonical_doc"], r["n_members"])
+        for r in near_dup_groups(pairs).collect()
+    }
+    release_caches()
+    assert composed == expanded
