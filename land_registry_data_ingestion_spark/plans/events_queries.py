@@ -772,36 +772,79 @@ def evt_sliding_users_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window-distinct no engine does natively over a frame.
 
     The oracle states it as the naive range join; the engine runs the
-    scale form: dedupe to (user, hour) pairs FIRST (shuffle ∝ active
-    user-hours, not events), explode each pair into the ≤24 ticks it can
-    serve (bounded fan-out of the deduped stream), broadcast-semi-join
-    onto observed ticks, then one count-distinct aggregate. At 100 TB
-    the 24× fan-out rides the small deduped pair set — the raw event
-    stream is touched exactly once."""
+    interval-delta form (round 6; replaces the 24×-fan-out +
+    count-distinct shape, whose (tick, user) dedup was the section's
+    biggest shuffle): a user is counted at tick T iff they have an
+    event hour in [T-23h, T], i.e. iff T falls inside [h, h+23h] for
+    one of their event hours — so per user, merge those tick intervals
+    (gaps-and-islands over the deduped (user, hour) pairs; hours ≤ 24
+    apart yield contiguous coverage), emit ±1 endpoint deltas, and take
+    ONE running sum over the aggregated delta spine, keeping observed
+    ticks. Shuffles: the pair dedup (∝ active user-hours — same as
+    before), a user-partitioned window on ints, and a delta aggregate
+    whose output is bounded by DISTINCT HOURS IN THE TIME RANGE — the
+    24× blow-up and the (tick, user) distinct never exist. The final
+    running sum is a single-task window over that spine (~10 years of
+    hours = 87k rows), the same bounded-by-construction class as the
+    rank operator's offset table."""
     from land_registry_data_ingestion_spark.util import barrier
 
     t = load_tables(spark, sf_dir)
-    ev = t.events.select("user_id", F.date_trunc("hour", "ts").alias("h"))
-    # barrier: the deduped pair set feeds BOTH the tick fan-out and the
-    # observed-hour spine — left lazy, the raw event scan + dedup shuffle
-    # runs twice (and the spine would otherwise re-scan events a third
-    # time; it derives from the materialized pairs instead).
+    ev = t.events.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select("user_id", F.date_trunc("hour", "ts").alias("h"))
+    # barrier: the deduped pair set feeds BOTH the interval merge and
+    # the observed-hour spine — left lazy, the raw event scan + dedup
+    # shuffle would run twice.
     pairs = barrier(ev.distinct())
-    ticks = pairs.select(
-        "user_id",
-        F.explode(
-            F.sequence(
-                F.col("h"),
-                F.col("h") + F.expr("INTERVAL 23 HOURS"),
-                F.expr("INTERVAL 1 HOUR"),
-            )
-        ).alias("window_end"),
+    w = Window.partitionBy("user_id").orderBy("h")
+    gap_hours = (
+        F.unix_timestamp("h") - F.unix_timestamp(F.lag("h").over(w))
+    ) / 3600
+    islands = pairs.withColumn(
+        # ≤ 24: [h_prev, h_prev+23] and [h, h+23] are contiguous iff
+        # h - h_prev ≤ 24, so merging exactly then keeps coverage
+        # identical and interval count minimal.
+        "_isl",
+        F.sum(
+            F.when(gap_hours <= 24, F.lit(0)).otherwise(F.lit(1))
+        ).over(w),
     )
-    hours = pairs.select(F.col("h").alias("window_end")).distinct()
-    return (
-        ticks.join(F.broadcast(hours), "window_end", "left_semi")
-        .groupBy("window_end")
-        .agg(F.countDistinct("user_id").alias("n_users"))
+    intervals = islands.groupBy("user_id", "_isl").agg(
+        F.min("h").alias("_s"),
+        (F.max("h") + F.expr("INTERVAL 23 HOURS")).alias("_e"),
+    )
+    deltas = intervals.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("_s").alias("tick"), F.lit(1).alias("d")),
+                F.struct(
+                    (F.col("_e") + F.expr("INTERVAL 1 HOUR")).alias("tick"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("_x")
+    ).select("_x.tick", "_x.d")
+    observed = pairs.select(F.col("h").alias("tick")).distinct()
+    # The delta spine only carries interval ENDPOINTS; an observed tick
+    # strictly inside a coverage interval needs a 0-delta row so the
+    # running sum surfaces a value AT that tick.
+    spine = (
+        deltas.unionByName(observed.select("tick", F.lit(0).alias("d")))
+        .groupBy("tick")
+        .agg(F.sum("d").alias("_d"))
+    )
+    run = Window.orderBy("tick").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = spine.select(
+        F.col("tick").alias("window_end"),
+        F.sum("_d").over(run).cast("long").alias("n_users"),
+    )
+    return cum.join(
+        F.broadcast(observed.select(F.col("tick").alias("window_end"))),
+        "window_end",
+        "left_semi",
     )
 
 
