@@ -124,12 +124,17 @@ def trim_duplicated_spans(
     is let-bound into a struct so both fields derive from one
     evaluation) — the detection stream and the rebuild stream then read
     different fields of the same materialization instead of re-scanning
-    and re-tokenizing the corpus. Covered positions re-expand from the
-    merged spans (output ∝ duplicated tokens, not span-count²), the keep
-    decision is an ids-only anti-join on (id, pos), and each document's
-    surviving tokens reassemble in one map-combined ``collect_list`` of
-    (pos, tok) structs — sorted in-group, so no per-document window
-    pass.
+    and re-tokenizing the corpus. The rebuild (round 6) is IN-ROW: the
+    merged spans aggregate to one small (start, end) interval list per
+    document, join back to the token arrays, and each document's
+    surviving text is an indexed ``filter`` over its own token array
+    (token i survives iff no interval contains i — intervals per doc are
+    few after the islands merge, so the membership test is a short
+    in-row loop). Text therefore crosses exactly ONE shuffle (the
+    interval join); the previous shape exploded every token into (pos,
+    tok) rows, anti-joined on (id, pos), and re-assembled with a sorted
+    ``collect_list`` — two full-text shuffles plus a per-token hash
+    probe, which at the bench scale tier cost ~2× this form.
     """
     from land_registry_data_ingestion_spark.functions.text import (
         gram_hash_chain,
@@ -166,32 +171,31 @@ def trim_duplicated_spans(
     )
     hits = _duplicated_hits(pos, min_count=min_count, id_col=id_col)
     spans = spans_from_hits(hits, id_col=id_col, k=k)
-    covered = spans.select(
-        id_col,
-        F.explode(F.sequence("span_start", "span_end")).alias("pos"),
+    cuts = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_cuts"),
+        # merged spans are disjoint (islands are separated by a gap > k,
+        # so the previous span ends before the next one starts), so the
+        # covered-token total is a plain sum — n_kept never needs a
+        # second evaluation of the filtered array.
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("_ncov"),
     )
-    toks = base.select(
-        id_col, F.posexplode("_p.toks").alias("pos", "tok")
-    )
-    kept = toks.join(covered, [id_col, "pos"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
+    joined = base.join(cuts, id_col, "left")
+    toks = F.col("_p.toks")
+    kept = F.when(F.col("_cuts").isNull(), toks).otherwise(
+        F.filter(
+            toks,
+            lambda _tok, i: ~F.exists(
+                F.col("_cuts"),
+                lambda c: (i >= c["span_start"]) & (i <= c["span_end"]),
             ),
-            " ",
-        ).alias("clean_text"),
-        F.count("*").alias("n_kept"),
-    )
-    return (
-        df.select(id_col)
-        .join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
+    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size(toks) - F.coalesce(F.col("_ncov"), F.lit(0)))
+        .cast("long")
+        .alias("n_kept"),
     )
 
 
