@@ -218,14 +218,21 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor set of the previous stage — all three shuffles carry only
     (user_id, ts); at scale the survivor frames are far smaller than the
     event log and broadcast-join into the next stage's filter."""
+    from land_registry_data_ingestion_spark.util import barrier
+
     t = load_tables(spark, sf_dir)
     ev = t.events.select("user_id", "event_type", "ts")
-    v = (
+    # barrier each survivor set: every stage frame is consumed twice —
+    # by the next stage's filter AND by its own count — and the chained
+    # re-derivation otherwise re-scans the event log per reference
+    # (audit read 6 cold scans; the data flow needs 3, one per
+    # event-type filter, each pruned at the scan).
+    v = barrier(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
     )
-    c = (
+    c = barrier(
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") >= F.col("t_view"))
@@ -570,19 +577,27 @@ def evt_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast bounds row and ``sequence``/``explode``, and the
     forward-fill window runs over that tiny frame. Nothing here grows
     with event count except the first aggregate."""
+    from land_registry_data_ingestion_spark.util import barrier
+
     t = load_tables(spark, sf_dir)
     ev = t.events.select("event_type", "ts", "value")
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sv")
+    # barrier + derive bounds and the type spine FROM the aggregate:
+    # min/max over per-day minima/maxima equal the raw-log bounds, and
+    # the aggregate already carries every observed type — so the event
+    # log is scanned exactly once instead of three times (daily agg,
+    # bounds agg, distinct types).
+    daily = barrier(
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        ).agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sv")
+        )
     )
-    bounds = ev.agg(
-        F.date_trunc("day", F.min("ts")).alias("lo"),
-        F.date_trunc("day", F.max("ts")).alias("hi"),
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
     )
     spine = (
-        ev.select("event_type")
+        daily.select("event_type")
         .distinct()
         .crossJoin(F.broadcast(bounds))
         .select(
@@ -662,17 +677,22 @@ def evt_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     window spec → one sort, one Window operator. Scale: identical story to
     ``evt_gap_fill`` — one map-combined aggregate over the log, then a
     time-axis-bounded frame."""
+    from land_registry_data_ingestion_spark.util import barrier
+
     t = load_tables(spark, sf_dir)
     ev = t.events.select("event_type", "ts")
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour")
-    ).agg(F.count("*").alias("n"))
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    # same one-scan discipline as evt_gap_fill: bounds and the type
+    # spine derive from the barriered hourly aggregate.
+    hourly = barrier(
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        ).agg(F.count("*").alias("n"))
+    )
+    bounds = hourly.agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
     )
     spine = (
-        ev.select("event_type")
+        hourly.select("event_type")
         .distinct()
         .crossJoin(F.broadcast(bounds))
         .select(

@@ -542,13 +542,20 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself. Both legs are the existing scale-path operators; the metric
     join touches only (query_id, neighbor_id) pairs — driver-scale at
     any corpus size."""
+    from land_registry_data_ingestion_spark.util import barrier
+
     t = load_tables(spark, sf_dir)
     qs = t.embeddings.filter(F.col("vec_id") < 10)
     ivf = ivf_topk(t.embeddings, qs, n_centroids=16, nprobe=4, k=10).select(
         "query_id", "neighbor_id"
     )
-    ex = brute_force_topk(t.embeddings, qs, k=10).select(
-        "query_id", "neighbor_id"
+    # barrier: the exact leg feeds both the overlap semi-join and the
+    # per-query spine — unbarriered, the full brute-force corpus sweep
+    # runs twice.
+    ex = barrier(
+        brute_force_topk(t.embeddings, qs, k=10).select(
+            "query_id", "neighbor_id"
+        )
     )
     matched = (
         ex.join(ivf, ["query_id", "neighbor_id"], "left_semi")

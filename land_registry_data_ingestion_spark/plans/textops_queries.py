@@ -645,9 +645,17 @@ def text_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles."""
     t = load_tables(spark, sf_dir)
     from land_registry_data_ingestion_spark.operators.dedup import _md5_hash64
+    from land_registry_data_ingestion_spark.util import barrier
 
-    mass = t.documents.groupBy("source").agg(
-        F.sum("n_chars").cast("double").alias("m")
+    # barrier: the |sources|-row mass frame seeds a chain of scalar
+    # aggregates (total, q-normalizer, rate floor) that each reference
+    # it — unbarriered, every reference re-scans and re-aggregates the
+    # CORPUS (audit read 9 cold scans for a query whose data flow needs
+    # exactly 2: one to build the masses, one to apply the keep rule).
+    mass = barrier(
+        t.documents.groupBy("source").agg(
+            F.sum("n_chars").cast("double").alias("m")
+        )
     )
     tot = mass.agg(F.sum("m").alias("tm"))
     pq = mass.crossJoin(F.broadcast(tot)).select(
