@@ -90,7 +90,17 @@ _LOADED = False
 # Names absent from the registry are ignored; registered queries missing
 # from this list are appended in module-load order.
 _CHECK_PRIORITY: tuple[str, ...] = (
-    # Round 6 front-of-window. First: the 8 queries whose newest external
+    # Round-6 session-2 rewrites (rule 1, function-level): these four
+    # queries' PLANS were structurally rewritten this round (rep-graph
+    # CC + hash collapse; in-row span rebuild; interval-delta sliding
+    # distinct) — they are the highest-risk rows in the surface and must
+    # re-earn external rows before anything else, even though their r5
+    # rows are fresh.
+    "dedup_near_dup_groups",
+    "dedup_minhash_lsh",
+    "text_dup_span_trim",
+    "evt_sliding_users_24h",
+    # Round 6 front-of-window. Next: the 8 queries whose newest external
     # row is r2-era — three rounds stale, two of them consumers of the
     # token-count semantics changed in r5 (VERDICT r5 "wrong" #3).
     "agg_exact_quantiles",
@@ -148,22 +158,32 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "text_token_budget_sample",
     "text_weighted_sample",
     "win_distribution",
+    # Dependency-promoted (rule 1, module-level residue): the remaining
+    # consumers of operators/dedup.py and operators/spans.py — both
+    # modules changed in round-6 session 2 — whose own entry points were
+    # NOT touched (function-level analysis above). They queue here,
+    # ahead of the plain r4/r5 freshness blocks, in case the external
+    # window runs deeper than 50.
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "text_dup_spans",
+    "text_segment_dedup",
+    "text_decontaminate",
+    "text_pipeline_pack",
     # Back of the rotation: r4-era rows (they re-enter in round 7)...
     "agg_kmv_by_group",
     "cdc_merge_ledger",
     "cdc_merge_outcomes",
     "cdc_merge_state",
     "evt_graph_triangles",
-    "evt_sliding_users_24h",
     "evt_type_correlation",
     "evt_user_entropy",
     "mm_frame_sample",
     "ord_intersect",
     "text_corpus_report",
-    "text_decontaminate",
-    "text_dup_spans",
     "text_repetition_filters",
-    "text_segment_dedup",
     "win_equidepth_histogram",
     "win_running_total",
     # ...then the 45 r5-era rows (freshest) at the very back.
@@ -173,12 +193,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "agg_multi",
     "agg_scalar_max",
     "cdc_rewind_versions",
-    "dedup_exact_groups",
-    "dedup_minhash_lsh",
-    "dedup_near_dup_groups",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
     "evt_conflate_latest",
     "evt_hourly_window",
     "evt_json_extract",
@@ -202,10 +216,8 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "rel_left_join_broadcast",
     "rel_project_filter",
     "rel_semi_join",
-    "text_dup_span_trim",
     "text_fingerprint",
     "text_language_id",
-    "text_pipeline_pack",
     "text_quality_score",
     "text_token_count",
     "win_lag_delta",
