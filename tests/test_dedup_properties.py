@@ -100,3 +100,34 @@ def test_rep_graph_groups_equal_all_pairs_components(spark, families, n_empty):
     }
     release_caches()
     assert composed == expanded
+
+
+def test_null_and_blank_text_never_pair(spark):
+    """NULL text, empty text and whitespace-only text are shingle-free:
+    they must appear in no pair and no group — in both the composed
+    rep-graph path and the all-pairs expansion (NULL flows differ:
+    hash-array cfp is NULL, string-shingle arrays are empty; both must
+    land on exclusion)."""
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "   "),
+        (3, "a b c d e f g h i j"),
+        (4, "a b c d e f g h i j"),
+        (5, "a b c d e f g h i k"),
+        (6, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    composed = sorted(
+        tuple(r)
+        for r in minhash_near_dup_groups(
+            docs, "doc_id", threshold=0.5
+        ).collect()
+    )
+    release_caches()
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", threshold=0.5, family_edges="all-pairs"
+    )
+    expanded = sorted(tuple(r) for r in near_dup_groups(pairs).collect())
+    release_caches()
+    assert composed == expanded == [(3, 3, 3), (4, 3, 3), (5, 3, 3)]
