@@ -102,6 +102,30 @@ def test_rep_graph_groups_equal_all_pairs_components(spark, families, n_empty):
     assert composed == expanded
 
 
+def test_rep_graph_propagation_is_family_scale(spark):
+    """The composed path must propagate labels over FAMILIES, not
+    members: with 3 identical-content families of 100 members each and
+    near-identical base texts linking them, total label changes across
+    all rounds must be bounded by the family count (a member-level CC
+    would move ~300 labels in round 1)."""
+    bases = [
+        " ".join(f"w{j}" for j in range(i, i + 40)) for i in (0, 1, 2)
+    ]
+    rows = [
+        (fam * 100 + m, bases[fam]) for fam in range(3) for m in range(100)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    stats: dict = {}
+    out = minhash_near_dup_groups(
+        docs, "doc_id", threshold=0.5, stats=stats
+    ).collect()
+    release_caches()
+    assert len(out) == 300
+    assert len({r["canonical_doc"] for r in out}) == 1  # all linked
+    total_changes = sum(r["n_changed"] for r in stats["rounds"])
+    assert total_changes <= 3  # rep-graph scale, not member scale
+
+
 def test_null_and_blank_text_never_pair(spark):
     """NULL text, empty text and whitespace-only text are shingle-free:
     they must appear in no pair and no group — in both the composed
