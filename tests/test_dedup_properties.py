@@ -126,6 +126,43 @@ def test_rep_graph_propagation_is_family_scale(spark):
     assert total_changes <= 3  # rep-graph scale, not member scale
 
 
+def test_simhash_arrow_matches_expression_incl_null(spark):
+    """The Arrow kernel and the pure-expression form must emit
+    bit-identical fingerprints — including NULL text → NULL fingerprint
+    (the kernel used to crash the worker on the first NULL document) —
+    and NULL-text docs must never pair, even with each other (oracle
+    semantics: no tokens → absent from signatures)."""
+    from land_registry_data_ingestion_spark.operators.dedup import (
+        simhash,
+        simhash_near_duplicates,
+    )
+
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "  \t "),
+        (3, "hello world foo bar"),
+        (4, "Hello  WORLD\tfoo bar"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = sorted(
+        tuple(r) for r in simhash(docs, "doc_id", use_arrow=False).collect()
+    )
+    arrow = sorted(
+        tuple(r) for r in simhash(docs, "doc_id", use_arrow=True).collect()
+    )
+    release_caches()
+    assert expr == arrow
+    assert dict(expr)[0] is None and dict(expr)[5] is None
+    pairs = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_duplicates(docs, "doc_id").collect()
+    )
+    release_caches()
+    assert pairs == [(1, 2), (3, 4)]  # NULL docs pair with nothing
+
+
 def test_null_and_blank_text_never_pair(spark):
     """NULL text, empty text and whitespace-only text are shingle-free:
     they must appear in no pair and no group — in both the composed
