@@ -867,7 +867,10 @@ def _simhash_arrow(
         # Capped so an adversarial unbounded vocabulary cannot grow the
         # worker heap; at the cap the kernel degrades to the uncached
         # cost, never above it. Measured at the bench scale tier (100k
-        # docs, 20-way dup families): ~2.3M md5 calls -> ~120k.
+        # docs): 2.32M uncached md5 calls; memoized calls ≈ per-task
+        # distinct vocabulary (the synthetic tier's 31-token vocabulary
+        # × ~32 tasks ≈ 1k — real corpora land in between, bounded by
+        # the cap).
         memo: dict[str, int] = {}
         memo_cap = 1_000_000
 
