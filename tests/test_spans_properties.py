@@ -73,3 +73,40 @@ def test_matches_naive_oracle(spark, seed):
         for r in duplicated_spans(df, k=K).collect()
     }
     assert got == _naive_spans(docs, K)
+
+
+def _naive_trim(texts: dict[int, str], k: int) -> dict[int, tuple[str, int]]:
+    """(clean_text, n_kept) by direct enumeration from the naive span
+    oracle: drop every token position covered by a span, rejoin."""
+    spans = _naive_spans(texts, k)
+    toks = {d: " ".join(t.lower().split()).split(" ") for d, t in texts.items()}
+    out = {}
+    for d, t in toks.items():
+        covered = set()
+        for sd, s, e in spans:
+            if sd == d:
+                covered.update(range(s, e + 1))
+        kept = [w for i, w in enumerate(t) if i not in covered]
+        out[d] = (" ".join(kept), len(kept))
+    return out
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37, 51, 73])
+def test_trim_matches_naive_oracle(spark, seed):
+    """Differential for the round-6 in-row rebuild (interval-list join +
+    indexed filter + disjoint-span n_kept arithmetic): clean_text and
+    n_kept must equal the naive cut on every random corpus the span
+    oracle already covers."""
+    from land_registry_data_ingestion_spark.operators.spans import (
+        trim_duplicated_spans,
+    )
+
+    docs = _random_corpus(seed)
+    df = spark.createDataFrame(
+        [Row(doc_id=d, text=t) for d, t in docs.items()]
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept)
+        for r in trim_duplicated_spans(df, k=K).collect()
+    }
+    assert got == _naive_trim(docs, K)
