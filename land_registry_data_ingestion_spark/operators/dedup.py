@@ -847,7 +847,14 @@ def _simhash_arrow(
     import numpy as np
     import pandas as pd
 
-    ws = re.compile(r"\s+")
+    # ASCII whitespace ONLY, and the token split must reproduce the
+    # expression form exactly: Java regex \s (no UNICODE_CHARACTER_CLASS)
+    # is [ \t\n\x0B\f\r], Spark's trim strips ASCII spaces, and
+    # split-on-" " of an empty string yields one empty token. Python's
+    # bare str.split()/strip() are UNICODE-whitespace (\xa0,  , …)
+    # and drop the empty token — a crawl document containing an NBSP
+    # would fingerprint differently in the two forms.
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
     shifts = np.arange(bits, dtype=np.int64)
     # nullable: NULL text must yield a NULL fingerprint, matching the
     # expression form (where every step of the popcount folds NULL
@@ -887,7 +894,9 @@ def _simhash_arrow(
             for i, text in enumerate(pdf[text_col]):
                 if text is None:
                     continue  # NULL text → NULL fingerprint (expr parity)
-                toks = dict.fromkeys(ws.split(text.lower().strip()))
+                toks = dict.fromkeys(
+                    ws.sub(" ", text.lower()).strip(" ").split(" ")
+                )
                 hs = np.fromiter(
                     (h(t) for t in toks), dtype=np.int64, count=len(toks)
                 )

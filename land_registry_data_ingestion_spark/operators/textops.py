@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from land_registry_data_ingestion_spark.util import spread
 from land_registry_data_ingestion_spark.functions.text import (
@@ -300,7 +301,99 @@ def _run_length_stats(sorted_hashes: Column) -> Column:
     return F.aggregate(sorted_hashes, init, step, finish)
 
 
-def repetition_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+def _repetition_counts_arrow(df: DataFrame, text_col: str) -> DataFrame:
+    """Arrow kernel behind :func:`repetition_flags`: per document, the
+    EXACT INTEGER gram statistics (top-bigram count, bigram total,
+    duplicated-trigram occurrences, trigram total). Only integers leave
+    the kernel — the fractions, their HALF_UP rounding, and the
+    threshold flags stay JVM-side expressions, so there is no float
+    parity surface at all. Counting is exact string equality (token
+    codes from ``np.unique``, grams as injective code pairing) — no
+    hash anywhere, which is strictly STRONGER than the expression
+    form's collisions-tolerated xxhash counting.
+
+    Normalization matches the expression form byte-for-byte: ASCII-only
+    whitespace classes (Java regex ``\\s`` without
+    UNICODE_CHARACTER_CLASS), ASCII-space trim, split on single spaces
+    (empty string → one empty token)."""
+    import re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    out_schema = T.StructType(
+        [
+            df.schema["doc_id"],
+            T.StructField("_top2", T.LongType(), False),
+            T.StructField("_m2", T.LongType(), False),
+            T.StructField("_dup3", T.LongType(), False),
+            T.StructField("_m3", T.LongType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_rows = len(pdf)
+            top2 = np.zeros(n_rows, dtype=np.int64)
+            m2 = np.zeros(n_rows, dtype=np.int64)
+            dup3 = np.zeros(n_rows, dtype=np.int64)
+            m3 = np.zeros(n_rows, dtype=np.int64)
+            for i, text in enumerate(pdf[text_col]):
+                if text is None:
+                    continue  # expr form: NULL text → zero grams
+                toks = ws.sub(" ", text.lower()).strip(" ").split(" ")
+                nt = len(toks)
+                if nt < 2:
+                    continue
+                uniq, codes = np.unique(
+                    np.asarray(toks, dtype=object), return_inverse=True
+                )
+                codes = codes.astype(np.int64)
+                v = np.int64(len(uniq))
+                # injective pairing needs v^3 < 2^63; beyond ~2M distinct
+                # tokens in ONE document, fall back to exact tuple
+                # counting (same answer, slower — unreachable for real
+                # documents).
+                if v > 2_000_000:
+                    from collections import Counter
+
+                    c2 = Counter(zip(toks, toks[1:]))
+                    c3 = Counter(zip(toks, toks[1:], toks[2:]))
+                    top2[i] = max(c2.values())
+                    m2[i] = nt - 1
+                    if nt >= 3:
+                        dup3[i] = sum(c for c in c3.values() if c > 1)
+                        m3[i] = nt - 2
+                    continue
+                b = codes[:-1] * v + codes[1:]
+                _, c2 = np.unique(b, return_counts=True)
+                top2[i] = c2.max()
+                m2[i] = nt - 1
+                if nt >= 3:
+                    tg = b[:-1] * v + codes[2:]
+                    _, c3 = np.unique(tg, return_counts=True)
+                    dup3[i] = c3[c3 > 1].sum()
+                    m3[i] = nt - 2
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "_top2": top2,
+                    "_m2": m2,
+                    "_dup3": dup3,
+                    "_m3": m3,
+                }
+            )
+
+    return spread(df.select("doc_id", text_col)).mapInPandas(
+        kernel, out_schema
+    )
+
+
+def repetition_flags(
+    df: DataFrame, text_col: str = "text", use_arrow: bool = True
+) -> DataFrame:
     """Gopher-style (Rae et al. 2021) REPETITION rules — the within-doc
     complement of ``gopher_quality_flags``'s length/character rules:
 
@@ -311,46 +404,61 @@ def repetition_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
       gram appears more than once (≤ 0.30).
 
     Shape — pure map stage, ZERO shuffle: both statistics are per-document
-    functions, so nothing ever needs to leave the row. Tokens hash to
-    longs once (8 B/token materialized behind the barrier — the only
-    thing written anywhere), bigram hashes come from one zip of adjacent
-    token hashes, trigram hashes REUSE the bigram pass (xxhash64(g2[i],
-    h[i+2]) — one combine per gram, not a rebuild), and the per-gram
-    counts reduce in-row via a linear run-length scan over the sorted
-    hash array. Counting hash equality instead of string equality is
-    exact modulo 64-bit collisions *within one document* (p < 1e-13 at
-    10k grams). The former shape (explode → two-level hash aggregate)
-    shuffled every gram occurrence as text — ~5× the token bytes; this
-    one shuffles nothing and scales embarrassingly to any corpus size.
+    functions, so nothing ever needs to leave the row.
+
+    ``use_arrow=True`` (default, round 6): per-batch numpy kernel
+    producing exact INTEGER counts (:func:`_repetition_counts_arrow`);
+    the division, HALF_UP rounding and threshold flags remain JVM
+    expressions on those integers, so both forms round identically by
+    construction. Measured at the bench scale tier: 3.1 s → ~1.1 s.
+
+    ``use_arrow=False`` keeps the pure-expression form: tokens hash to
+    longs once (8 B/token materialized behind the barrier), bigram
+    hashes come from one zip of adjacent token hashes, trigram hashes
+    REUSE the bigram pass (xxhash64(g2[i], h[i+2]) — one combine per
+    gram, not a rebuild), and the per-gram counts reduce in-row via a
+    linear run-length scan over the sorted hash array. Counting hash
+    equality instead of string equality is exact modulo 64-bit
+    collisions *within one document* (p < 1e-13 at 10k grams). The
+    round-2 shape (explode → two-level hash aggregate) shuffled every
+    gram occurrence as text — ~5× the token bytes; both current forms
+    shuffle nothing and scale embarrassingly to any corpus size.
     """
     from land_registry_data_ingestion_spark.util import barrier
 
-    text = F.col(text_col)
-    hs = F.transform(tokens(normalize_text(text)), lambda t: F.xxhash64(t))
-    base = barrier(spread(df).select("doc_id", hs.alias("_hs")))
+    if use_arrow:
+        stats = _repetition_counts_arrow(df, text_col).withColumnRenamed(
+            "_top2", "_s2_top"
+        ).withColumnRenamed("_dup3", "_s3_dup")
+    else:
+        text = F.col(text_col)
+        hs = F.transform(
+            tokens(normalize_text(text)), lambda t: F.xxhash64(t)
+        )
+        base = barrier(spread(df).select("doc_id", hs.alias("_hs")))
 
-    h = F.col("_hs")
-    n = F.size(h)
-    m2 = F.greatest(n - 1, F.lit(0))
-    m3 = F.greatest(n - 2, F.lit(0))
-    g2 = F.zip_with(
-        F.slice(h, 1, m2), F.slice(h, 2, m2), lambda a, b: F.xxhash64(a, b)
-    )
-    g3 = F.zip_with(
-        F.slice(g2, 1, m3), F.slice(h, 3, m3), lambda a, b: F.xxhash64(a, b)
-    )
-    stats = base.select(
-        "doc_id",
-        m2.alias("_m2"),
-        m3.alias("_m3"),
-        _run_length_stats(F.array_sort(g2)).alias("_s2"),
-        _run_length_stats(F.array_sort(g3)).alias("_s3"),
-    )
+        h = F.col("_hs")
+        n = F.size(h)
+        m2 = F.greatest(n - 1, F.lit(0))
+        m3 = F.greatest(n - 2, F.lit(0))
+        g2 = F.zip_with(
+            F.slice(h, 1, m2), F.slice(h, 2, m2), lambda a, b: F.xxhash64(a, b)
+        )
+        g3 = F.zip_with(
+            F.slice(g2, 1, m3), F.slice(h, 3, m3), lambda a, b: F.xxhash64(a, b)
+        )
+        stats = base.select(
+            "doc_id",
+            m2.alias("_m2"),
+            m3.alias("_m3"),
+            _run_length_stats(F.array_sort(g2))["top"].alias("_s2_top"),
+            _run_length_stats(F.array_sort(g3))["dup"].alias("_s3_dup"),
+        )
     top2 = F.when(
-        F.col("_m2") > 0, F.round(F.col("_s2.top") / F.col("_m2"), 6)
+        F.col("_m2") > 0, F.round(F.col("_s2_top") / F.col("_m2"), 6)
     ).otherwise(F.lit(0.0))
     dup3 = F.when(
-        F.col("_m3") > 0, F.round(F.col("_s3.dup") / F.col("_m3"), 6)
+        F.col("_m3") > 0, F.round(F.col("_s3_dup") / F.col("_m3"), 6)
     ).otherwise(F.lit(0.0))
     return stats.select(
         "doc_id",

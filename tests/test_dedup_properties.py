@@ -144,6 +144,11 @@ def test_simhash_arrow_matches_expression_incl_null(spark):
         (3, "hello world foo bar"),
         (4, "Hello  WORLD\tfoo bar"),
         (5, None),
+        # unicode whitespace is NOT a separator (ASCII-only \\s in both
+        # the expression form and the oracle) — both forms must treat
+        # NBSP/U+2028 as token characters.
+        (6, "hello\u00a0world line\u2028sep"),
+        (7, " \u00a0\u3000"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     expr = sorted(

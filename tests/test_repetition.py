@@ -112,3 +112,31 @@ def test_word_shingle_hashes_match_string_shingles(spark):
     # normalization: doc 4's shingles are a subset of doc 1's, in hashes too
     assert set(by_id[4].h) <= h1
     assert by_id[3].h == []
+
+
+def test_arrow_counts_match_expression_form(spark):
+    """The round-6 integer-counts kernel must agree with the
+    pure-expression form on every row — including NULL text,
+    unicode-whitespace-bearing text (ASCII-only split semantics: NBSP
+    and U+2028 are TOKEN CHARACTERS, not separators), empty strings,
+    and heavy repetition. Fractions/flags are shared JVM expressions,
+    so agreement on rows means bit-identical output."""
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "   "),
+        (3, "spam " * 50),
+        (4, "a b c d e f g h i j " * 3),
+        (5, "one"),
+        (6, "hello world hello world plain"),
+        (7, "line sep line sep line sep"),
+        (8, "Tab\there tab\there MIXED case mixed CASE"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    arrow = sorted(
+        tuple(r) for r in repetition_flags(docs, use_arrow=True).collect()
+    )
+    expr = sorted(
+        tuple(r) for r in repetition_flags(docs, use_arrow=False).collect()
+    )
+    assert arrow == expr
