@@ -100,6 +100,9 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "text_dup_span_trim",
     "evt_sliding_users_24h",
+    "text_repetition_filters",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
     # Round 6 front-of-window. Next: the 8 queries whose newest external
     # row is r2-era — three rounds stale, two of them consumers of the
     # token-count semantics changed in r5 (VERDICT r5 "wrong" #3).
@@ -166,8 +169,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     # window runs deeper than 50.
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
     "text_dup_spans",
     "text_segment_dedup",
     "text_decontaminate",
@@ -183,7 +184,6 @@ _CHECK_PRIORITY: tuple[str, ...] = (
     "mm_frame_sample",
     "ord_intersect",
     "text_corpus_report",
-    "text_repetition_filters",
     "win_equidepth_histogram",
     "win_running_total",
     # ...then the 45 r5-era rows (freshest) at the very back.
