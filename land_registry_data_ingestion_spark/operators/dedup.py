@@ -312,9 +312,10 @@ def _minhash_members_and_rep_pairs(
     Returns ``(members, rep_pairs)``:
 
     - ``members`` — barriered ``(doc, cfp, n_shingles)``, one row per
-      input document, where ``cfp`` is an 8-byte content fingerprint of
-      the document's distinct-shingle array (identical shingle arrays ⇔
-      identical cfp, modulo 64-bit collisions);
+      input document, where ``cfp`` is a 16-byte (two-lane xxhash64)
+      content fingerprint of the document's distinct-shingle array
+      (identical shingle arrays ⇔ identical cfp, modulo 128-bit
+      collisions — vanishing even at 10^10 documents);
     - ``rep_pairs`` — ``(cfp_a, cfp_b, jaccard)``: verified (exact
       Jaccard ≥ threshold) pairs between family REPRESENTATIVES, one row
       per family pair regardless of family sizes.
@@ -340,22 +341,34 @@ def _minhash_members_and_rep_pairs(
     # and ``word_shingle_hashes`` is positionally aligned with
     # ``word_shingles`` (gram i's hash ↔ gram i's string; array_distinct
     # keeps first-occurrence order on both), so xxhash64 over the hash
-    # array groups exactly like a digest of the string array — modulo
-    # 64-bit collisions, the same class the gram-hash contract
-    # (functions/text.py::word_ngram_hashes) already accepts. This
+    # array groups exactly like a digest of the string array. This
     # replaces the round-5 shape (string shingles + md5 of the \x01-join
     # — k-1 concats plus an md5 of the whole document's shingle text per
-    # row): one xxhash64 combine per gram and an 8-byte group key, which
-    # also makes every downstream cfp join/groupBy a long, not a 32-char
-    # string. Measured at the bench scale tier (100k docs), isolated
+    # row): two xxhash64 combines per row and a 16-byte group key, which
+    # also makes every downstream cfp join/groupBy a 2-long struct, not
+    # a 32-char string. Measured at the bench scale tier (100k docs), isolated
     # member-barrier materialization, same session: min-of-2 1.34 s →
     # 0.54 s (first runs 3.98 s → 1.31 s).
+    # The doc-level cfp is 128-BIT (two chained-seed xxhash64 views of
+    # the same gram-hash array — the lit(1) prefix reseeds the second
+    # lane, so the lanes are independent): a cfp collision silently
+    # merges two DISTINCT documents into one "identical-content" family
+    # and fabricates jaccard=1.0 pairs, so the doc-level key must stay
+    # collision-free at corpus scale. At 64 bits the birthday bound is
+    # n²/2^65 — marginal at the 10^10-document scale this operator
+    # targets; at 128 bits it is vanishing. Per-GRAM hashes stay 64-bit
+    # (a gram collision only perturbs one Jaccard estimate, the class
+    # the gram-hash contract already accepts). The struct is a pure
+    # equi-key (groupBy/join only), so consumers are unchanged.
     shingled_ids = spread(df).select(
         F.col(id_col).alias("doc"),
         word_shingle_hashes(F.col(text_col), k).alias("_sh"),
     ).select(
         "doc",
-        F.xxhash64("_sh").alias("cfp"),
+        F.struct(
+            F.xxhash64("_sh").alias("h0"),
+            F.xxhash64(F.lit(1), F.col("_sh")).alias("h1"),
+        ).alias("cfp"),
         F.size("_sh").alias("n_shingles"),
     )
     members = barrier(shingled_ids)
@@ -853,7 +866,11 @@ def _simhash_arrow(
     # split-on-" " of an empty string yields one empty token. Python's
     # bare str.split()/strip() are UNICODE-whitespace (\xa0,  , …)
     # and drop the empty token — a crawl document containing an NBSP
-    # would fingerprint differently in the two forms.
+    # would fingerprint differently in the two forms. CASE caveat: the
+    # kernel's str.lower() and the expression form's lower() (Java
+    # String.toLowerCase, default locale) diverge on conditional/locale
+    # mappings (Greek final sigma, Turkish dotless I), so parity is
+    # exact for ASCII / mapping-free Unicode, not arbitrary Unicode.
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
     shifts = np.arange(bits, dtype=np.int64)
     # nullable: NULL text must yield a NULL fingerprint, matching the

@@ -142,7 +142,13 @@ def trim_duplicated_spans(
         tokens,
     )
 
-    toks_expr = tokens(normalize_text(F.col(text_col)))
+    # NULL text normalizes/tokenizes to NULL; coalesce to an empty token
+    # array so NULL-text documents come back as ('', 0) — the same shape
+    # empty documents take — instead of (NULL, -1) from size(NULL).
+    toks_expr = F.coalesce(
+        tokens(normalize_text(F.col(text_col))),
+        F.array().cast("array<string>"),
+    )
     # Two nested 1-element transforms let-bind BOTH arrays: the outer
     # binds the token array, the inner binds the per-token hash array —
     # honoring gram_hash_chain's bound-value contract (its k slice

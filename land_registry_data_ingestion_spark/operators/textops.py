@@ -312,10 +312,18 @@ def _repetition_counts_arrow(df: DataFrame, text_col: str) -> DataFrame:
     hash anywhere, which is strictly STRONGER than the expression
     form's collisions-tolerated xxhash counting.
 
-    Normalization matches the expression form byte-for-byte: ASCII-only
-    whitespace classes (Java regex ``\\s`` without
+    Whitespace normalization matches the expression form byte-for-byte:
+    ASCII-only whitespace classes (Java regex ``\\s`` without
     UNICODE_CHARACTER_CLASS), ASCII-space trim, split on single spaces
-    (empty string → one empty token)."""
+    (empty string → one empty token). CASE normalization carries a
+    narrow Unicode caveat: Python ``str.lower()`` and Spark ``lower()``
+    (Java ``String.toLowerCase``, default locale) differ on
+    conditional/locale mappings — Greek final sigma (``'ΣΑΣ'`` →
+    ``'σασ'`` in Python vs ``'σας'`` in Java) and the Turkish-locale
+    dotless I — so Arrow-vs-expression parity is exact for ASCII and
+    for Unicode text without those mappings, not for arbitrary Unicode.
+    The fixtures and the oracle comparison are ASCII; the parity control
+    test pins the expression form on the same input either way."""
     import re
     from collections.abc import Iterator
 

@@ -810,18 +810,25 @@ def evt_sliding_users_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     from land_registry_data_ingestion_spark.util import barrier
 
     t = load_tables(spark, sf_dir)
-    ev = t.events.filter(
-        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
-    ).select("user_id", F.date_trunc("hour", "ts").alias("h"))
+    # NULL-ts events can never anchor or match a tick (BETWEEN over NULL
+    # is never true in the oracle), so they drop here; NULL-USER events
+    # stay — they contribute observed ticks (the oracle's hours CTE is
+    # over ALL events) but are excluded from the per-user interval merge
+    # below, so a tick whose trailing window holds only NULL-user events
+    # surfaces with n_users = 0, matching COUNT(DISTINCT user_id).
+    ev = t.events.filter(F.col("ts").isNotNull()).select(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    )
     # barrier: the deduped pair set feeds BOTH the interval merge and
     # the observed-hour spine — left lazy, the raw event scan + dedup
     # shuffle would run twice.
     pairs = barrier(ev.distinct())
+    user_pairs = pairs.filter(F.col("user_id").isNotNull())
     w = Window.partitionBy("user_id").orderBy("h")
     gap_hours = (
         F.unix_timestamp("h") - F.unix_timestamp(F.lag("h").over(w))
     ) / 3600
-    islands = pairs.withColumn(
+    islands = user_pairs.withColumn(
         # ≤ 24: [h_prev, h_prev+23] and [h, h+23] are contiguous iff
         # h - h_prev ≤ 24, so merging exactly then keeps coverage
         # identical and interval count minimal.

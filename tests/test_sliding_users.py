@@ -32,18 +32,19 @@ def _events_dir(spark, tmp_path, rows):
 
 
 def _brute_force(rows):
-    """Reference: for each observed hour T, count users with an event
-    hour in [T-23h, T]."""
+    """Reference: for each observed hour T (ANY event with a non-NULL ts,
+    NULL user included — the oracle's hours CTE is over all events),
+    count distinct non-NULL users with an event hour in [T-23h, T]."""
     pairs = {
         (u, t.replace(minute=0, second=0, microsecond=0))
         for u, t in rows
-        if u is not None and t is not None
+        if t is not None
     }
     observed = sorted({h for _, h in pairs})
     out = {}
     for T in observed:
         lo = T - dt.timedelta(hours=23)
-        out[T] = len({u for u, h in pairs if lo <= h <= T})
+        out[T] = len({u for u, h in pairs if u is not None and lo <= h <= T})
     return out
 
 
@@ -95,6 +96,23 @@ def test_null_user_and_null_ts_excluded(spark, tmp_path):
     want = _brute_force(rows)
     assert got == want
     assert got[h(1).replace(minute=0)] == 2
+
+
+def test_null_user_only_hour_emits_zero_tick(spark, tmp_path):
+    """An hour whose trailing window contains ONLY NULL-user events is
+    still an observed tick (the oracle's hours CTE spans all events) and
+    reads n_users = 0 — regression pin for the r7 spine fix."""
+    h = lambda k: BASE + dt.timedelta(hours=k)  # noqa: E731
+    rows = [
+        (1, h(0)),
+        (None, h(0)),
+        (None, h(40)),  # > 23h after any real-user event
+    ]
+    sf_dir = _events_dir(spark, tmp_path, rows)
+    got = _run(spark, sf_dir)
+    want = _brute_force(rows)
+    assert got == want
+    assert got[h(40).replace(minute=0)] == 0
 
 
 @pytest.mark.parametrize("gap_hours", [1, 23, 24, 25, 47, 48, 49])

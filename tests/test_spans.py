@@ -101,3 +101,17 @@ def test_trim_fully_duplicated_doc_empty(spark):
     assert rows[0].clean_text == "" and rows[0].n_kept == 0
     assert rows[1].clean_text == "" and rows[1].n_kept == 0
     assert rows[2].n_kept == 30
+
+
+def test_trim_null_text_returns_empty_zero(spark):
+    # NULL text must take the empty-document shape ('', 0), not
+    # (NULL, -1) from size(NULL) — regression pin for the r7 coalesce.
+    body = _words(12, "z")
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=body), Row(doc_id=1, text=body),
+         Row(doc_id=2, text=None)],
+        schema="doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in trim_duplicated_spans(df, k=8).collect()}
+    assert rows[2].clean_text == "" and rows[2].n_kept == 0
+    assert rows[0].n_kept == 0  # dup detection unaffected by the NULL row
