@@ -289,6 +289,363 @@ def touched_since(ref: str) -> list[str]:
     return [f for f in diff if f.startswith(PKG + "/") and f.endswith(".py")]
 
 
+# -- function-level change detection (rule 1, symbol granularity) --------
+#
+# The module-level closure above answers "could this query possibly be
+# affected?" — right question for QUERY_DEPS.json, but too coarse for the
+# rotation: touching one function in a 1000-line plans module would
+# promote every query the module hosts, crowding the staleness block out
+# of the external window (exactly how round 6 created a 7-query r3-stale
+# hole). This section diffs the AST per TOP-LEVEL SYMBOL between a git
+# ref and the working tree, then propagates "changed" through a
+# symbol-level reference graph, so only queries that can actually REACH
+# a changed symbol are promoted. Comment-only edits are invisible (not
+# in the AST); docstring edits are stripped before comparison; an edit
+# to module-level loose code (imports aside) conservatively marks the
+# whole module changed.
+
+# Modules that trigger every registered query by construction but carry
+# no query semantics: never a source of "changed" propagation.
+_ROTATION_EXEMPT = {f"{PKG}.plans.registry", f"{PKG}.plans.check_priority"}
+
+
+def _strip_docstrings(tree: ast.AST) -> ast.AST:
+    for node in ast.walk(tree):
+        if isinstance(
+            node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef, ast.Module)
+        ):
+            body = getattr(node, "body", [])
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                node.body = body[1:] or [ast.Pass()]
+    return tree
+
+
+def _symbol_dumps(src: str, path: str) -> tuple[dict[str, str], str]:
+    """(top-level symbol -> normalized AST dump, dump of loose module
+    code). Assign/AnnAssign targets each carry the full statement."""
+    tree = _strip_docstrings(ast.parse(src, filename=path))
+    syms: dict[str, str] = {}
+    loose: list[str] = []
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            syms[node.name] = ast.dump(node)
+        elif isinstance(node, (ast.Assign, ast.AnnAssign)):
+            tgts = [node.target] if isinstance(node, ast.AnnAssign) else node.targets
+            d = ast.dump(node)
+            for tgt in tgts:
+                for n in ast.walk(tgt):
+                    if isinstance(n, ast.Name):
+                        # a name assigned twice hashes both statements
+                        syms[n.id] = syms.get(n.id, "") + d
+        elif isinstance(node, (ast.Import, ast.ImportFrom)):
+            continue  # import reshuffles alone never change semantics
+        else:
+            loose.append(ast.dump(node))
+    return syms, "\n".join(loose)
+
+
+def changed_symbol_map(ref: str) -> dict[str, set[str] | None]:
+    """Touched module -> changed/removed top-level symbols, or None for
+    "treat every symbol as changed" (new file, unparseable old version,
+    or loose module-level code changed). Diffs ref..WORKING TREE so the
+    pre-commit rotation check sees uncommitted edits too."""
+    diff = subprocess.run(
+        ["git", "diff", "--name-only", ref],
+        cwd=REPO_ROOT,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.splitlines()
+    out: dict[str, set[str] | None] = {}
+    for rel in diff:
+        if not (rel.startswith(PKG + "/") and rel.endswith(".py")):
+            continue
+        mod = _normalize_module(rel)
+        if mod in _ROTATION_EXEMPT:
+            continue
+        new_path = os.path.join(REPO_ROOT, rel)
+        if not os.path.exists(new_path):  # deleted module
+            out[mod] = None
+            continue
+        show = subprocess.run(
+            ["git", "show", f"{ref}:{rel}"],
+            cwd=REPO_ROOT,
+            capture_output=True,
+            text=True,
+        )
+        try:
+            old_syms, old_loose = _symbol_dumps(show.stdout, rel) if (
+                show.returncode == 0
+            ) else (None, None)
+            new_syms, new_loose = _symbol_dumps(open(new_path).read(), rel)
+        except SyntaxError:
+            out[mod] = None
+            continue
+        if old_syms is None or old_loose != new_loose:
+            out[mod] = None
+            continue
+        changed = {
+            s for s, d in new_syms.items() if old_syms.get(s) != d
+        } | (set(old_syms) - set(new_syms))
+        if changed:
+            out[mod] = changed
+    return out
+
+
+def _symbol_ref_graph() -> dict[tuple[str, str], set]:
+    """(module, symbol) -> set of references, each either
+    ('sym', module, symbol) or ('mod', module). A reference the scan
+    cannot pin to a symbol (opaque module alias use, star import)
+    degrades to ('mod', m) = "any symbol of m"."""
+    mods = package_modules()
+    graph: dict[tuple[str, str], set] = {}
+    for mod, path in mods.items():
+        tree = ast.parse(open(path).read(), filename=path)
+        # module-level import binds: local name -> target
+        binds: dict[str, tuple] = {}
+        for node in tree.body:
+            if isinstance(node, ast.Import):
+                for alias in node.names:
+                    if alias.name.startswith(PKG):
+                        binds[(alias.asname or alias.name).split(".")[0]] = (
+                            "mod",
+                            alias.name,
+                        )
+            elif isinstance(node, ast.ImportFrom):
+                base = node.module or ""
+                if node.level:
+                    parts = mod.split(".")
+                    base = ".".join(
+                        parts[: len(parts) - node.level] + ([base] if base else [])
+                    )
+                if not base.startswith(PKG):
+                    continue
+                for alias in node.names:
+                    if alias.name == "*":
+                        binds.setdefault("*", ("mod", base))
+                        continue
+                    sub = f"{base}.{alias.name}"
+                    binds[alias.asname or alias.name] = (
+                        ("mod", sub) if sub in mods else ("sym", base, alias.name)
+                    )
+
+        def refs_of(node: ast.AST) -> set:
+            acc: set = set()
+            local_binds = dict(binds)
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.Import):
+                    for alias in sub.names:
+                        if alias.name.startswith(PKG):
+                            local_binds[(alias.asname or alias.name).split(".")[0]] = (
+                                "mod",
+                                alias.name,
+                            )
+                elif isinstance(sub, ast.ImportFrom):
+                    base = sub.module or ""
+                    if sub.level:
+                        parts = mod.split(".")
+                        base = ".".join(
+                            parts[: len(parts) - sub.level] + ([base] if base else [])
+                        )
+                    if not base.startswith(PKG):
+                        continue
+                    for alias in sub.names:
+                        if alias.name == "*":
+                            acc.add(("mod", base))
+                            continue
+                        sub_m = f"{base}.{alias.name}"
+                        local_binds[alias.asname or alias.name] = (
+                            ("mod", sub_m)
+                            if sub_m in mods
+                            else ("sym", base, alias.name)
+                        )
+            if "*" in local_binds:
+                acc.add(local_binds["*"])
+            # attribute access on a module alias pins the symbol; a bare
+            # Name of a module alias is opaque
+            attr_parents: set[int] = set()
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.Attribute) and isinstance(
+                    sub.value, ast.Name
+                ):
+                    tgt = local_binds.get(sub.value.id)
+                    if tgt and tgt[0] == "mod":
+                        acc.add(("sym", tgt[1], sub.attr))
+                        attr_parents.add(id(sub.value))
+                        continue
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.Name) and id(sub) not in attr_parents:
+                    tgt = local_binds.get(sub.id)
+                    if tgt:
+                        acc.add(
+                            tgt if tgt[0] == "sym" else ("mod", tgt[1])
+                        )
+                    else:
+                        acc.add(("sym", mod, sub.id))  # local symbol ref
+            return acc
+
+        for node in tree.body:
+            if isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+            ):
+                graph[(mod, node.name)] = refs_of(node)
+            elif isinstance(node, (ast.Assign, ast.AnnAssign)):
+                tgts = (
+                    [node.target]
+                    if isinstance(node, ast.AnnAssign)
+                    else node.targets
+                )
+                r = refs_of(node.value) if node.value is not None else set()
+                for tgt in tgts:
+                    for n in ast.walk(tgt):
+                        if isinstance(n, ast.Name):
+                            graph[(mod, n.id)] = (
+                                graph.get((mod, n.id), set()) | r
+                            )
+    return graph
+
+
+def affected_queries_function_level(ref: str) -> tuple[set[str], dict]:
+    """Declared queries whose plan can reach a symbol changed between
+    ``ref`` and the working tree. Returns (names, changed_symbol_map)."""
+    changed = changed_symbol_map(ref)
+    graph = _symbol_ref_graph()
+    all_mods = package_modules()
+    wholly = {m for m, syms in changed.items() if syms is None}
+    affected: set[tuple[str, str]] = {
+        (m, s) for m, syms in changed.items() if syms for s in syms
+    }
+    # fixpoint over the reference graph
+    moved = True
+    while moved:
+        moved = False
+        for (mod, sym), refs in graph.items():
+            if (mod, sym) in affected or mod in wholly:
+                continue
+            hit = False
+            for r in refs:
+                if r[0] == "sym" and (
+                    (r[1], r[2]) in affected or r[1] in wholly
+                ):
+                    hit = True
+                elif r[0] == "mod" and (
+                    r[1] in wholly or any(m == r[1] for m, _ in affected)
+                ):
+                    hit = True
+                if hit:
+                    break
+            if hit:
+                affected.add((mod, sym))
+                moved = True
+    # map to declared queries: the @query-decorated defs
+    names: set[str] = set()
+    for mod, path in all_mods.items():
+        tree = ast.parse(open(path).read(), filename=path)
+        for node in tree.body:
+            if not isinstance(node, ast.FunctionDef):
+                continue
+            qname = _query_decorator_name(node)
+            if qname is None:
+                continue
+            if mod in wholly or (mod, node.name) in affected:
+                names.add(qname)
+    return names, changed
+
+
+# -- external-row ages + rotation emission --------------------------------
+
+
+def query_ages() -> dict[str, int]:
+    """Query -> newest round with an externally green CORRECTNESS row
+    (green: no error, rows match, schema/hash not refuted). Missing
+    queries have no row yet — infinitely stale."""
+    import glob
+    import re as _re
+
+    ages: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json"))):
+        rnd = int(_re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for q, v in json.load(open(f)).items():
+            green = (
+                v.get("err") in (None, "")
+                and v.get("rows_match")
+                and v.get("schema_match") is not False
+                and v.get("hash_match") is not False
+            )
+            if green:
+                ages[q] = max(ages.get(q, 0), rnd)
+    return ages
+
+
+_CHECK_PRIORITY_PATH = os.path.join(PKG_DIR, "plans", "check_priority.py")
+
+
+def rotation(
+    ref: str, window: int, next_round: int, declared: list[str] | None = None
+) -> None:
+    """Emit plans/check_priority.py: rule-1 (symbol-level touched) queries
+    first, then untouched oldest-external-row first. HARD-FAILS if the
+    touched set alone overflows the window, and prints every query the
+    window cut off, flagging any that will exceed 2-round staleness —
+    the generator, not a human, now owns the '8 + 8 + 34 = 50'
+    arithmetic that went stale in round 6."""
+    if declared is None:
+        from land_registry_data_ingestion_spark.plans import registry
+
+        registry._load_all()
+        declared = list(registry.REGISTRY)
+    touched, changed = affected_queries_function_level(ref)
+    touched &= set(declared)
+    ages = query_ages()
+    for mod, syms in sorted(changed.items()):
+        print(f"changed {mod}: {'<whole module>' if syms is None else sorted(syms)}")
+    if len(touched) > window:
+        raise SystemExit(
+            f"rule-1 violation: {len(touched)} touched queries exceed the "
+            f"{window}-slot window — every semantics change must re-earn "
+            f"an external row THIS round. Touched: {sorted(touched)}"
+        )
+    untouched = sorted(
+        (q for q in declared if q not in touched),
+        key=lambda q: (ages.get(q, -1), q),
+    )
+    ordered = sorted(touched, key=lambda q: (ages.get(q, -1), q)) + untouched
+    spilled = ordered[window:]
+    overdue = [q for q in spilled if ages.get(q, -1) <= next_round - 3]
+    print(f"\nwindow {window}: {len(touched)} touched (rule 1) + "
+          f"{window - len(touched)} staleness fill (rule 2)")
+    print(f"spilled ({len(spilled)}): " + ", ".join(
+        f"{q}(r{ages.get(q, '-')})" for q in spilled))
+    if overdue:
+        raise SystemExit(
+            f"staleness violation: window cuts off queries whose newest "
+            f"green row would fall >2 rounds behind r{next_round}: {overdue}"
+        )
+    lines = [
+        '"""GENERATED by scripts/gen_query_index.py --rotation — do not',
+        "hand-edit; re-run the generator. Ordering contract and rules:",
+        "plans/registry.py (the external harness checks a ~%d-query" % window,
+        'prefix of this tuple in order)."""',
+        "",
+        f"# ref={ref} window={window} next_round=r{next_round}",
+        f"# rule-1 touched ({len(touched)}): {sorted(touched)}",
+        "",
+        "CHECK_PRIORITY: tuple[str, ...] = (",
+    ]
+    for q in ordered:
+        marker = "touched" if q in touched else f"r{ages.get(q, '-')}"
+        lines.append(f'    "{q}",  # {marker}')
+    lines.append(")")
+    with open(_CHECK_PRIORITY_PATH, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"\nwritten: {_CHECK_PRIORITY_PATH} ({len(ordered)} queries)")
+
+
 # -- index generation ----------------------------------------------------
 
 
@@ -298,6 +655,17 @@ def main() -> None:
             print(f"{mod}: {len(qs)} consumer queries")
             for q in qs:
                 print(f"  {q}")
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--rotation":
+        # --rotation <git-ref> [--window N] [--round R]
+        args = sys.argv[2:]
+        ref = args[0]
+        window = int(args[args.index("--window") + 1]) if "--window" in args else 50
+        if "--round" in args:
+            nxt = int(args[args.index("--round") + 1])
+        else:  # infer: newest CORRECTNESS file + 1
+            nxt = max(query_ages().values(), default=0) + 1
+        rotation(ref, window, nxt)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--touched-since":
         touched = touched_since(sys.argv[2])
