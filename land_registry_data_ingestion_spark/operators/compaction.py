@@ -26,11 +26,13 @@ store invariant:
   listing), a ``_folded.json`` naming every folded partition is placed
   inside it, and the directory is atomically renamed to
   ``batch=compact-<tag>``. Readers treat a partition named in any live
-  ``_folded.json`` as subsumed, so the window between rename and the
-  best-effort deletion of folded dirs cannot double-count; leftover
-  folded dirs are garbage-collected on the next compaction. The tag is
-  a digest of the folded set, so a crashed-and-retried compaction is
-  idempotent.
+  ``_folded.json`` as subsumed, so one listing snapshot can never plan
+  both the compact dir and a subsumed dir. Folded dirs are NOT deleted
+  by the fold itself — a reader whose listing snapshot predates the
+  rename still holds their paths, and Spark reads files lazily after
+  planning — they are garbage-collected at the START of the next
+  compaction call (one-cycle grace period). The tag is a digest of the
+  folded set, so a crashed-and-retried compaction is idempotent.
 
 The fold itself is store-specific (gram counts re-aggregate; fingerprint
 and band rows just rewrite into fewer files), passed as ``transform``.
@@ -113,8 +115,17 @@ def compact(
         with open(os.path.join(tmp, "_folded.json"), "w") as fh:
             json.dump(live, fh)
         os.rename(tmp, dest)
-    # best-effort removal of the folded dirs; readers already ignore
-    # them via _folded.json, and the next compaction gc's any survivor
-    for d in live:
-        shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+    # Deletion of the folded dirs is DEFERRED to the next call's gc
+    # (they are invisible to any reader that can see ``_folded.json``,
+    # so only the listing count pays for them). Deleting here would race
+    # a concurrent reader that took its listing snapshot just BEFORE the
+    # rename: that reader's plan holds the folded dirs' paths, and
+    # Spark's lazy execution reads the files after planning — immediate
+    # deletion turns that interleaving into task-time
+    # FileNotFoundExceptions. With the one-cycle grace period such a
+    # reader finishes against the intact pre-fold state; correctness is
+    # two-sided either way (a pre-rename snapshot sees exactly the
+    # folded dirs, a post-rename snapshot sees exactly the compact dir —
+    # never both, because the compact dir and its ``_folded.json``
+    # appear in one atomic rename).
     return dest_name

@@ -85,31 +85,70 @@ def test_compaction_excludes_inflight_batch(spark, tmp_path):
     assert spans == []
 
 
-def test_crash_window_does_not_double_count(spark, tmp_path):
-    """Between the compact partition's atomic rename and the deletion of
-    the folded dirs, both are on disk — readers must count each batch
-    exactly once (the _folded.json subsumption rule)."""
+def test_folded_dirs_survive_fold_and_never_double_count(spark, tmp_path):
+    """After a fold, the compact partition AND every folded dir coexist
+    on disk until the NEXT compaction call gc's them (round-7 deferred
+    deletion) — readers must count each batch exactly once throughout
+    (the _folded.json subsumption rule), and the gc must reclaim them."""
     store = SpanStore(spark=spark, root=str(tmp_path / "ss"), k=8)
     for b in range(3):
         store.ingest_batch(_df(spark, [(b, _words(12, f"u{b}"))]), b)
     before = _index_counts(store)
 
-    # simulate the crash: run a real compaction, then RESTORE one folded
-    # dir (as if deletion never ran) by re-ingesting nothing — instead,
-    # copy semantics: capture a folded dir before compacting.
-    import shutil
-
     src = os.path.join(store._index_dir, "batch=1")
-    saved = str(tmp_path / "saved_batch1")
-    shutil.copytree(src, saved)
     store.compact(min_partitions=2)
-    shutil.copytree(saved, src)  # the leftover the crash would leave
-
-    # reader: still the pre-compaction contents, not batch 1 twice
+    # deferred deletion: the folded dir is still physically present...
+    assert os.path.isdir(src)
+    # ...but subsumed — readers still see the pre-compaction contents,
+    # not batch 1 twice
     assert _index_counts(store) == before
-    # next compaction garbage-collects the leftover
+    # the NEXT compaction call garbage-collects the leftovers even when
+    # it folds nothing itself
     store.compact(min_partitions=999)
     assert not os.path.isdir(src)
+    assert _index_counts(store) == before
+
+
+def test_reader_listing_taken_before_fold_stays_readable(spark, tmp_path):
+    """The concurrent-reader interleaving the round-6 verdict asked to
+    pin: list → fold → read. A reader that resolved its partition list
+    BEFORE the fold completed must still be able to execute its plan
+    (the folded dirs persist through the fold) and must read exactly the
+    pre-fold contents — not crash on deleted paths, not double-count."""
+    import glob
+
+    idx = str(tmp_path / "idx")
+    for b in range(4):
+        spark.createDataFrame([Row(gram_key=b, n=1)]).write.parquet(
+            os.path.join(idx, f"batch={b}")
+        )
+
+    # reader takes its listing snapshot (and even builds its lazy plan)
+    pre_fold_names = live_partitions(idx)
+    assert len(pre_fold_names) == 4
+    pre_fold_df = spark.read.parquet(
+        *(os.path.join(idx, d) for d in pre_fold_names)
+    )
+
+    # fold lands while the reader's plan is in flight
+    name = compact(
+        spark,
+        idx,
+        read=lambda paths: spark.read.parquet(*paths),
+        min_partitions=2,
+    )
+    assert name is not None
+
+    # the pre-fold plan still executes against intact dirs
+    assert sorted(r.gram_key for r in pre_fold_df.collect()) == [0, 1, 2, 3]
+    # a post-fold listing sees ONLY the compact partition even though
+    # the subsumed dirs still physically exist
+    assert live_partitions(idx) == [name]
+    assert len(glob.glob(os.path.join(idx, "batch=*"))) == 5
+    post_df = spark.read.parquet(
+        *(os.path.join(idx, d) for d in live_partitions(idx))
+    )
+    assert sorted(r.gram_key for r in post_df.collect()) == [0, 1, 2, 3]
 
 
 def test_compaction_below_threshold_is_noop(spark, tmp_path):
