@@ -27,12 +27,18 @@ passes of a single-session two-pass scheme):
   subprocess fails.
 - Every query gets a normalized PLAN FINGERPRINT (formatted explain,
   ids/paths/numbers stripped). ``BENCH_FLOORS.json`` — committed,
-  regenerated with ``SPARK_GRAFT_BENCH_WRITE_FLOORS=1`` — records each
-  query's best-known floor + fingerprint; at bench time each query is
-  annotated ``plan_changed`` (fingerprint differs — a real plan change,
-  timing deltas are expected) or ``suspect_stall`` (same plan, >1.5×
-  the committed floor — host noise until reproduced across sessions).
-  The compact line carries both lists.
+  updated with ``SPARK_GRAFT_BENCH_WRITE_FLOORS=1`` — records each
+  query's best-known floor + fingerprint + a rolling list of
+  per-invocation minima (``sessions``); at bench time each query is
+  annotated ``plan_changed`` (fingerprint differs — a real plan
+  change, timing deltas are expected) or ``suspect_stall`` (same plan,
+  above the session-noise band — see ``stall_threshold``; round 6's
+  floor×1.5 rule flagged 19/31 healthy queries because a single
+  calm-window floor is an outlier every ordinary session exceeds).
+  The compact line carries both lists, plus the FULL per-query timing
+  vectors as fixed-order 1-decimal arrays (``ht``/``st``, order
+  digests ``ho``/``so``) so the externally archived line is
+  self-contained even under the harness's ~1500-char tail capture.
 """
 
 from __future__ import annotations
@@ -270,20 +276,61 @@ def load_floors() -> dict:
         return {}
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def stall_threshold(ref: dict) -> float | None:
+    """Per-query stall threshold from the committed noise band.
+
+    Round 6 showed one calm-window floor × 1.5 flags 19/31 HEALTHY
+    queries — the committed floors were min-of-min outliers that
+    ordinary sessions read 1.3-2× above, so the flag carried no signal.
+    The band is built from per-SESSION minima (``sessions``, one entry
+    per bench invocation, ≥3 required): flag only above
+    ``median + max(3·MAD, 75% of median, 0.4 s)`` — MAD degenerates to
+    0 when sessions agree exactly, the 75% term absorbs this host's
+    measured session-to-session drift (within the three round-7 floor
+    sessions alone, healthy per-session minima ranged to 1.73× their
+    median — sim_pq_topk 0.82→1.42 s — even though each scale value is
+    already a min over two passes), and the absolute term keeps
+    sub-second queries from flagging on scheduler jitter. A 3× true
+    regression still clears the band by ≥70%; quieter regressions are
+    the plan-fingerprint check's job, since perf regressions in this
+    engine come from plan changes, not constant factors. With <3
+    recorded sessions there is no band yet: fall back to 2× the floor
+    (wider than the miscalibrated 1.5× on purpose)."""
+    sessions = [s for s in ref.get("sessions", []) if s]
+    if len(sessions) >= 3:
+        med = _median(sessions)
+        mad = _median([abs(s - med) for s in sessions])
+        return med + max(3 * mad, 0.75 * med, 0.4)
+    if ref.get("floor"):
+        return ref["floor"] * 2.0
+    return None
+
+
 def annotate(
     section: dict, name: str, best: float, fp: str
 ) -> dict | None:
-    """Compare one query against the committed floor: a fingerprint
+    """Compare one query against the committed reference: a fingerprint
     mismatch means the plan changed (timing deltas expected); the same
-    plan reading >1.5x the floor is a suspected host stall until it
-    reproduces across sessions."""
+    plan reading above its noise band (see stall_threshold) is a
+    suspected stall/regression."""
     ref = section.get(name)
     if not ref:
         return None
     if ref.get("plan") != fp:
         return {"plan_changed": True}
-    if ref.get("floor") and best > ref["floor"] * 1.5:
-        return {"suspect_stall": True, "floor": ref["floor"]}
+    thr = stall_threshold(ref)
+    if thr is not None and best > thr:
+        return {
+            "suspect_stall": True,
+            "floor": ref.get("floor"),
+            "threshold": round(thr, 3),
+        }
     return None
 
 
@@ -576,9 +623,19 @@ def main() -> None:
         # written on explicit request so a driver run can never
         # overwrite its own reference.
         def floor_entry(prev: dict, best: float, fp: str) -> dict:
-            if prev.get("plan") == fp and prev.get("floor"):
-                best = min(best, prev["floor"])
-            return {"floor": round(best, 3), "plan": fp}
+            # "floor" = best ever on this plan (min-of-min, the honest
+            # lower bound); "sessions" = rolling per-INVOCATION minima
+            # (newest last, capped at 8) — the noise band the stall flag
+            # reads. A plan change resets both: old timings measured a
+            # different operator tree.
+            this = round(best, 3)
+            if prev.get("plan") == fp:
+                sessions = (prev.get("sessions") or [])[-7:] + [this]
+                floor = round(min(best, prev.get("floor") or best), 3)
+            else:
+                sessions = [this]
+                floor = this
+            return {"floor": floor, "plan": fp, "sessions": sessions}
 
         new_floors = {
             "headline": {
@@ -620,6 +677,17 @@ def main() -> None:
     out["plan_changed"] = sorted(
         n for n, v in flags.items() if v.get("plan_changed")
     )
+    # Self-contained per-query record (round-6 verdict: the externally
+    # archived BENCH_rN.json must not depend on the builder-committed
+    # sidecar): EVERY query's time as a fixed-order array of 1-decimal
+    # floats, keyed by an 8-hex digest of the query-name order — ~4
+    # chars/query instead of ~28, so the full vectors fit the harness's
+    # 1500-char tail-capture line even with the forensics lists present.
+    def order_digest(names: list[str]) -> str:
+        return hashlib.sha256(",".join(names).encode()).hexdigest()[:8]
+
+    out["ho"] = order_digest(HEADLINE)
+    out["ht"] = [round(timings[n], 1) for n in HEADLINE]
     if scale is not None:
         out["scale_total_sec"] = scale["total_sec"]
         out["scale_n_queries"] = len(scale["queries"])
@@ -631,6 +699,8 @@ def main() -> None:
         out["headline_max_total"] = round(
             sum(v[1] for v in headline_spread.values()), 3
         )
+        out["so"] = order_digest(SCALE_QUERIES)
+        out["st"] = [round(scale["queries"][n], 1) for n in SCALE_QUERIES]
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1500:
         # Keep the parse contract over per-query detail: collapse the
