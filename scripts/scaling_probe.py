@@ -20,6 +20,11 @@ by least squares over all THREE (log growth, log t) points. A quadratic
 term that two points can absorb into the constant shows up as a fit
 exponent pulled above the two-point value and a visibly convex residual.
 
+``--rep-refit`` (verdict-r6 #5): re-fit text_repetition_filters' post-
+kernel exponent over documents ×4/×8/×16 — the ×1 tier's 0.88 s wall is
+mostly fixed per-session/Arrow overhead, so a fit anchored there
+measures the overhead amortizing, not the operator.
+
 ``--two-session``: committed numbers follow the min-across-sessions
 discipline (this host has stall episodes that cover a whole adaptive
 min-of-2-4 window). This flag automates it: the probe re-invokes itself
@@ -69,6 +74,21 @@ TIER3_SPEC = {
     "events": ("user_id", 10),
 }
 
+# Tier 4 = documents ×16 over tier 1 — exists only for ``--rep-refit``:
+# round 6 left text_repetition_filters' post-kernel three-point fit
+# (0.64) overhead-flattened, because the integer-counts kernel pushed
+# the tier-1 wall to 0.88 s where per-batch Arrow/session constants
+# dominate the smallest point. The refit drops the ×1 point and fits
+# over ×4/×8/×16, where the operator (not the overhead) is the
+# measurement.
+TIER4_SPEC = {
+    "orders": ("o_orderkey", 40),
+    "lineitem": ("l_orderkey", 10),
+    "documents": ("doc_id", 320),
+    "embeddings": ("vec_id", 10),
+    "events": ("user_id", 10),
+}
+
 # Three-point set: the two highest two-point exponents + one control
 # whose linear story is already well understood from the plan.
 THREE_POINT = {
@@ -106,6 +126,45 @@ PROBES = {
 }
 
 
+def offset_fit(growths: list[float], sec: list[float]) -> dict:
+    """Linear-plus-offset model ``t(g) = c + a·g`` by least squares,
+    then the power-law exponent refit on the OFFSET-SUBTRACTED times.
+
+    A per-session fixed cost (Arrow worker spin-up, scan planning,
+    stage scheduling) biases a raw log-log fit of a genuinely linear
+    operator BELOW 1.0 — the round-6 0.64 reading. If the linear+offset
+    model explains the points (small ``offset_residual_sec``), the
+    subtracted exponent is the operator's true scaling and ``c`` is the
+    measured overhead constant the verdict asked to subtract."""
+    import math
+
+    n = len(growths)
+    mg, mt = sum(growths) / n, sum(sec) / n
+    a = sum((g - mg) * (t - mt) for g, t in zip(growths, sec)) / sum(
+        (g - mg) ** 2 for g in growths
+    )
+    c = mt - a * mg
+    resid = max(abs(c + a * g - t) for g, t in zip(growths, sec))
+    adj = [t - c for t in sec]
+    if min(adj) <= 0:
+        return {
+            "offset_sec": round(c, 3),
+            "offset_residual_sec": round(resid, 3),
+            "offset_subtracted_exponent": None,
+        }
+    xs = [math.log(g) for g in growths]
+    ys = [math.log(t) for t in adj]
+    mx, my = sum(xs) / n, sum(ys) / n
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    return {
+        "offset_sec": round(c, 3),
+        "offset_residual_sec": round(resid, 3),
+        "offset_subtracted_exponent": round(slope, 2),
+    }
+
+
 def _merge_sessions(a: dict, b: dict) -> dict:
     """Per-cell minima of two session outputs, exponents/fits recomputed
     from the merged cells."""
@@ -134,6 +193,7 @@ def _merge_sessions(a: dict, b: dict) -> dict:
                 "segment_exponents": segs,
                 "convex": segs[-1] > segs[0] + 0.05,
                 "sessions": [ra["sec"], rb["sec"]],
+                **offset_fit(ra["growths"], ts),
             }
         else:  # two-point entry
             t1 = min(ra["tier1_sec"], rb["tier1_sec"])
@@ -196,6 +256,7 @@ def main() -> None:
 
     base = "/root/testdata/sf0.1"
     three_point = "--three-point" in sys.argv
+    rep_refit = "--rep-refit" in sys.argv
     tier1, _, rows1 = bench.build_scale_dir(spark, base)
     print("tier1:", rows1, file=sys.stderr)
     saved = bench.SCALE_SPEC
@@ -203,11 +264,15 @@ def main() -> None:
         bench.SCALE_SPEC = TIER2_SPEC
         tier2, _, rows2 = bench.build_scale_dir(spark, base)
         print("tier2:", rows2, file=sys.stderr)
-        tier3 = None
-        if three_point:
+        tier3 = tier4 = None
+        if three_point or rep_refit:
             bench.SCALE_SPEC = TIER3_SPEC
             tier3, _, rows3 = bench.build_scale_dir(spark, base)
             print("tier3:", rows3, file=sys.stderr)
+        if rep_refit:
+            bench.SCALE_SPEC = TIER4_SPEC
+            tier4, _, rows4 = bench.build_scale_dir(spark, base)
+            print("tier4:", rows4, file=sys.stderr)
     finally:
         bench.SCALE_SPEC = saved
 
@@ -231,6 +296,39 @@ def main() -> None:
     import math
 
     only = {a for a in sys.argv[1:] if not a.startswith("--")}
+
+    if rep_refit:
+        # text_repetition_filters over documents ×4/×8/×16: the fit's
+        # BASE point is the 4×-grown tier, so the ~1 s fixed per-session
+        # overhead that flattened the round-6 fit is <35% of the
+        # smallest wall — and the OFFSET FIT below measures and removes
+        # it entirely instead of letting it bias the power law.
+        name = "text_repetition_filters"
+        growths = [4.0, 8.0, 16.0]
+        ts = [round(timed(name, d), 3) for d in (tier2, tier3, tier4)]
+        xs = [math.log(g) for g in growths]
+        ys = [math.log(t) for t in ts]
+        n_pts = len(xs)
+        mx, my = sum(xs) / n_pts, sum(ys) / n_pts
+        slope = sum(
+            (x - mx) * (y - my) for x, y in zip(xs, ys)
+        ) / sum((x - mx) ** 2 for x in xs)
+        pair_exps = [
+            round((ys[i + 1] - ys[i]) / (xs[i + 1] - xs[i]), 2)
+            for i in range(n_pts - 1)
+        ]
+        out[name] = {
+            "driver_table": "documents",
+            "growths": growths,
+            "sec": ts,
+            "fit_exponent": round(slope, 2),
+            "segment_exponents": pair_exps,
+            "convex": pair_exps[-1] > pair_exps[0] + 0.05,
+            **offset_fit(growths, ts),
+        }
+        print(name, out[name], file=sys.stderr)
+        print(json.dumps(out))
+        return
 
     if three_point:
         probes3 = {
