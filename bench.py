@@ -463,7 +463,10 @@ def main() -> None:
         return plan_fingerprint(REGISTRY[name].fn(spark, data_dir))
 
     floors = load_floors()
-    flags: dict[str, dict] = {}
+    # per-section: a query can appear in BOTH sections (different data
+    # dirs, same name) — a flat dict would let one section's verdict
+    # shadow the other's in the sidecar.
+    flags: dict[str, dict[str, dict]] = {"headline": {}, "scale": {}}
 
     timings: dict[str, float] = {}
     headline_spread: dict[str, list] = {}
@@ -475,7 +478,7 @@ def main() -> None:
         headline_spread[name] = [round(lo, 3), round(hi, 3), n]
         note = annotate(floors.get("headline", {}), name, lo, headline_plans[name])
         if note:
-            flags[name] = note
+            flags["headline"][name] = note
         gc_between()
 
     def _run_pass2(
@@ -575,7 +578,7 @@ def main() -> None:
                 scale_plans[name],
             )
             if note:
-                flags[name] = note
+                flags["scale"][name] = note
         scale = {
             "rows": rows,
             "build_sec": build_sec,
@@ -672,10 +675,10 @@ def main() -> None:
     # fingerprint moved is listed in plan_changed (its timing delta is a
     # real plan change, not noise).
     out["suspect_stall"] = sorted(
-        n for n, v in flags.items() if v.get("suspect_stall")
+        {n for sec in flags.values() for n, v in sec.items() if v.get("suspect_stall")}
     )
     out["plan_changed"] = sorted(
-        n for n, v in flags.items() if v.get("plan_changed")
+        {n for sec in flags.values() for n, v in sec.items() if v.get("plan_changed")}
     )
     # Self-contained per-query record (round-6 verdict: the externally
     # archived BENCH_rN.json must not depend on the builder-committed
