@@ -866,11 +866,13 @@ def _simhash_arrow(
     # split-on-" " of an empty string yields one empty token. Python's
     # bare str.split()/strip() are UNICODE-whitespace (\xa0,  , …)
     # and drop the empty token — a crawl document containing an NBSP
-    # would fingerprint differently in the two forms. CASE caveat: the
-    # kernel's str.lower() and the expression form's lower() (Java
-    # String.toLowerCase, default locale) diverge on conditional/locale
-    # mappings (Greek final sigma, Turkish dotless I), so parity is
-    # exact for ASCII / mapping-free Unicode, not arbitrary Unicode.
+    # would fingerprint differently in the two forms. CASE: Python
+    # str.lower() and Java toLowerCase both implement Unicode default
+    # case conversion (final sigma included — verified agreement in
+    # tests/test_repetition.py); the residual divergence class is a
+    # Turkish/Azeri/Lithuanian JVM DEFAULT LOCALE, where Java's
+    # locale-sensitive mapping lowers 'I' to dotless 'ı' while
+    # Python's locale-free mapping does not.
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
     shifts = np.arange(bits, dtype=np.int64)
     # nullable: NULL text must yield a NULL fingerprint, matching the

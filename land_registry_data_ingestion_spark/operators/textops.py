@@ -315,15 +315,17 @@ def _repetition_counts_arrow(df: DataFrame, text_col: str) -> DataFrame:
     Whitespace normalization matches the expression form byte-for-byte:
     ASCII-only whitespace classes (Java regex ``\\s`` without
     UNICODE_CHARACTER_CLASS), ASCII-space trim, split on single spaces
-    (empty string → one empty token). CASE normalization carries a
-    narrow Unicode caveat: Python ``str.lower()`` and Spark ``lower()``
-    (Java ``String.toLowerCase``, default locale) differ on
-    conditional/locale mappings — Greek final sigma (``'ΣΑΣ'`` →
-    ``'σασ'`` in Python vs ``'σας'`` in Java) and the Turkish-locale
-    dotless I — so Arrow-vs-expression parity is exact for ASCII and
-    for Unicode text without those mappings, not for arbitrary Unicode.
-    The fixtures and the oracle comparison are ASCII; the parity control
-    test pins the expression form on the same input either way."""
+    (empty string → one empty token). CASE normalization: both Python
+    ``str.lower()`` and Spark ``lower()`` (Java ``String.toLowerCase``)
+    implement Unicode default case conversion INCLUDING the
+    context-sensitive final-sigma rule — verified to agree on
+    ``'ΣΑΣ'`` → ``'σας'`` by ``tests/test_repetition.py``. The one
+    residual caveat: Java's mapping is sensitive to the JVM DEFAULT
+    LOCALE while Python's is not, so under a Turkish/Azeri/Lithuanian
+    default-locale JVM (``lower('I')`` → dotless ``'ı'``) the two
+    forms diverge on I/i and dotted variants. The engine does not pin
+    the JVM locale (the driver contract runs plain sessions); parity
+    is exact everywhere except that locale class."""
     import re
     from collections.abc import Iterator
 

@@ -140,3 +140,34 @@ def test_arrow_counts_match_expression_form(spark):
         tuple(r) for r in repetition_flags(docs, use_arrow=False).collect()
     )
     assert arrow == expr
+
+
+def test_arrow_expr_agree_on_final_sigma(spark):
+    """Executable pin of the case-normalization note at
+    textops.py::_repetition_counts_arrow: Python str.lower() and Spark
+    lower() (Java toLowerCase) BOTH implement Unicode default case
+    conversion including the context-sensitive final-sigma rule, so
+    'ΣΑΣ' and pre-lowered 'σας' meet as equal tokens in BOTH forms and
+    the repetition counts agree bit-for-bit. (The documented residual
+    divergence class — a Turkish/Azeri/Lithuanian JVM default locale —
+    is not constructible in-process: it would require restarting the
+    JVM with -Duser.language=tr.) If either side's case algorithm ever
+    changes, this flips and both kernels' docstrings must be revisited.
+    """
+    from land_registry_data_ingestion_spark.operators.textops import (
+        repetition_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "ΣΑΣ σας ΣΑΣ σας ΣΑΣ σας"), (1, "ΣΑΣ ΣΑΣ ΣΑΣ mixed")],
+        "doc_id long, text string",
+    )
+    arrow = sorted(
+        tuple(r) for r in repetition_flags(docs, use_arrow=True).collect()
+    )
+    expr = sorted(
+        tuple(r) for r in repetition_flags(docs, use_arrow=False).collect()
+    )
+    assert arrow == expr
+    # and the rule actually fired: all tokens in doc 0 are one type
+    assert arrow[0][1] > 0.8  # top_bigram_frac ~ 5/5
