@@ -127,3 +127,24 @@ def test_two_event_user_all_gap_widths(spark, tmp_path, gap_hours):
     got = _run(spark, sf_dir)
     want = _brute_force(rows)
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [5, 17, 29])
+def test_random_events_match_brute_force(spark, tmp_path, seed):
+    """Randomized differential for the interval-delta form: random
+    (user, hour) scatter over a 90-hour span, with NULL users and NULL
+    timestamps mixed in — every observed tick must match the brute
+    force at every seed (merge boundaries, 0-delta interior ticks, and
+    the NULL-user spine semantics all land in-distribution here)."""
+    import random
+
+    rng = random.Random(seed)
+    h = lambda k: BASE + dt.timedelta(hours=k, minutes=rng.randint(0, 59))  # noqa: E731
+    rows = []
+    for _ in range(120):
+        user = rng.choice([None, 1, 2, 3, 4, 5, 6])
+        ts = None if rng.random() < 0.05 else h(rng.randint(0, 90))
+        rows.append((user, ts))
+    sf_dir = _events_dir(spark, tmp_path, rows)
+    got = _run(spark, sf_dir)
+    assert got == _brute_force(rows)

@@ -1,5 +1,8 @@
 """Randomized differential test: duplicated_spans vs a naive in-memory
-oracle (independent implementation — dict-of-grams, set-cover merge)."""
+oracle (independent implementation — dict-of-grams, set-cover merge).
+Every corpus also carries a NULL-text and an empty-text document: NULL
+must behave as the empty document ('' / 0 kept tokens, no spans) — the
+round-7 regression class."""
 
 from __future__ import annotations
 
@@ -18,7 +21,10 @@ def _naive_spans(texts: dict[int, str], k: int) -> set[tuple[int, int, int]]:
     k-gram, mark covered token positions, emit maximal covered runs —
     adjacency (gap == k) merges, matching the operator's contract."""
     grams: dict[tuple[str, ...], int] = {}
-    toks = {d: " ".join(t.lower().split()).split(" ") for d, t in texts.items()}
+    toks = {
+        d: " ".join(t.lower().split()).split(" ") if t is not None else []
+        for d, t in texts.items()
+    }
     for t in toks.values():
         for i in range(len(t) - k + 1):
             g = tuple(t[i : i + k])
@@ -59,6 +65,8 @@ def _random_corpus(seed: int) -> dict[int, str]:
                 body.extend(rng.choice(shared))
             body.extend(rng.choice(vocab) for _ in range(rng.randint(0, 9)))
         docs[d] = " ".join(body)
+    docs[8] = None  # NULL text: no spans, trims to ('', 0)
+    docs[9] = ""  # empty text: one empty token, never duplicated at k=5
     return docs
 
 
@@ -66,7 +74,8 @@ def _random_corpus(seed: int) -> dict[int, str]:
 def test_matches_naive_oracle(spark, seed):
     docs = _random_corpus(seed)
     df = spark.createDataFrame(
-        [Row(doc_id=d, text=t) for d, t in docs.items()]
+        [Row(doc_id=d, text=t) for d, t in docs.items()],
+        schema="doc_id bigint, text string",
     )
     got = {
         (r.doc_id, r.span_start, r.span_end)
@@ -79,7 +88,10 @@ def _naive_trim(texts: dict[int, str], k: int) -> dict[int, tuple[str, int]]:
     """(clean_text, n_kept) by direct enumeration from the naive span
     oracle: drop every token position covered by a span, rejoin."""
     spans = _naive_spans(texts, k)
-    toks = {d: " ".join(t.lower().split()).split(" ") for d, t in texts.items()}
+    toks = {
+        d: " ".join(t.lower().split()).split(" ") if t is not None else []
+        for d, t in texts.items()
+    }
     out = {}
     for d, t in toks.items():
         covered = set()
@@ -103,7 +115,8 @@ def test_trim_matches_naive_oracle(spark, seed):
 
     docs = _random_corpus(seed)
     df = spark.createDataFrame(
-        [Row(doc_id=d, text=t) for d, t in docs.items()]
+        [Row(doc_id=d, text=t) for d, t in docs.items()],
+        schema="doc_id bigint, text string",
     )
     got = {
         r.doc_id: (r.clean_text, r.n_kept)
