@@ -52,6 +52,7 @@ import sys
 import tempfile
 import time
 from pathlib import Path
+from statistics import median as _median
 
 REPO_ROOT = str(Path(__file__).resolve().parent)
 if REPO_ROOT not in sys.path:
@@ -274,12 +275,6 @@ def load_floors() -> dict:
             return json.load(f)
     except (OSError, ValueError):
         return {}
-
-
-def _median(xs: list[float]) -> float:
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def stall_threshold(ref: dict) -> float | None:

@@ -63,6 +63,19 @@ def package_modules() -> dict[str, str]:
     return mods
 
 
+def _resolve_relative(
+    owner: str, mods: dict[str, str], level: int, base: str
+) -> str:
+    """Resolve a level-N relative import against its owning module.
+    For a plain module ``a.b.c`` level 1 strips to ``a.b``; for a
+    PACKAGE ``a.b`` (an ``__init__`` module) level 1 is the package
+    itself — the naive ``parts[:-level]`` is off by one there."""
+    parts = owner.split(".")
+    is_pkg = mods.get(owner, "").endswith("__init__.py")
+    keep = len(parts) - level + (1 if is_pkg else 0)
+    return ".".join(parts[:keep] + ([base] if base else []))
+
+
 def module_imports(path: str, mods: dict[str, str], owner: str) -> set[str]:
     """Package-internal modules imported anywhere in ``path`` (top-level
     and lazy in-function imports alike — the registry's own deferred
@@ -77,8 +90,7 @@ def module_imports(path: str, mods: dict[str, str], owner: str) -> set[str]:
         elif isinstance(node, ast.ImportFrom):
             base = node.module or ""
             if node.level:  # resolve relative against the owning module
-                parts = owner.split(".")
-                base = ".".join(parts[: len(parts) - node.level] + ([base] if base else []))
+                base = _resolve_relative(owner, mods, node.level, base)
             if not base.startswith(PKG):
                 continue
             # `from pkg.a import b`: b may be a submodule or a symbol —
@@ -145,10 +157,7 @@ def _imports_in(
         elif isinstance(sub, ast.ImportFrom):
             base = sub.module or ""
             if sub.level:
-                parts = owner.split(".")
-                base = ".".join(
-                    parts[: len(parts) - sub.level] + ([base] if base else [])
-                )
+                base = _resolve_relative(owner, mods, sub.level, base)
             if not base.startswith(PKG):
                 continue
             for alias in sub.names:
@@ -185,10 +194,7 @@ def query_direct_deps() -> dict[str, tuple[str, set[str]]]:
             elif isinstance(node, ast.ImportFrom):
                 base = node.module or ""
                 if node.level:
-                    parts = mod.split(".")
-                    base = ".".join(
-                        parts[: len(parts) - node.level] + ([base] if base else [])
-                    )
+                    base = _resolve_relative(mod, mods, node.level, base)
                 if not base.startswith(PKG):
                     continue
                 for alias in node.names:
@@ -331,6 +337,7 @@ def _symbol_dumps(src: str, path: str) -> tuple[dict[str, str], str]:
     tree = _strip_docstrings(ast.parse(src, filename=path))
     syms: dict[str, str] = {}
     loose: list[str] = []
+    imports: list[str] = []
     for node in tree.body:
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
             syms[node.name] = ast.dump(node)
@@ -343,10 +350,16 @@ def _symbol_dumps(src: str, path: str) -> tuple[dict[str, str], str]:
                         # a name assigned twice hashes both statements
                         syms[n.id] = syms.get(n.id, "") + d
         elif isinstance(node, (ast.Import, ast.ImportFrom)):
-            continue  # import reshuffles alone never change semantics
+            # Import statements join the loose digest as an ORDER-
+            # INSENSITIVE set: pure reorders stay invisible, but
+            # RETARGETING a binding (same local name, different source
+            # module) must mark the module changed — the consuming
+            # function's own dump is identical in that case, so the
+            # binding change is the only signal rule 1 has.
+            imports.append(ast.dump(node))
         else:
             loose.append(ast.dump(node))
-    return syms, "\n".join(loose)
+    return syms, "\n".join(loose) + "\n#imports:" + "\n".join(sorted(imports))
 
 
 def changed_symbol_map(ref: str) -> dict[str, set[str] | None]:
@@ -356,6 +369,15 @@ def changed_symbol_map(ref: str) -> dict[str, set[str] | None]:
     pre-commit rotation check sees uncommitted edits too."""
     diff = subprocess.run(
         ["git", "diff", "--name-only", ref],
+        cwd=REPO_ROOT,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.splitlines()
+    # `git diff` omits files git has never seen; an untracked brand-new
+    # module is still a working-tree change the rotation must see.
+    diff += subprocess.run(
+        ["git", "ls-files", "--others", "--exclude-standard"],
         cwd=REPO_ROOT,
         capture_output=True,
         text=True,
@@ -419,10 +441,7 @@ def _symbol_ref_graph() -> dict[tuple[str, str], set]:
             elif isinstance(node, ast.ImportFrom):
                 base = node.module or ""
                 if node.level:
-                    parts = mod.split(".")
-                    base = ".".join(
-                        parts[: len(parts) - node.level] + ([base] if base else [])
-                    )
+                    base = _resolve_relative(mod, mods, node.level, base)
                 if not base.startswith(PKG):
                     continue
                 for alias in node.names:
@@ -448,10 +467,7 @@ def _symbol_ref_graph() -> dict[tuple[str, str], set]:
                 elif isinstance(sub, ast.ImportFrom):
                     base = sub.module or ""
                     if sub.level:
-                        parts = mod.split(".")
-                        base = ".".join(
-                            parts[: len(parts) - sub.level] + ([base] if base else [])
-                        )
+                        base = _resolve_relative(mod, mods, sub.level, base)
                     if not base.startswith(PKG):
                         continue
                     for alias in sub.names:
@@ -641,8 +657,13 @@ def rotation(
         marker = "touched" if q in touched else f"r{ages.get(q, '-')}"
         lines.append(f'    "{q}",  # {marker}')
     lines.append(")")
-    with open(_CHECK_PRIORITY_PATH, "w") as fh:
+    # Atomic replace: registry.py imports this file at package-import
+    # time, so a torn write would brick every consumer INCLUDING this
+    # generator (rotation() imports the registry to enumerate queries).
+    tmp = _CHECK_PRIORITY_PATH + ".tmp"
+    with open(tmp, "w") as fh:
         fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, _CHECK_PRIORITY_PATH)
     print(f"\nwritten: {_CHECK_PRIORITY_PATH} ({len(ordered)} queries)")
 
 

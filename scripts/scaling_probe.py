@@ -126,6 +126,29 @@ PROBES = {
 }
 
 
+def loglog_fit(growths: list[float], sec: list[float]) -> dict:
+    """Least-squares slope over (log growth, log t) plus per-segment
+    exponents — the one implementation every output path shares."""
+    import math
+
+    xs = [math.log(g) for g in growths]
+    ys = [math.log(t) for t in sec]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    segs = [
+        round((ys[i + 1] - ys[i]) / (xs[i + 1] - xs[i]), 2)
+        for i in range(n - 1)
+    ]
+    return {
+        "fit_exponent": round(slope, 2),
+        "segment_exponents": segs,
+        "convex": segs[-1] > segs[0] + 0.05,
+    }
+
+
 def offset_fit(growths: list[float], sec: list[float]) -> dict:
     """Linear-plus-offset model ``t(g) = c + a·g`` by least squares,
     then the power-law exponent refit on the OFFSET-SUBTRACTED times.
@@ -175,23 +198,10 @@ def _merge_sessions(a: dict, b: dict) -> dict:
         ra, rb = a[name], b[name]
         if "sec" in ra:  # three-point entry
             ts = [min(x, y) for x, y in zip(ra["sec"], rb["sec"])]
-            xs = [math.log(g) for g in ra["growths"]]
-            ys = [math.log(t) for t in ts]
-            n = len(xs)
-            mx, my = sum(xs) / n, sum(ys) / n
-            slope = sum(
-                (x - mx) * (y - my) for x, y in zip(xs, ys)
-            ) / sum((x - mx) ** 2 for x in xs)
-            segs = [
-                round((ys[i + 1] - ys[i]) / (xs[i + 1] - xs[i]), 2)
-                for i in range(n - 1)
-            ]
             out[name] = {
                 **ra,
                 "sec": [round(t, 3) for t in ts],
-                "fit_exponent": round(slope, 2),
-                "segment_exponents": segs,
-                "convex": segs[-1] > segs[0] + 0.05,
+                **loglog_fit(ra["growths"], ts),
                 "sessions": [ra["sec"], rb["sec"]],
                 **offset_fit(ra["growths"], ts),
             }
@@ -257,8 +267,10 @@ def main() -> None:
     base = "/root/testdata/sf0.1"
     three_point = "--three-point" in sys.argv
     rep_refit = "--rep-refit" in sys.argv
-    tier1, _, rows1 = bench.build_scale_dir(spark, base)
-    print("tier1:", rows1, file=sys.stderr)
+    tier1 = None
+    if not rep_refit:  # rep-refit times tiers 2-4 only; skip the build
+        tier1, _, rows1 = bench.build_scale_dir(spark, base)
+        print("tier1:", rows1, file=sys.stderr)
     saved = bench.SCALE_SPEC
     try:
         bench.SCALE_SPEC = TIER2_SPEC
@@ -306,24 +318,11 @@ def main() -> None:
         name = "text_repetition_filters"
         growths = [4.0, 8.0, 16.0]
         ts = [round(timed(name, d), 3) for d in (tier2, tier3, tier4)]
-        xs = [math.log(g) for g in growths]
-        ys = [math.log(t) for t in ts]
-        n_pts = len(xs)
-        mx, my = sum(xs) / n_pts, sum(ys) / n_pts
-        slope = sum(
-            (x - mx) * (y - my) for x, y in zip(xs, ys)
-        ) / sum((x - mx) ** 2 for x in xs)
-        pair_exps = [
-            round((ys[i + 1] - ys[i]) / (xs[i + 1] - xs[i]), 2)
-            for i in range(n_pts - 1)
-        ]
         out[name] = {
             "driver_table": "documents",
             "growths": growths,
             "sec": ts,
-            "fit_exponent": round(slope, 2),
-            "segment_exponents": pair_exps,
-            "convex": pair_exps[-1] > pair_exps[0] + 0.05,
+            **loglog_fit(growths, ts),
             **offset_fit(growths, ts),
         }
         print(name, out[name], file=sys.stderr)
@@ -342,29 +341,12 @@ def main() -> None:
             ]
             # least-squares slope over (log growth, log t); with three
             # points the residual sign says convex (hidden superlinear
-            # term) vs concave (fixed overhead still amortizing).
-            xs = [math.log(g) for g in growths]
-            ys = [math.log(t) for t in ts]
-            n_pts = len(xs)
-            mx, my = sum(xs) / n_pts, sum(ys) / n_pts
-            slope = sum(
-                (x - mx) * (y - my) for x, y in zip(xs, ys)
-            ) / sum((x - mx) ** 2 for x in xs)
-            pair_exps = [
-                round(
-                    (ys[i + 1] - ys[i]) / (xs[i + 1] - xs[i]), 2
-                )
-                for i in range(n_pts - 1)
-            ]
+            # term emerging) vs concave (overhead still amortizing).
             out[name] = {
                 "driver_table": table,
                 "growths": growths,
                 "sec": ts,
-                "fit_exponent": round(slope, 2),
-                "segment_exponents": pair_exps,
-                # convex (rising segment exponents) = superlinear term
-                # emerging; flat/falling = overhead amortizing.
-                "convex": pair_exps[-1] > pair_exps[0] + 0.05,
+                **loglog_fit(growths, ts),
             }
             print(name, out[name], file=sys.stderr)
         print(json.dumps(out))

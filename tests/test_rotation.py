@@ -56,7 +56,7 @@ def test_docstring_and_comment_changes_invisible():
 def test_import_reorder_invisible_but_body_change_seen():
     reordered = BASE.replace(
         "import os\nfrom collections import Counter",
-        "from collections import Counter\nimport sys",
+        "from collections import Counter\nimport os",
     )
     assert _dumps(BASE) == _dumps(reordered)
     changed = BASE.replace("return a + X", "return a - X")
@@ -64,6 +64,20 @@ def test_import_reorder_invisible_but_body_change_seen():
     assert old["g"] == new["g"]
     assert old["f"] != new["f"]
     assert old["X"] == new["X"]
+
+
+def test_import_retarget_is_visible():
+    """Rebinding a module-level import to a DIFFERENT source module
+    changes behavior without changing any function body — the loose
+    digest must move so rule 1 marks the module changed (review
+    finding: the first cut skipped imports entirely, which made
+    retargeting invisible)."""
+    retargeted = BASE.replace(
+        "from collections import Counter", "from typing import Counter"
+    )
+    assert _dumps(BASE)[1] != _dumps(retargeted)[1]
+    # ...while the symbol dumps themselves are unchanged
+    assert _dumps(BASE)[0] == _dumps(retargeted)[0]
 
 
 def test_assign_and_loose_code_changes():
