@@ -30,9 +30,14 @@ store invariant:
   both the compact dir and a subsumed dir. Folded dirs are NOT deleted
   by the fold itself — a reader whose listing snapshot predates the
   rename still holds their paths, and Spark reads files lazily after
-  planning — they are garbage-collected at the START of the next
-  compaction call (one-cycle grace period). The tag is a digest of the
-  folded set, so a crashed-and-retried compaction is idempotent.
+  planning — they are garbage-collected by a LATER compaction call,
+  and only once the fold that subsumed them is at least
+  ``gc_grace_seconds`` old (the streaming sinks call ``compact`` every
+  micro-batch, so "next call" alone can be seconds away — an AGE gate,
+  not a call-count gate, is what actually bounds the reader race; see
+  the gc comment in :func:`compact` for what the bound does and does
+  not guarantee). The tag is a digest of the folded set, so a
+  crashed-and-retried compaction is idempotent.
 
 The fold itself is store-specific (gram counts re-aggregate; fingerprint
 and band rows just rewrite into fewer files), passed as ``transform``.
@@ -44,6 +49,7 @@ import hashlib
 import json
 import os
 import shutil
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -71,6 +77,26 @@ def live_partitions(index_dir: str, exclude_batch: int | str | None = None) -> l
     ]
 
 
+def _fold_times(index_dir: str) -> dict[str, float]:
+    """Folded partition name -> mtime of the newest ``_folded.json``
+    naming it — i.e. when the fold that subsumed it landed (the atomic
+    rename carries the file's mtime). The gc's age gate reads this."""
+    times: dict[str, float] = {}
+    if not os.path.isdir(index_dir):
+        return times
+    for d in os.listdir(index_dir):
+        if not d.startswith("batch="):
+            continue
+        fj = os.path.join(index_dir, d, "_folded.json")
+        if not os.path.isfile(fj):
+            continue
+        mt = os.path.getmtime(fj)
+        with open(fj) as fh:
+            for name in json.load(fh):
+                times[name] = max(times.get(name, 0.0), mt)
+    return times
+
+
 def compact(
     spark,
     index_dir: str,
@@ -79,6 +105,7 @@ def compact(
     exclude_batch: int | str | None = None,
     min_partitions: int = 32,
     target_files: int | None = None,
+    gc_grace_seconds: float = 300.0,
 ) -> str | None:
     """Fold the live partitions of ``index_dir`` into one
     ``batch=compact-<tag>`` partition. No-op (returns None) below
@@ -86,16 +113,61 @@ def compact(
     every batch and pay the O(index) rewrite only 1/min_partitions of
     the time. ``read`` maps partition PATHS to a DataFrame (the store
     knows its schema); ``transform`` re-aggregates if the store's rows
-    are additive. Returns the new partition name, or None."""
+    are additive. Returns the new partition name, or None.
+
+    ``gc_grace_seconds``: a folded dir is physically deleted only once
+    the fold that subsumed it is at least this old. The window it
+    protects: a reader takes its listing snapshot just BEFORE the fold's
+    rename, so its lazy plan holds the folded dirs' paths, and Spark
+    reads the files only when the plan executes — deleting underneath
+    it raises task-time FileNotFoundException. The age gate narrows
+    that race to readers whose plan is still executing
+    ``gc_grace_seconds`` after the fold; it does NOT eliminate it —
+    there is no reader registry, so a sufficiently slow reader (one
+    whose single plan outlives the grace period) can still crash. 300 s
+    covers any realistic store probe by orders of magnitude; raise it
+    for ad-hoc analytical readers, or set 0 to reclaim space eagerly
+    when no concurrent readers exist (tests, offline rebuilds).
+    Correctness is unaffected either way: a pre-rename snapshot plans
+    exactly the folded dirs, a post-rename snapshot plans exactly the
+    compact dir — never both, because the compact dir and its
+    ``_folded.json`` appear in one atomic rename."""
     live = live_partitions(index_dir, exclude_batch)
-    # gc: folded dirs a previous crash left behind are invisible to
-    # readers but still occupy the listing — remove them first.
+    # gc: folded dirs (and dirs a previous crash left behind) are
+    # invisible to readers but still occupy the listing — remove those
+    # old enough that no reader planned against them recently. Deletion
+    # never outruns subsumption: a compact dir that was itself folded
+    # later is removed only AFTER everything its own ``_folded.json``
+    # names is gone — deleting it first would un-subsume those dirs for
+    # the duration of the gc pass (and, if the pass crashed mid-way,
+    # until the next one), double-counting their rows against the
+    # newer compact partition that carries them.
     all_names = {
         d for d in os.listdir(index_dir) if d.startswith("batch=")
     } if os.path.isdir(index_dir) else set()
     excluded = {f"batch={exclude_batch}"} if exclude_batch is not None else set()
-    for leftover in all_names - set(live) - excluded:
-        shutil.rmtree(os.path.join(index_dir, leftover), ignore_errors=True)
+    fold_times = _fold_times(index_dir)
+    now = time.time()
+    present = set(all_names)
+    removable = all_names - set(live) - excluded
+    progress = True
+    while progress:
+        progress = False
+        for leftover in sorted(removable & present):
+            # unknown fold time (no surviving _folded.json names it —
+            # an anomaly) → treat as just-folded, never reclaim early
+            if now - fold_times.get(leftover, now) < gc_grace_seconds:
+                continue
+            fj = os.path.join(index_dir, leftover, "_folded.json")
+            if os.path.isfile(fj):
+                with open(fj) as fh:
+                    if any(n in present for n in json.load(fh)):
+                        continue  # still subsuming something on disk
+            shutil.rmtree(
+                os.path.join(index_dir, leftover), ignore_errors=True
+            )
+            present.discard(leftover)
+            progress = True
     if len(live) < min_partitions:
         return None
 
@@ -115,17 +187,9 @@ def compact(
         with open(os.path.join(tmp, "_folded.json"), "w") as fh:
             json.dump(live, fh)
         os.rename(tmp, dest)
-    # Deletion of the folded dirs is DEFERRED to the next call's gc
-    # (they are invisible to any reader that can see ``_folded.json``,
-    # so only the listing count pays for them). Deleting here would race
-    # a concurrent reader that took its listing snapshot just BEFORE the
-    # rename: that reader's plan holds the folded dirs' paths, and
-    # Spark's lazy execution reads the files after planning — immediate
-    # deletion turns that interleaving into task-time
-    # FileNotFoundExceptions. With the one-cycle grace period such a
-    # reader finishes against the intact pre-fold state; correctness is
-    # two-sided either way (a pre-rename snapshot sees exactly the
-    # folded dirs, a post-rename snapshot sees exactly the compact dir —
-    # never both, because the compact dir and its ``_folded.json``
-    # appear in one atomic rename).
+    # Deletion of the folded dirs is DEFERRED to a later call's gc, and
+    # only after ``gc_grace_seconds`` (they are invisible to any reader
+    # that can see ``_folded.json``, so only the listing count pays for
+    # them until then) — see the gc comment above for the exact
+    # guarantee and its limit.
     return dest_name

@@ -119,6 +119,7 @@ class CorpusStore:
         self,
         exclude_batch: int | str | None = None,
         min_partitions: int = 32,
+        gc_grace_seconds: float = 300.0,
     ) -> dict[str, str | None]:
         """Fold committed per-batch index (and, in near-dup mode, band)
         partitions into one partition each (`operators/compaction.py`):
@@ -145,6 +146,7 @@ class CorpusStore:
                 ),
                 exclude_batch=exclude_batch,
                 min_partitions=min_partitions,
+                gc_grace_seconds=gc_grace_seconds,
             )
         return out
 

@@ -122,6 +122,7 @@ class SpanStore:
         self,
         exclude_batch: int | str | None = None,
         min_partitions: int = 32,
+        gc_grace_seconds: float = 300.0,
     ) -> str | None:
         """Fold committed per-batch gram-count partitions into one
         pre-aggregated partition (`operators/compaction.py`): caps the
@@ -149,6 +150,7 @@ class SpanStore:
             ),
             exclude_batch=exclude_batch,
             min_partitions=min_partitions,
+            gc_grace_seconds=gc_grace_seconds,
         )
 
     def ingest_batch(

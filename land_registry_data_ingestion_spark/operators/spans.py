@@ -143,8 +143,10 @@ def trim_duplicated_spans(
     )
 
     # NULL text normalizes/tokenizes to NULL; coalesce to an empty token
-    # array so NULL-text documents come back as ('', 0) — the same shape
-    # empty documents take — instead of (NULL, -1) from size(NULL).
+    # array so NULL-text documents come back as ('', 0) — matching the
+    # DuckDB oracle, whose LEFT JOIN + coalesce yields ('', 0) for NULL.
+    # (An empty STRING is one empty token, ('', 1): fully-trimmed
+    # documents, not empty ones, are the shape NULL shares.)
     toks_expr = F.coalesce(
         tokens(normalize_text(F.col(text_col))),
         F.array().cast("array<string>"),

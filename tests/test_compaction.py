@@ -87,9 +87,11 @@ def test_compaction_excludes_inflight_batch(spark, tmp_path):
 
 def test_folded_dirs_survive_fold_and_never_double_count(spark, tmp_path):
     """After a fold, the compact partition AND every folded dir coexist
-    on disk until the NEXT compaction call gc's them (round-7 deferred
-    deletion) — readers must count each batch exactly once throughout
-    (the _folded.json subsumption rule), and the gc must reclaim them."""
+    on disk until a later compaction call gc's them — and with the
+    round-8 AGE GATE, only once the fold is ``gc_grace_seconds`` old
+    (the streaming sinks compact every micro-batch, so a call-count
+    grace alone can be seconds). Readers must count each batch exactly
+    once throughout (the _folded.json subsumption rule)."""
     store = SpanStore(spark=spark, root=str(tmp_path / "ss"), k=8)
     for b in range(3):
         store.ingest_batch(_df(spark, [(b, _words(12, f"u{b}"))]), b)
@@ -102,11 +104,66 @@ def test_folded_dirs_survive_fold_and_never_double_count(spark, tmp_path):
     # ...but subsumed — readers still see the pre-compaction contents,
     # not batch 1 twice
     assert _index_counts(store) == before
-    # the NEXT compaction call garbage-collects the leftovers even when
-    # it folds nothing itself
+    # the NEXT call does NOT reclaim it under the default grace — the
+    # fold just landed, a pre-fold reader's plan could still be running
     store.compact(min_partitions=999)
+    assert os.path.isdir(src)
+    # with the grace elapsed (0 here), a later call reclaims the
+    # leftovers even when it folds nothing itself
+    store.compact(min_partitions=999, gc_grace_seconds=0.0)
     assert not os.path.isdir(src)
     assert _index_counts(store) == before
+
+
+def test_gc_age_gate_and_subsumption_order(spark, tmp_path):
+    """Two invariants of the round-8 gc: (1) a folded dir is reclaimed
+    only once the fold that subsumed it is gc_grace_seconds old; (2) a
+    compact dir that was itself folded later is never deleted while a
+    dir its own _folded.json names still exists — deleting the subsumer
+    first would un-subsume (and so double-count) the survivor for any
+    reader listing during the window."""
+    idx = str(tmp_path / "idx")
+
+    def write(name, key):
+        spark.createDataFrame([Row(gram_key=key, n=1)]).write.parquet(
+            os.path.join(idx, name)
+        )
+
+    def mark_folded(name, folded, age_sec):
+        fj = os.path.join(idx, name, "_folded.json")
+        with open(fj, "w") as fh:
+            json.dump(folded, fh)
+        import time
+
+        old = time.time() - age_sec
+        os.utime(fj, (old, old))
+
+    # chain: batch=0 folded into compact-a (RECENT fold), compact-a
+    # folded into compact-b (old fold) — so compact-a is age-eligible
+    # but still subsumes the on-disk batch=0, which is not.
+    write("batch=0", 0)
+    write("batch=compact-a", 0)
+    write("batch=compact-b", 0)
+    mark_folded("batch=compact-a", ["batch=0"], age_sec=0)
+    mark_folded("batch=compact-b", ["batch=compact-a"], age_sec=3600)
+
+    def read(paths):
+        return spark.read.parquet(*paths)
+
+    assert live_partitions(idx) == ["batch=compact-b"]
+    compact(spark, idx, read, min_partitions=999, gc_grace_seconds=300.0)
+    # neither deleted: batch=0 is too young, and compact-a must wait
+    # for batch=0 even though compact-a itself is old enough
+    assert os.path.isdir(os.path.join(idx, "batch=0"))
+    assert os.path.isdir(os.path.join(idx, "batch=compact-a"))
+
+    # age the inner fold too: one call now reclaims the whole chain
+    # (batch=0 on the first fixpoint pass, compact-a on the second)
+    mark_folded("batch=compact-a", ["batch=0"], age_sec=3600)
+    compact(spark, idx, read, min_partitions=999, gc_grace_seconds=300.0)
+    assert not os.path.isdir(os.path.join(idx, "batch=0"))
+    assert not os.path.isdir(os.path.join(idx, "batch=compact-a"))
+    assert live_partitions(idx) == ["batch=compact-b"]
 
 
 def test_reader_listing_taken_before_fold_stays_readable(spark, tmp_path):
