@@ -76,17 +76,31 @@ def main() -> None:
     with open(ref_path) as f:
         ref = json.load(f)
     mismatches = []
+    thin_bands = []
     for section in ("headline", "scale"):
         for n, fp in got[section].items():
             want = ref.get(section, {}).get(n)
-            want = want.get("plan") if isinstance(want, dict) else want
+            if isinstance(want, dict):
+                # A committed fingerprint without >=3 session minima
+                # behind it leaves the stall detector on the 2x-floor
+                # fallback — the regression-hiding window the round-7
+                # notes documented. A plan-changing commit must carry
+                # fresh floor sessions, not just the new fingerprint.
+                if len(want.get("sessions") or []) < 3:
+                    thin_bands.append((section, n, len(want.get("sessions") or [])))
+                want = want.get("plan")
             if want != fp:
                 mismatches.append((section, n, want, fp))
     n_checked = len(got["headline"]) + len(got["scale"])
-    print(f"checked {n_checked}; mismatches: {len(mismatches)}")
+    print(
+        f"checked {n_checked}; mismatches: {len(mismatches)}; "
+        f"entries with <3 sessions: {len(thin_bands)}"
+    )
     for m in mismatches:
         print(" ", m)
-    if mismatches:
+    for t in thin_bands:
+        print("  thin band:", t)
+    if mismatches or thin_bands:
         raise SystemExit(1)
 
 

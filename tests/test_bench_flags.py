@@ -49,9 +49,74 @@ def test_zero_mad_does_not_flag_everything():
 
 def test_subsecond_queries_need_absolute_excess():
     ref = _ref([0.2, 0.2, 0.25])
-    # +0.4 s on a 0.2 s query is scheduler jitter, not a stall
+    # +0.4 s on a 0.2 s query is scheduler jitter, not a stall (scale
+    # section's 0.4 s absolute term)
     assert bench.annotate({"q": ref}, "q", 0.55, "abc123") is None
     assert bench.annotate({"q": ref}, "q", 0.9, "abc123")
+
+
+def test_headline_abs_floor_sees_fast_query_regressions():
+    """Round-8 (r7 verdict #5): under the old 0.4 s absolute term a
+    0.2 s-median headline query tolerated ~2.5× same-plan slowdowns
+    silently; the headline section's 0.15 s term must flag them while
+    still passing ordinary jitter."""
+    ref = _ref([0.2, 0.2, 0.25])
+    hl = bench.ABS_NOISE_SEC["headline"]
+    # ordinary jitter (+0.1 s) stays quiet...
+    assert bench.annotate({"q": ref}, "q", 0.3, "abc123", hl) is None
+    # ...a 2.6× reading flags (it did NOT under the 0.4 s term)
+    assert bench.annotate({"q": ref}, "q", 0.52, "abc123", hl)
+    assert bench.annotate({"q": ref}, "q", 0.52, "abc123") is None
+
+
+def test_zero_valued_session_minimum_still_counts():
+    """A 0.0 recorded session (sub-millisecond reading rounded to 3
+    decimals) must count toward the ≥3-session band — filtering with
+    truthiness would silently drop it and leave the query on the
+    2×-floor fallback despite having 3 recorded sessions."""
+    ref = {"plan": "abc123", "floor": 0.0, "sessions": [0.0, 0.001, 0.001]}
+    thr = bench.stall_threshold(ref, 0.15)
+    # band exists (3 sessions) and is the absolute term, not 2×floor=0
+    assert thr is not None and 0.15 <= thr <= 0.16
+
+
+def test_committed_floor_sessions_replay_clean():
+    """Replay EVERY recorded session minimum in the committed
+    BENCH_FLOORS.json against its own band (headline 0.15 s absolute
+    term, scale 0.4 s): the only flags allowed are the adjudicated
+    host-anomaly readings — three from the round-7 floor sessions
+    (ROUND7_NOTES: cdc_merge_state session-4 stall episode;
+    text_dsir_weights / text_token_budget_sample session-5 slow-host
+    window, all re-measured healthy in isolation) plus the r7 driver
+    run's text_quality_score reading (ROUND8_NOTES: judge re-measured
+    0.84-0.92 s idle steady-state vs the driver's 1.7 s, plan
+    unchanged — host drift). Anything else flagging would be a false
+    flag; an adjudicated reading NOT flagging would mean the band got
+    too wide to catch the episode it absorbed."""
+    import json
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "BENCH_FLOORS.json")) as f:
+        floors = json.load(f)
+    adjudicated = {
+        ("scale", "cdc_merge_state", 4.547),
+        ("scale", "text_dsir_weights", 2.963),
+        ("scale", "text_token_budget_sample", 2.642),
+        ("scale", "text_quality_score", 1.7),
+    }
+    flagged = set()
+    for section, entries in floors.items():
+        abs_noise = bench.ABS_NOISE_SEC[section]
+        for name, ref in entries.items():
+            sessions = ref.get("sessions", [])
+            assert len(sessions) >= 3, (
+                f"{section}/{name}: {len(sessions)} sessions — a plan "
+                "change must land with >=3 fresh floor sessions"
+            )
+            thr = bench.stall_threshold(ref, abs_noise)
+            for s in sessions:
+                if s > thr:
+                    flagged.add((section, name, s))
+    assert flagged == adjudicated
 
 
 def test_fewer_than_three_sessions_falls_back_to_2x_floor():
