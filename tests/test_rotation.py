@@ -115,6 +115,141 @@ def test_check_priority_covers_registry_exactly():
     assert list(REGISTRY) == list(CHECK_PRIORITY)
 
 
+def test_symbol_graph_init_assumptions_hold():
+    """The rotation's symbol-reference graph does not propagate through
+    package ``__init__`` namespaces (accepted limitation, ROUND7_NOTES):
+    a change to ``operators/merge.py::cdc_merge`` would be invisible to
+    a consumer spelling ``from ..operators import cdc_merge``, because
+    the re-export statement in the ``__init__`` itself never changes.
+    Two invariants keep that limitation harmless; this test fails the
+    moment either is broken (r7 verdict #7):
+
+    1. No package module outside an ``__init__.py`` imports THROUGH a
+       package namespace — every intra-package import names a concrete
+       module, or a submodule via its package (which IS a module the
+       graph tracks).
+    2. ``__init__.py`` files carry no semantics of their own — only a
+       docstring, re-export ImportFroms, and __all__/__version__
+       assignments — so there is no symbol a query could reach that
+       LIVES in an ``__init__``."""
+    import ast
+
+    mods = gqi.package_modules()
+    violations = []
+    for mod, path in mods.items():
+        is_init = path.endswith("__init__.py")
+        tree = ast.parse(open(path).read(), filename=path)
+        if is_init:
+            for node in tree.body:
+                if isinstance(node, ast.ImportFrom):
+                    continue
+                if isinstance(node, ast.Expr) and isinstance(
+                    node.value, ast.Constant
+                ):
+                    continue  # docstring
+                if isinstance(node, ast.Assign) and all(
+                    isinstance(t, ast.Name)
+                    and t.id in ("__all__", "__version__")
+                    for t in node.targets
+                ):
+                    continue
+                violations.append((mod, f"init hosts semantics: {ast.dump(node)[:80]}"))
+            continue
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom):
+                base = node.module or ""
+                if node.level:
+                    base = gqi._resolve_relative(mod, mods, node.level, base)
+                if not base.startswith(gqi.PKG):
+                    continue
+                if mods.get(base, "").endswith("__init__.py"):
+                    for alias in node.names:
+                        if f"{base}.{alias.name}" not in mods:
+                            violations.append(
+                                (mod, f"re-export import: from {base} "
+                                      f"import {alias.name}")
+                            )
+            elif isinstance(node, ast.Import):
+                for alias in node.names:
+                    if alias.name.startswith(gqi.PKG) and mods.get(
+                        alias.name, ""
+                    ).endswith("__init__.py"):
+                        violations.append(
+                            (mod, f"package import: import {alias.name}")
+                        )
+    assert not violations, violations
+
+
+def _check_priority_header():
+    """(ref, recorded rule-1 touched list) from the generated file."""
+    import ast
+    import re
+
+    path = os.path.join(
+        os.path.dirname(__file__),
+        "..",
+        gqi.PKG,
+        "plans",
+        "check_priority.py",
+    )
+    src = open(path).read()
+    ref = re.search(r"^# ref=(\S+) ", src, re.M).group(1)
+    touched = ast.literal_eval(
+        re.search(r"^# rule-1 touched \(\d+\): (\[.*\])$", src, re.M).group(1)
+    )
+    return ref, touched
+
+
+def test_check_priority_fresh_at_head():
+    """The pre-round rotation contract, automated (r7 verdict #2 /
+    ADVICE): the committed ``check_priority.py`` must have been
+    generated (a) from a ref at or after the previous driver round's
+    final commit, and (b) AFTER the last change to any package module —
+    otherwise rule 1 silently misses a touched query and a semantics
+    change ships on stale external rows. (b) is checked by re-running
+    the symbol-level touched walk from the header's ref against the
+    CURRENT working tree and comparing to the recorded touched set, so
+    this fails for uncommitted edits too — the fix is always: re-run
+    ``scripts/gen_query_index.py --rotation <prev-round-final-commit>``
+    after the round's last engine commit."""
+    import re
+    import subprocess
+
+    ref, recorded_touched = _check_priority_header()
+    git = lambda *a: subprocess.run(  # noqa: E731
+        ["git", *a], cwd=gqi.REPO_ROOT, capture_output=True, text=True
+    )
+    # (a) find the newest driver round-boundary commit ("round N: ...")
+    log = git("log", "--format=%H %s").stdout.splitlines()
+    round_commit = next(
+        (
+            h.split(" ", 1)[0]
+            for h in log
+            if re.match(r"round \d+: ", h.split(" ", 1)[1])
+        ),
+        None,
+    )
+    if round_commit is None:
+        pytest.skip("no driver round-boundary commit in history")
+    assert git("merge-base", "--is-ancestor", round_commit, ref).returncode == 0, (
+        f"check_priority.py was generated at ref={ref}, which predates "
+        f"the last round boundary {round_commit[:9]} — regenerate with "
+        f"--rotation {round_commit[:9]}"
+    )
+    # (b) the recorded touched set must reproduce at HEAD + working tree
+    declared = set()
+    from land_registry_data_ingestion_spark.plans import registry
+
+    registry._load_all()
+    declared = set(registry.REGISTRY)
+    touched, _ = gqi.affected_queries_function_level(ref)
+    assert sorted(touched & declared) == sorted(recorded_touched), (
+        "package modules changed after check_priority.py was generated "
+        "(or the generator ran against a dirty tree) — re-run the "
+        "rotation generator as the round's last step"
+    )
+
+
 def test_rotation_overflow_hard_fails(monkeypatch, tmp_path):
     """A touched set larger than the window must abort loudly, not
     silently spill — the generator owns the arithmetic now."""
