@@ -13,6 +13,12 @@ default, or a JSON written by a previous invocation (``--write out.json``
 Exits non-zero listing mismatches. Round 6: post-execution fingerprints
 failed 23/75 of these checks (materialized barrier caches rewrite the
 printed plan); construction-time fingerprints pass 75/75.
+
+Round 8: when the reference is the committed floors file, additionally
+fails any entry holding fewer than 3 session minima — a plan-changing
+commit must carry fresh floor sessions, or the stall detector rides the
+loose 2x-floor fallback for up to two rounds (the regression-hiding
+window ROUND7_NOTES documented).
 """
 
 from __future__ import annotations

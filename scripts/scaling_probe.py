@@ -89,6 +89,21 @@ TIER4_SPEC = {
     "events": ("user_id", 10),
 }
 
+# Tier 5 = documents ×32 — the rep-refit's FOURTH point (round 8): with
+# three points a two-parameter linear+offset model has one degree of
+# freedom, so a small residual is nearly guaranteed whenever the data
+# is smooth — it cannot distinguish linear from, say, n·log n. Four
+# points over-determine the model (2 dof): a genuinely super-linear
+# kernel now shows as a growing residual at the top tier instead of
+# being absorbed into the fit.
+TIER5_SPEC = {
+    "orders": ("o_orderkey", 40),
+    "lineitem": ("l_orderkey", 10),
+    "documents": ("doc_id", 640),
+    "embeddings": ("vec_id", 10),
+    "events": ("user_id", 10),
+}
+
 # Three-point set: the two highest two-point exponents + one control
 # whose linear story is already well understood from the plan.
 THREE_POINT = {
@@ -276,7 +291,7 @@ def main() -> None:
         bench.SCALE_SPEC = TIER2_SPEC
         tier2, _, rows2 = bench.build_scale_dir(spark, base)
         print("tier2:", rows2, file=sys.stderr)
-        tier3 = tier4 = None
+        tier3 = tier4 = tier5 = None
         if three_point or rep_refit:
             bench.SCALE_SPEC = TIER3_SPEC
             tier3, _, rows3 = bench.build_scale_dir(spark, base)
@@ -285,6 +300,9 @@ def main() -> None:
             bench.SCALE_SPEC = TIER4_SPEC
             tier4, _, rows4 = bench.build_scale_dir(spark, base)
             print("tier4:", rows4, file=sys.stderr)
+            bench.SCALE_SPEC = TIER5_SPEC
+            tier5, _, rows5 = bench.build_scale_dir(spark, base)
+            print("tier5:", rows5, file=sys.stderr)
     finally:
         bench.SCALE_SPEC = saved
 
@@ -310,14 +328,17 @@ def main() -> None:
     only = {a for a in sys.argv[1:] if not a.startswith("--")}
 
     if rep_refit:
-        # text_repetition_filters over documents ×4/×8/×16: the fit's
-        # BASE point is the 4×-grown tier, so the ~1 s fixed per-session
-        # overhead that flattened the round-6 fit is <35% of the
-        # smallest wall — and the OFFSET FIT below measures and removes
-        # it entirely instead of letting it bias the power law.
+        # text_repetition_filters over documents ×4/×8/×16/×32: the
+        # fit's BASE point is the 4×-grown tier, so the ~1 s fixed
+        # per-session overhead that flattened the round-6 fit is <35%
+        # of the smallest wall — and the OFFSET FIT below measures and
+        # removes it entirely instead of letting it bias the power law.
+        # FOUR points (round 8): the two-parameter model is now
+        # over-determined, so "small residual" is evidence of linearity
+        # rather than a near-tautology of the fit.
         name = "text_repetition_filters"
-        growths = [4.0, 8.0, 16.0]
-        ts = [round(timed(name, d), 3) for d in (tier2, tier3, tier4)]
+        growths = [4.0, 8.0, 16.0, 32.0]
+        ts = [round(timed(name, d), 3) for d in (tier2, tier3, tier4, tier5)]
         out[name] = {
             "driver_table": "documents",
             "growths": growths,
