@@ -82,8 +82,19 @@ def asof_join(
     payload = "__asof_payload"
     # A right row with no timestamp can never be "latest preceding";
     # dropping them also keeps NULLs-first ordering from planting a
-    # payload ahead of every real row in the key group.
-    r = right.filter(F.col(ts_col).isNotNull()).select(
+    # payload ahead of every real row in the key group. A right row with
+    # a NULL key can never match either — the ASOF contract is an
+    # equi-join on the keys plus the time inequality, and SQL equality
+    # never matches NULL (the window's partitionBy would otherwise
+    # collect NULL-key rows of both sides into one matching group — the
+    # opposite of DuckDB ASOF JOIN; adversarial-data round 8). Left
+    # NULL-key rows need no filter: their partition holds no right rows
+    # after this, so they surface unmatched (NULL under 'left', dropped
+    # under 'inner') exactly like a SQL join.
+    right_live = F.col(ts_col).isNotNull()
+    for k in keys:
+        right_live = right_live & F.col(k).isNotNull()
+    r = right.filter(right_live).select(
         *[F.col(k) for k in keys],
         F.col(ts_col),
         F.lit(right_side).alias(_SIDE),

@@ -168,6 +168,24 @@ def compact(
             )
             present.discard(leftover)
             progress = True
+    # A fold that crashed between the parquet write and the atomic rename
+    # leaves its dot-prefixed temp dir behind; if the live set has changed
+    # since, its tag never recurs and nothing would ever reclaim it.
+    # Temp dirs are invisible to readers (the ``batch=`` listing skips
+    # them), so age alone gates the sweep — mtime moves while a write is
+    # in progress, keeping an in-flight fold's temp out of reach.
+    for stale in (
+        d
+        for d in (os.listdir(index_dir) if os.path.isdir(index_dir) else [])
+        if d.startswith(".tmp-compact-")
+    ):
+        path = os.path.join(index_dir, stale)
+        try:
+            age = now - os.path.getmtime(path)
+        except OSError:
+            continue
+        if age >= gc_grace_seconds:
+            shutil.rmtree(path, ignore_errors=True)
     if len(live) < min_partitions:
         return None
 

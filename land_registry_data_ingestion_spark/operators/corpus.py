@@ -511,9 +511,19 @@ def dsir_importance_weights(
     feeds (a) the bucket×class histogram — AT MOST ``2·n_buckets`` rows
     after map-side combine, broadcast back — and (b) the per-document sum
     (doc-keyed agg). Text is tokenized once; nothing corpus-sized is ever
-    broadcast or collected."""
+    broadcast or collected.
+
+    Contract edges: documents whose text normalizes to '' (NULL, empty,
+    whitespace-only) have NO tokens and therefore no weight — they are
+    excluded, not scored off a phantom empty-string token. A document the
+    target filter cannot classify (NULL, e.g. missing language tag) counts
+    as RAW — the filter DEFINES the target slice; everything else is the
+    raw distribution being tilted."""
     is_target = df.select(
-        F.col(id_col), target_filter.cast("boolean").alias("is_target")
+        F.col(id_col),
+        F.coalesce(target_filter.cast("boolean"), F.lit(False)).alias(
+            "is_target"
+        ),
     )
     bucket = (
         F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
@@ -521,6 +531,7 @@ def dsir_importance_weights(
     )
     tok = barrier(
         spread(df)
+        .filter(normalize_text(F.col(text_col)) != "")
         .select(
             F.col(id_col),
             F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),

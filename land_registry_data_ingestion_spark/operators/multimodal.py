@@ -82,17 +82,26 @@ def extract_features(
                     "install codecs and pass a real kernel"
                 )
             content = pdf["content"]
+            # NULL content stays NULL end to end: a missing blob is not a
+            # zero-byte blob — n_bytes 0 / sha256('') would fabricate the
+            # empty-content fingerprint for rows that simply have no bytes
+            # (a real decoder can't run on them either)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": content.map(
-                        lambda b: len(b) if b is not None else 0
-                    ).astype("int64"),
-                    "content_sha256": content.map(
-                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    "n_bytes": pd.array(
+                        [len(b) if b is not None else None for b in content],
+                        dtype="Int64",
                     ),
-                    "feature": content.map(lambda b: _fake_feature(b or b"", dim)),
+                    "content_sha256": content.map(
+                        lambda b: hashlib.sha256(b).hexdigest()
+                        if b is not None
+                        else None
+                    ),
+                    "feature": content.map(
+                        lambda b: _fake_feature(b, dim) if b is not None else None
+                    ),
                 }
             )
 

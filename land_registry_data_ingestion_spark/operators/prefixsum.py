@@ -66,23 +66,29 @@ def grouped_running_sum(
     local = d.withColumn(_LOCAL, F.sum(value_col).over(w_local))
 
     # One row per (group, chunk): bounded by groups × n_chunks regardless
-    # of data volume — safe to window per group and broadcast.
-    w_chunks = Window.partitionBy(*group_cols).orderBy(_CHUNK)
+    # of data volume — safe to window per group and broadcast. The offset
+    # is the EXCLUSIVE prior-chunk sum taken over a preceding-rows frame
+    # (not inclusive-minus-current: with an all-NULL current chunk that
+    # subtraction goes NULL and would erase a real prior sum).
+    w_prior = (
+        Window.partitionBy(*group_cols)
+        .orderBy(_CHUNK)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = (
         d.groupBy(*group_cols, _CHUNK)
         .agg(F.sum(value_col).alias("_chunk_sum"))
-        .withColumn(
-            _OFFSET,
-            F.coalesce(
-                F.sum("_chunk_sum").over(w_chunks) - F.col("_chunk_sum"),
-                F.lit(0),
-            ),
-        )
+        .withColumn(_OFFSET, F.sum("_chunk_sum").over(w_prior))
         .drop("_chunk_sum")
     )
 
     joined = local.join(F.broadcast(offsets), on=[*group_cols, _CHUNK])
-    return (
-        joined.withColumn(out_col, F.col(_LOCAL) + F.col(_OFFSET))
-        .drop(_CHUNK, _LOCAL, _OFFSET)
+    # SQL running-sum NULL semantics: NULL only while no non-NULL value
+    # has appeared yet in the group — a row whose local cumsum is still
+    # NULL inherits prior chunks' offset alone, and vice versa.
+    running = F.when(
+        F.col(_LOCAL).isNull() & F.col(_OFFSET).isNull(), F.lit(None)
+    ).otherwise(
+        F.coalesce(F.col(_LOCAL), F.lit(0)) + F.coalesce(F.col(_OFFSET), F.lit(0))
     )
+    return joined.withColumn(out_col, running).drop(_CHUNK, _LOCAL, _OFFSET)

@@ -586,8 +586,12 @@ def ivf_assign_vectorized(
     if score_col is not None:
         # The kernel already has the full (n, k) cosine matrix in hand —
         # emitting the winning score here saves the caller a broadcast
-        # join + a second Arrow scoring pass over the corpus.
-        out_fields.append(T.StructField(score_col, T.DoubleType(), False))
+        # join + a second Arrow scoring pass over the corpus. Nullable:
+        # a degenerate (zero-norm) vector has no defined cosine — its
+        # score surfaces as NULL (NaN → Arrow null), so aggregates skip
+        # it exactly like the oracle's AVG; a non-nullable field here
+        # makes codegen read the null slot and crash the query.
+        out_fields.append(T.StructField(score_col, T.DoubleType(), True))
     out_schema = T.StructType(out_fields)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -598,14 +602,25 @@ def ivf_assign_vectorized(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             vnorm = np.sqrt(_seq_pair_dots(M, M))
-            cos = np.round(
-                _seq_cross_dots(M, C) / np.multiply.outer(vnorm, cnorm), 6
-            )
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.round(
+                    _seq_cross_dots(M, C) / np.multiply.outer(vnorm, cnorm), 6
+                )
+            # Degenerate (zero-norm / NaN) vector or centroid scores -2.0,
+            # exactly like the expression form's coalesce(nanvl(...), -2.0)
+            # in _ivf_assign_attached: below every real cosine, so the
+            # argmax degrades to the smallest cid. Without this, a single
+            # zero-norm CENTROID poisons one score column with NaN and
+            # np.argmax returns the NaN index — assigning the whole corpus
+            # to that list (adversarial-data round 8).
+            guarded = np.where(np.isfinite(cos), cos, -2.0)
             # argmax returns the FIRST max → ties go to the smallest cid
             # (rows are sorted by cid), matching the JVM struct-max order
-            best = np.argmax(cos, axis=1)
+            best = np.argmax(guarded, axis=1)
             out = pdf.assign(centroid_id=cids[best])
             if score_col is not None:
+                # the UNGUARDED cosine: NaN for a degenerate winner, which
+                # Arrow surfaces as NULL (see the schema note above)
                 out = out.assign(
                     **{score_col: cos[np.arange(len(best)), best]}
                 )
@@ -865,7 +880,14 @@ def knn_classify(
     an aggregate over the tiny (probes × k) neighbor frame, which is then
     broadcast into the label lookup so the labeled corpus doesn't shuffle
     for the join either.
+
+    Rows with a NULL label are excluded up front: an unlabeled example
+    cannot vote, and a classifier searching it anyway would burn k-slots
+    on neighbors that contribute nothing (worse, a NULL "label" would
+    tie-break differently across engines — Spark orders NULL first,
+    DuckDB last; adversarial-data round 8).
     """
+    corpus = corpus.filter(F.col(label_col).isNotNull())
     tk = brute_force_topk(corpus, probes, id_col=id_col, vec_col=vec_col, k=k)
     labels = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col)

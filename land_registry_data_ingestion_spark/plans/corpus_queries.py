@@ -381,7 +381,7 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (
         SELECT doc_id,
                ('0x' || substr(md5(term), 1, 8))::BIGINT % 256 AS bucket,
-               lang = 'en' AS is_target
+               COALESCE(lang = 'en', FALSE) AS is_target
         FROM (SELECT doc_id, lang, unnest({_TOKS}) AS term FROM documents
               WHERE {_NORM} != '')
     ),

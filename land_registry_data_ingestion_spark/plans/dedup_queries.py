@@ -208,11 +208,19 @@ def _simhash_sql(bits: int = 60) -> str:
         FROM hashed, (SELECT unnest(generate_series(0, {bits - 1})) AS bit) b
         GROUP BY doc, b.bit
     )
-    SELECT doc AS doc_id,
-           CAST(SUM(CASE WHEN 2 * ones > n
-                         THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
-             AS simhash{bits}
-    FROM bit_votes GROUP BY doc
+    ,
+    fps AS (
+        SELECT doc AS doc_id,
+               CAST(SUM(CASE WHEN 2 * ones > n
+                             THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+                 AS simhash{bits}
+        FROM bit_votes GROUP BY doc
+    )
+    -- LEFT JOIN back to documents: a NULL-text doc has no tokens (the
+    -- unnest drops it) but the engine contract is one row per document
+    -- with a NULL fingerprint, not a vanished document
+    SELECT d.doc_id, f.simhash{bits}
+    FROM documents d LEFT JOIN fps f ON f.doc_id = d.doc_id
     """
 
 

@@ -77,14 +77,20 @@ def evt_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "evt_json_extract",
     sql="""
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+    SELECT CASE WHEN json_valid(props)
+                THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END AS k,
            COUNT(*) AS n_events
     FROM events GROUP BY 1
     """,
 )
 def evt_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13: JSON DTO field extraction (``from_json``/``get_json_object``)
-    — the Kafka-payload decode path."""
+    — the Kafka-payload decode path. Malformed payloads yield NULL, not
+    a query error (Spark's ``get_json_object`` semantics — the only
+    viable contract for a pipeline ingesting scraped/partner JSON at
+    scale; the oracle states it with a ``json_valid`` guard because
+    DuckDB's ``json_extract_string`` throws on malformed input)."""
     t = load_tables(spark, sf_dir)
     return (
         t.events.select(
@@ -107,7 +113,7 @@ def evt_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         PARTITION BY user_id ORDER BY ts, event_id
                     ) IS NULL
                     THEN 1 ELSE 0 END AS new_session
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
            COUNT(*) AS n_events
@@ -116,10 +122,15 @@ def evt_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) — the batch form of
-    stateful streaming session windows."""
+    stateful streaming session windows.
+
+    Events with no timestamp are excluded up front: they cannot be
+    placed in any session, and leaving them in makes the lag chain
+    depend on each engine's NULL sort position (Spark windows order
+    NULLS FIRST, DuckDB NULLS LAST — adversarial-data round 8)."""
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = t.events.select(
+    gaps = t.events.filter(F.col("ts").isNotNull()).select(
         "user_id",
         "ts",
         F.when(
@@ -146,8 +157,12 @@ def evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            v.event_id AS view_event_id,
            epoch_us(c.ts) - epoch_us(v.ts) AS gap_us,
            ROUND(v.value, 6) AS view_value
-    FROM (SELECT * FROM events WHERE event_type = 'click') c
-    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    FROM (SELECT * FROM events
+          WHERE event_type = 'click'
+            AND ts IS NOT NULL AND user_id IS NOT NULL) c
+    ASOF JOIN (SELECT * FROM events
+               WHERE event_type = 'view'
+                 AND ts IS NOT NULL AND user_id IS NOT NULL) v
       ON c.user_id = v.user_id AND c.ts >= v.ts
     """,
 )
@@ -156,7 +171,15 @@ def evt_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     same user (inclusive, inner — DuckDB ``ASOF JOIN`` semantics). Spark
     has no native ASOF; :func:`...operators.asof.asof_join` re-expresses
     it as union + one running-``last`` window pass — a single shuffle of
-    |clicks|+|views| rows, no range-join row explosion."""
+    |clicks|+|views| rows, no range-join row explosion.
+
+    NULL semantics are declared, not inherited: a row with no timestamp
+    or no key matches nothing (``NULL >= ts`` is never true; equality
+    never matches NULL). The operator enforces this; the oracle filters
+    both sides explicitly because DuckDB 1.0's ASOF sort-merge instead
+    sorts NULL ts last and matches a NULL-ts left row to the final right
+    row (adversarial-data round 8) — an implementation artifact, not a
+    semantics to reproduce."""
     from land_registry_data_ingestion_spark.operators.asof import asof_join
 
     t = load_tables(spark, sf_dir)
@@ -439,7 +462,7 @@ def _pagerank_iter_sql(prev: str, out: str) -> str:
                LEAD(event_type) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                ) AS dst
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     edges AS (
         SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
@@ -476,8 +499,12 @@ def evt_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph has none by construction."""
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Timestamp-less events have no position in any user's sequence —
+    # excluded, or the transition chain would depend on each engine's
+    # NULL sort position (same contract as evt_sessionize).
     trans = (
-        t.events.select("user_id", "ts", "event_id", "event_type")
+        t.events.filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
         .withColumn("dst", F.lead("event_type").over(w))
         .where(F.col("dst").isNotNull())
         .select(F.col("event_type").alias("src"), "dst")

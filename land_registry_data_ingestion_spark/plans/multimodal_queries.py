@@ -31,7 +31,7 @@ _MEDIA_TYPE = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'vid
     sql=f"""
     SELECT doc_id AS media_id,
            {_MEDIA_TYPE} AS media_type,
-           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            sha256(text) AS content_sha256
     FROM documents
     """,

@@ -852,7 +852,19 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evt_ohlc_hourly",
     sql="""
     WITH e AS (
-        SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id, value
+        -- hour bucket via epoch + interval arithmetic (NTZ-safe: no
+        -- to_timestamp, which returns TIMESTAMPTZ and renders in the
+        -- session zone), equal to date_trunc('hour') on every non-NULL
+        -- ts: DuckDB 1.0's window PARTITION BY over date_trunc of a
+        -- NULLABLE ts splits the NULL rows across partitions
+        -- nondeterministically (validity-mask misfold; same root cause
+        -- makes `date_trunc(ts) IS NULL` evaluate false on NULL ts),
+        -- which yields several ra=1 rows in the NULL-hour group. The
+        -- epoch form propagates NULL correctly.
+        SELECT event_type,
+               TIMESTAMP '1970-01-01'
+                 + (epoch_us(ts) // 3600000000) * INTERVAL 1 HOUR AS hour,
+               ts, event_id, value
         FROM events
     ),
     r AS (

@@ -206,7 +206,8 @@ def sim_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
                {_cos_sql('q.embedding', 'c.embedding')} AS cosine
-        FROM embeddings q JOIN embeddings c ON c.vec_id % 23 != 0
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id % 23 != 0 AND c.label IS NOT NULL
         WHERE q.vec_id % 23 = 0
     ),
     topk AS (
@@ -231,7 +232,10 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN label prediction (k=5) for probe vectors (vec_id % 23 = 0)
     against the labeled remainder: majority label of the top-5 cosine
     neighbors, ties to the smaller label. Probes broadcast over the
-    corpus; the vote is an aggregate of the tiny neighbor frame."""
+    corpus; the vote is an aggregate of the tiny neighbor frame.
+    NULL-labeled rows never enter the search (operator contract — an
+    unlabeled example cannot vote); the oracle filters them in the
+    scored CTE to state the same semantics."""
     from land_registry_data_ingestion_spark.operators.similarity import (
         knn_classify,
     )

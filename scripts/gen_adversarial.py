@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""Adversarial variant of the sf0.01 oracle tables.
+
+The driver's correctness gate runs every declared query against DuckDB on
+`/root/testdata/sf0.01` — whose documents/events/embeddings contain ZERO
+NULLs, empty strings, whitespace-only text, Unicode stress, timestamp
+ties, or zero-norm vectors (measured round 8). Engine-vs-oracle
+divergences that live only on those shapes are invisible to it; the
+round-7/8 latent fixes (NULL-text spans, NULL-user sliding spine, the
+prefix-sum NULL offset) were all exactly this class, found by hand.
+
+This script derives a schema-identical copy of sf0.01 with those shapes
+injected DETERMINISTICALLY (fixed modular index rules, no RNG), leaving
+the TPC-H-ish relational tables untouched (their queries assume the
+TPC-H NOT NULL contract). Both engines read the same perturbed parquet,
+so any comparison failure is an engine-semantics divergence, not data
+noise.
+
+Usage:
+    python scripts/gen_adversarial.py [--out /tmp/sfadv]
+    SPARK_GRAFT_SF_TEST=/tmp/sfadv python -m pytest tests/test_oracle.py -q
+
+Perturbation map (index i is the row position in the source table):
+
+documents (500 rows)
+  i % 29 == 0   text -> NULL
+  i % 31 == 1   text -> ''            (empty)
+  i % 37 == 2   text -> ' \t\n  \t '  (whitespace-only)
+  i % 41 == 3   text -> 'solo'        (single token)
+  i % 43 == 4   text -> Unicode stress (ß, CJK, Cyrillic, emoji,
+                combining accents; case-STABLE chars only — see below)
+  i % 23 == 5   text -> exact copy of row (i*7+11) % 500 (dup families)
+  i % 19 == 6   text -> row (i*3+29) % 500 + ' extra token' (near-dup)
+  i % 47 == 7   lang -> NULL
+  i % 53 == 8   source -> NULL
+  n_chars is recomputed as length(text) (NULL for NULL text) so the
+  generator preserves the source invariant n_chars == length(text).
+
+events (10000 rows)
+  i % 43 == 7   ts -> NULL            (applied first; rules below skip it)
+  i % 17 == 0   user_id -> NULL
+  i % 19 == 1   event_type -> NULL
+  i % 23 == 2   value -> NULL
+  i % 29 == 3   props -> NULL
+  i % 31 == 4   props -> 'not json'   (malformed)
+  i % 37 == 5   props -> '{"k": null}'
+  i % 41 == 6   props -> '{}'         (missing key)
+  i % 13 == 8   ts -> truncated to the exact hour (window boundary)
+  i % 11 == 9   ts -> copied from row i-1 (tie; event_id still unique)
+
+embeddings (500 rows)
+  i % 13 == 0   embedding -> all-zero vector (zero norm)
+  i % 17 == 1   embedding -> exact copy of row (i*11+3) % 500
+  i % 23 == 3   label -> NULL
+  (embedding stays non-NULL and fixed-dim: the ANN operators' declared
+  contract is a dense fixed-dim column; NULL/ragged vectors are
+  rejected upstream by the pipeline, not handled per-query.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.01"
+UNTOUCHED = [
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+]
+
+# Case-STABLE Unicode only (lowercasing is the identity for every char
+# here): JVM and DuckDB case mappings legitimately differ on Turkish
+# dotted I, Greek final sigma, etc. — a divergence the engine documents
+# as out of parity scope (operators/textops.py case-parity caveat), so
+# including case-unstable chars here would only re-flag the accepted
+# caveat on every md5/lower-dependent query and drown actionable signal.
+UNICODE_STRESS = (
+    "straße ırmak οδος τέλος ςσ 你好 世界 мир приве́т "
+    "café résumé 🦄 emoji"
+)
+
+
+def _rebuild(table: pa.Table, cols: dict[str, list]) -> pa.Table:
+    arrays = []
+    for field in table.schema:
+        if field.name in cols:
+            arrays.append(pa.array(cols[field.name], type=field.type))
+        else:
+            arrays.append(table.column(field.name).combine_chunks())
+    return pa.Table.from_arrays(arrays, schema=table.schema)
+
+
+def perturb_documents(table: pa.Table) -> pa.Table:
+    text = table.column("text").to_pylist()
+    lang = table.column("lang").to_pylist()
+    source = table.column("source").to_pylist()
+    n = len(text)
+    orig = list(text)
+    for i in range(n):
+        if i % 29 == 0:
+            text[i] = None
+        elif i % 31 == 1:
+            text[i] = ""
+        elif i % 37 == 2:
+            text[i] = " \t\n  \t "
+        elif i % 41 == 3:
+            text[i] = "solo"
+        elif i % 43 == 4:
+            text[i] = UNICODE_STRESS
+        elif i % 23 == 5:
+            text[i] = orig[(i * 7 + 11) % n]
+        elif i % 19 == 6:
+            text[i] = orig[(i * 3 + 29) % n] + " extra token"
+        if i % 47 == 7:
+            lang[i] = None
+        if i % 53 == 8:
+            source[i] = None
+    n_chars = [len(t) if t is not None else None for t in text]
+    return _rebuild(
+        table, {"text": text, "lang": lang, "source": source, "n_chars": n_chars}
+    )
+
+
+def perturb_events(table: pa.Table) -> pa.Table:
+    ts = table.column("ts").to_pylist()
+    user_id = table.column("user_id").to_pylist()
+    event_type = table.column("event_type").to_pylist()
+    value = table.column("value").to_pylist()
+    props = table.column("props").to_pylist()
+    n = len(ts)
+    for i in range(n):
+        if i % 43 == 7:
+            ts[i] = None
+        if i % 17 == 0:
+            user_id[i] = None
+        if i % 19 == 1:
+            event_type[i] = None
+        if i % 23 == 2:
+            value[i] = None
+        if i % 29 == 3:
+            props[i] = None
+        elif i % 31 == 4:
+            props[i] = "not json"
+        elif i % 37 == 5:
+            props[i] = '{"k": null}'
+        elif i % 41 == 6:
+            props[i] = "{}"
+        if i % 13 == 8 and ts[i] is not None:
+            ts[i] = ts[i].replace(minute=0, second=0, microsecond=0)
+        if i % 11 == 9 and i > 0 and ts[i] is not None and ts[i - 1] is not None:
+            ts[i] = ts[i - 1]
+    return _rebuild(
+        table,
+        {
+            "ts": ts,
+            "user_id": user_id,
+            "event_type": event_type,
+            "value": value,
+            "props": props,
+        },
+    )
+
+
+def perturb_embeddings(table: pa.Table) -> pa.Table:
+    emb = table.column("embedding").to_pylist()
+    label = table.column("label").to_pylist()
+    n = len(emb)
+    dim = len(emb[0])
+    orig = list(emb)
+    for i in range(n):
+        if i % 13 == 0:
+            emb[i] = [0.0] * dim
+        elif i % 17 == 1:
+            emb[i] = orig[(i * 11 + 3) % n]
+        if i % 23 == 3:
+            label[i] = None
+    return _rebuild(table, {"embedding": emb, "label": label})
+
+
+PERTURB = {
+    "documents": perturb_documents,
+    "events": perturb_events,
+    "embeddings": perturb_embeddings,
+}
+
+
+def generate(out_dir: str, src: str = SRC) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for name in UNTOUCHED:
+        shutil.copyfile(
+            os.path.join(src, f"{name}.parquet"),
+            os.path.join(out_dir, f"{name}.parquet"),
+        )
+    for name, fn in PERTURB.items():
+        table = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        out = fn(table)
+        assert out.schema == table.schema, f"{name}: schema drifted"
+        assert out.num_rows == table.num_rows, f"{name}: row count drifted"
+        pq.write_table(out, os.path.join(out_dir, f"{name}.parquet"))
+    print(f"adversarial tables written to {out_dir}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/sfadv")
+    args = ap.parse_args()
+    generate(args.out)

@@ -22,9 +22,20 @@ def normalize_frame(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def _is_null(x: Any) -> bool:
+    # None, float NaN, and pandas NaT (which is != itself, like NaN, but
+    # not a float — a NaT-vs-NaT cell compared as values would falsely
+    # mismatch a NULL group key both engines agree on)
+    if x is None:
+        return True
+    if isinstance(x, float):
+        return math.isnan(x)
+    return x is pd.NaT
+
+
 def _cell_equal(a: Any, b: Any) -> bool:
-    a_null = a is None or (isinstance(a, float) and math.isnan(a))
-    b_null = b is None or (isinstance(b, float) and math.isnan(b))
+    a_null = _is_null(a)
+    b_null = _is_null(b)
     if a_null or b_null:
         return a_null and b_null
     if isinstance(a, float) and isinstance(b, float):

@@ -112,3 +112,37 @@ def test_single_shuffle_no_join_node(spark, frames):
     assert plan.count("Exchange hashpartitioning") == 1
     for bad in ("Join", "CartesianProduct", "BatchEvalPython"):
         assert bad not in plan
+
+
+def test_null_keys_never_match(spark):
+    """SQL equi-key semantics (round-8 adversarial gate): a NULL key on
+    either side matches nothing — the window's partitionBy would
+    otherwise collect NULL-key rows of both sides into one matching
+    group. Left NULL-key rows surface unmatched ('left') or drop
+    ('inner'); right NULL-key rows are discarded."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, None, t0), (2, 7, t0)],
+        "ev long, k int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, None, t0), (11, 7, t0)],
+        "rid long, k int, ts timestamp",
+    )
+    inner = asof_join(
+        left, right, on="k", ts_col="ts",
+        value_cols={"rid": "rid"}, how="inner",
+    ).collect()
+    assert [(r.ev, r.rid) for r in inner] == [(2, 11)]
+    outer = {
+        r.ev: r.rid
+        for r in asof_join(
+            left, right, on="k", ts_col="ts",
+            value_cols={"rid": "rid"}, how="left",
+        ).collect()
+    }
+    assert outer == {1: None, 2: 11}

@@ -166,6 +166,41 @@ def test_gc_age_gate_and_subsumption_order(spark, tmp_path):
     assert live_partitions(idx) == ["batch=compact-b"]
 
 
+def test_gc_reclaims_crashed_fold_tmp_dirs(spark, tmp_path):
+    """A fold that crashed between the parquet write and the atomic
+    rename leaves ``.tmp-compact-<tag>`` behind; once the live set moves
+    on, that tag never recurs and round-7's gc never touched it — a
+    permanent disk leak. The round-8 gc sweeps temp dirs older than the
+    grace period (they are dot-prefixed, so no reader ever plans them);
+    younger ones — possibly an in-flight fold — are left alone."""
+    import time
+
+    idx = str(tmp_path / "idx")
+    for b in range(2):
+        spark.createDataFrame([Row(gram_key=b, n=1)]).write.parquet(
+            os.path.join(idx, f"batch={b}")
+        )
+    old_tmp = os.path.join(idx, ".tmp-compact-deadbeef0000")
+    new_tmp = os.path.join(idx, ".tmp-compact-cafecafe0000")
+    for d in (old_tmp, new_tmp):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "wb") as fh:
+            fh.write(b"x")
+    stale = time.time() - 3600
+    os.utime(old_tmp, (stale, stale))
+
+    compact(
+        spark,
+        idx,
+        read=lambda paths: spark.read.parquet(*paths),
+        min_partitions=999,
+        gc_grace_seconds=300.0,
+    )
+    assert not os.path.isdir(old_tmp)  # aged out: reclaimed
+    assert os.path.isdir(new_tmp)  # young (maybe in-flight): kept
+    assert live_partitions(idx) == ["batch=0", "batch=1"]
+
+
 def test_reader_listing_taken_before_fold_stays_readable(spark, tmp_path):
     """The concurrent-reader interleaving the round-6 verdict asked to
     pin: list → fold → read. A reader that resolved its partition list

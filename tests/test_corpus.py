@@ -156,3 +156,68 @@ def test_segment_dedup_token_counts_matches_string_path(spark):
     assert fused == unfused
     assert fused[2] == 0 and fused[4 if 4 in fused else 2] == 0
     assert 4 not in fused  # empty text yields no segments on either path
+
+
+def test_knn_classify_excludes_null_labels(spark):
+    """Unlabeled corpus rows neither vote nor occupy k-slots: with k=3,
+    two NULL-labeled vectors closer than every labeled one must not
+    displace labeled neighbors (round-8 adversarial gate — a NULL
+    'label' also tie-breaks differently across engines)."""
+
+    def v(x, y):
+        return [float(x), float(y)]
+
+    corpus = spark.createDataFrame(
+        [
+            (1, v(0.99, 0.01), None),   # closest, unlabeled
+            (2, v(0.98, 0.02), None),   # second closest, unlabeled
+            (3, v(0.9, 0.1), 4),
+            (4, v(0.88, 0.12), 4),
+            (5, v(0.1, 0.9), 9),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    probes = spark.createDataFrame(
+        [(100, v(1.0, 0.0))], ["vec_id", "embedding"]
+    )
+    out = knn_classify(corpus, probes, k=3).collect()
+    assert len(out) == 1
+    assert out[0]["predicted_label"] == 4
+    assert out[0]["n_votes"] == 2
+
+
+def test_dsir_weights_edge_documents(spark):
+    """Round-8 contract pins: (a) documents whose text normalizes to ''
+    (NULL / empty / whitespace-only) carry no weight row at all — no
+    phantom ''-token scoring; (b) a NULL target-filter verdict counts
+    the document as RAW, not as unclassifiable."""
+    from pyspark.sql import functions as F
+
+    from land_registry_data_ingestion_spark.operators.corpus import (
+        dsir_importance_weights,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en"),
+            (2, "alpha beta delta", "fr"),
+            (3, None, "en"),
+            (4, "", "en"),
+            (5, " \t\n ", "en"),
+            (6, "alpha beta", None),  # NULL lang → raw
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance_weights(
+            df, target_filter=F.col("lang") == "en"
+        ).collect()
+    }
+    assert set(out) == {1, 2, 6}
+    assert out[6]["is_target"] is False
+    # doc 6's tokens are a subset of the target doc's — its raw counts
+    # must have entered the histogram (weight differs from doc 2's,
+    # which shares 2 of 3 tokens but adds a raw-only token)
+    assert out[1]["is_target"] is True
+    assert out[2]["is_target"] is False

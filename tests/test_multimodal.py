@@ -115,3 +115,44 @@ def test_metadata_stats_plan_prunes_blob_column(spark):
     assert read_schemas, plan
     for line in read_schemas:
         assert "text" not in line, line
+
+
+def test_extract_features_null_content_stays_null(spark):
+    """A missing blob is not a zero-byte blob: NULL content must yield
+    NULL n_bytes / sha / feature, not octet 0 and the empty-content
+    fingerprint (round-8 adversarial gate; oracle parity is
+    octet_length(encode(NULL)) = NULL, sha256(NULL) = NULL)."""
+    from pyspark.sql import Row
+
+    from land_registry_data_ingestion_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    media = spark.createDataFrame(
+        [
+            Row(
+                media_id=1,
+                media_type="image",
+                content=bytearray(b"real"),
+                meta_width=None,
+                meta_height=None,
+                meta_sample_rate=None,
+                meta_duration_ms=None,
+            ),
+            Row(
+                media_id=2,
+                media_type="image",
+                content=None,
+                meta_width=None,
+                meta_height=None,
+                meta_sample_rate=None,
+                meta_duration_ms=None,
+            ),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in extract_features(media, dim=4).collect()}
+    assert rows[1]["n_bytes"] == 4 and rows[1]["content_sha256"] is not None
+    assert rows[2]["n_bytes"] is None
+    assert rows[2]["content_sha256"] is None
+    assert rows[2]["feature"] is None

@@ -134,6 +134,45 @@ def test_grouped_running_sum_single_chunk_degenerates_gracefully(spark):
     assert sorted(r.cum for r in got.collect()) == list(range(1, 11))
 
 
+def test_grouped_running_sum_null_values_match_sql_semantics(spark):
+    """NULL values must follow SQL running-sum semantics: the sum skips
+    NULLs and is NULL only before the group's first non-NULL value.
+    Regression pin — the exclusive offset was previously derived as
+    inclusive-sum-minus-current, which went NULL for a chunk whose own
+    total was NULL (erasing real prior sums), and rows whose local cumsum
+    was still NULL dropped their chunk offset entirely."""
+    rng = random.Random(21)
+    rows = []
+    for i in range(400):
+        g = "big" if rng.random() < 0.7 else f"g{rng.randrange(3)}"
+        # 40% NULLs ensures some chunks are entirely NULL and some groups
+        # lead with NULLs — the two shapes the old plan got wrong
+        v = None if rng.random() < 0.4 else rng.randrange(-50, 50)
+        rows.append((g, i, v))
+    df = spark.createDataFrame(rows, "g string, doc_id long, v long").withColumn(
+        "k", F.md5(F.col("doc_id").cast("string"))
+    )
+    got = grouped_running_sum(
+        df, ["g"], "k", "v", hex_prefix_chunks(F.col("k"), 64), "cum"
+    )
+    want = df.withColumn(
+        "cum", F.sum("v").over(Window.partitionBy("g").orderBy("k"))
+    )
+    assert sorted(got.select("g", "doc_id", "cum").collect()) == sorted(
+        want.select("g", "doc_id", "cum").collect()
+    )
+
+
+def test_grouped_running_sum_all_null_group_stays_null(spark):
+    df = spark.createDataFrame(
+        [("a", i, None) for i in range(8)], "g string, doc_id long, v long"
+    ).withColumn("k", F.md5(F.col("doc_id").cast("string")))
+    got = grouped_running_sum(
+        df, ["g"], "k", "v", hex_prefix_chunks(F.col("k"), 4), "cum"
+    )
+    assert [r.cum for r in got.collect()] == [None] * 8
+
+
 def test_hex_prefix_chunks_monotone_and_bounded(spark):
     df = spark.createDataFrame(
         [(i,) for i in range(300)], "doc_id long"
@@ -208,7 +247,10 @@ def test_range_join_property_matches_naive(spark, events, spans, bucket_s):
     rows=st.lists(
         st.tuples(
             st.sampled_from(["a", "b", "dominant"]),
-            st.integers(min_value=-1_000_000, max_value=1_000_000),
+            st.one_of(
+                st.none(),
+                st.integers(min_value=-1_000_000, max_value=1_000_000),
+            ),
         ),
         min_size=1,
         max_size=60,
@@ -226,17 +268,19 @@ def test_prefix_sum_property_matches_serial(spark, rows, n_chunks):
             df, ["g"], "k", "v", hex_prefix_chunks(F.col("k"), n_chunks), "cum"
         ).collect()
     }
-    # serial reference: per group, accumulate in md5-key order
+    # serial reference: per group, accumulate in md5-key order, skipping
+    # NULLs; the running value is NULL until the first non-NULL (SQL)
     import hashlib
 
-    by_group: dict[str, list[tuple[str, int, int]]] = {}
+    by_group: dict[str, list[tuple[str, int, int | None]]] = {}
     for i, (g, v) in enumerate(rows):
         k = hashlib.md5(str(i).encode()).hexdigest()
         by_group.setdefault(g, []).append((k, i, v))
     want = {}
     for g, items in by_group.items():
-        acc = 0
+        acc = None
         for _, i, v in sorted(items):
-            acc += v
+            if v is not None:
+                acc = v if acc is None else acc + v
             want[i] = acc
     assert got == want
