@@ -87,21 +87,27 @@ def test_committed_floor_sessions_replay_clean():
     host-anomaly readings, each with a recorded isolated re-measure
     showing steady-state inside the band (provenance per reading:
     ROUND7_NOTES for the r7 floor-session episodes, ROUND8_NOTES for
-    the r7 driver reading and the r8 floor-session episodes). Anything
-    else flagging would be a false flag. Note the set is maintained,
-    not append-only: r7's text_token_budget_sample 2.642 reading no
-    longer flags because the accumulated drift readings widened its own
-    band — exactly the absorb-the-drift mechanism working."""
+    the r7 driver reading and the r8 episodes). Anything else flagging
+    would be a false flag. Note the set is maintained, not append-only:
+    r7's text_token_budget_sample 2.642 stopped flagging when drift
+    readings widened its band, and the r7/r8 text_dsir_weights /
+    text_token_budget_sample readings left the file entirely when the
+    round-8 NULL-semantics fixes changed those queries' plans and reset
+    their sessions (a plan change starts a fresh band by design)."""
     import json
 
     with open(os.path.join(os.path.dirname(__file__), "..", "BENCH_FLOORS.json")) as f:
         floors = json.load(f)
     adjudicated = {
         ("scale", "cdc_merge_state", 4.547),  # r7 session-4 episode
-        ("scale", "text_dsir_weights", 2.963),  # r7 session-5 slow window
         ("scale", "text_quality_score", 1.7),  # r7 driver; judge 0.84-0.92 isolated
         ("scale", "text_quality_score", 1.244),  # r8 session; 0.98-1.10 isolated
-        ("scale", "text_token_budget_sample", 2.845),  # r8 session; 1.77-1.88 isolated
+        ("headline", "text_dup_span_trim", 2.555),  # r8 floor run 1; 1.26 isolated
+        ("scale", "text_dsir_weights", 3.559),  # r8 floor run 2; 1.74 isolated
+        # pre-r8 session reading newly exposed by the r8 fast sessions
+        # pulling the median down (excess 8 ms over the band edge);
+        # isolated steady-state 0.28-0.32 s, plan unchanged
+        ("headline", "evt_ohlc_hourly", 0.532),
     }
     flagged = set()
     for section, entries in floors.items():
