@@ -23,9 +23,22 @@ from pyspark.sql.window import Window
 
 from land_registry_data_ingestion_spark.functions.vectors import (
     cosine_similarity,
+    dot_product,
     l2_norm,
 )
 from land_registry_data_ingestion_spark.util import barrier, spread
+
+
+def _finite_vec(vec: Column) -> Column:
+    """True iff the vector's self-dot is finite — i.e. no NaN/±Inf
+    component (and no overflow): the vector participates in L2/PQ
+    geometry. Cosine additionally needs a nonzero norm — see
+    ``cosine_similarity``'s NULL contract and ``_collapse_identical_
+    vectors``' ``pairable`` flag. Oracle-equivalent DuckDB predicate:
+    ``isfinite(list_dot_product(v, v))`` (self-dot of a real vector is
+    ≥ 0, NaN, or +Inf — never −Inf)."""
+    sd = dot_product(vec, vec)
+    return ~F.isnan(sd) & (sd != F.lit(float("inf")))
 
 
 def brute_force_topk(
@@ -39,6 +52,12 @@ def brute_force_topk(
 
     ``queries`` is expected to be small (it is broadcast); ranking ties
     break on neighbor id for determinism. Self-matches are excluded.
+
+    Degenerate-vector contract (adversarial-data round 8): a NULL cosine
+    (either side zero-norm or NaN/Inf-poisoned — see
+    ``cosine_similarity``) never ranks. A degenerate NEIGHBOR is excluded
+    from every candidate list, and a degenerate QUERY returns no rows at
+    all, rather than k neighbors ordered by id under an undefined score.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -53,6 +72,7 @@ def brute_force_topk(
             "cosine",
             F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6),
         )
+        .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.col("neighbor_id")
@@ -112,17 +132,25 @@ def _collapse_identical_vectors(
     one representative first makes the quadratic stages run on distinct
     vectors only. Returns ``(rep_df, members)``: ``rep_df`` has the
     operator's (id, vec) schema with the min member id as representative
-    id; ``members`` maps ``gid → member id`` and carries a ``nonzero``
-    flag (zero vectors have NaN cosine and never pair — expansion must
-    mirror that).
+    id; ``members`` maps ``gid → member id`` and carries a ``pairable``
+    flag — self-dot finite AND > 0. A degenerate vector (zero norm, or
+    any NaN/±Inf component) has no defined cosine and never pairs, EVEN
+    WITH AN IDENTICAL COPY OF ITSELF — expansion must mirror the verify
+    kernel, where such a pair's cosine is NaN → NULL → dropped
+    (adversarial-data round 8: two bit-identical NaN-lane vectors must
+    not emit an intra-family pair at cosine 1.0).
     """
     members_raw = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     reps = barrier(members_raw.groupBy("vec").agg(F.min("id").alias("gid")))
+    sd = dot_product(F.col("vec"), F.col("vec"))
+    # NaN guard must be explicit: Spark orders NaN above every double, so
+    # `sd > 0` alone is TRUE for a NaN self-dot.
+    pairable = ~F.isnan(sd) & (sd != F.lit(float("inf"))) & (sd > 0.0)
     members = barrier(
         members_raw.join(reps, "vec").select(
             "gid",
             "id",
-            F.exists("vec", lambda x: x != 0.0).alias("nonzero"),
+            pairable.alias("pairable"),
         )
     )
     rep_df = reps.select(F.col("gid").alias(id_col), F.col("vec").alias(vec_col))
@@ -137,8 +165,9 @@ def _expand_identical_pairs(
     Cross-family rep pairs expand to the member cross product (same
     cosine — the vectors are identical); intra-family pairs are emitted
     directly at cosine 1.0 (what the verify kernel computes for identical
-    non-zero vectors after round-6). Output provably equals running the
-    pair operator over all rows."""
+    PAIRABLE vectors after round-6 — degenerate families emit nothing,
+    matching the kernel's NaN → dropped). Output provably equals running
+    the pair operator over all rows."""
     ma = members.select(F.col("gid").alias("id_a"), F.col("id").alias("da"))
     mb = members.select(F.col("gid").alias("id_b"), F.col("id").alias("db"))
     cross = (
@@ -152,7 +181,7 @@ def _expand_identical_pairs(
     )
     if threshold > 1.0:  # degenerate config: cosine 1.0 wouldn't qualify
         return cross
-    nz = members.filter(F.col("nonzero"))
+    nz = members.filter(F.col("pairable"))
     i1 = nz.select("gid", F.col("id").alias("id_a"))
     i2 = nz.select("gid", F.col("id").alias("id_b"))
     intra = (
@@ -830,7 +859,12 @@ def ivf_topk(
         ),
         "q_vec",
         "c_vec",
-    )
+        # NULL cosine (degenerate query or neighbor — the kernel's NaN
+        # crosses Arrow as NULL) never ranks: same contract as
+        # brute_force_topk. A degenerate query still probes the smallest
+        # cids deterministically (the -2.0 guard above) but returns no
+        # rows.
+    ).filter(F.col("cosine").isNotNull())
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.col("neighbor_id")
     )
@@ -942,8 +976,9 @@ def semantic_dedup(
     is a duplicate by the rule; the rep itself is a duplicate iff a
     lower-id rep in its cluster reaches the threshold — and "lower-id
     rep" ⟺ "lower-id member of another family", because reps are family
-    minima. (Zero vectors have NaN cosines and never qualify; the
-    ``nonzero`` flag mirrors that for intra-family drops.)
+    minima. (Degenerate vectors — zero norm or NaN/Inf components — have
+    NaN cosines and never qualify; the ``pairable`` flag mirrors that for
+    intra-family drops.)
     """
     assert threshold <= 1.0, "intra-family expansion assumes cos 1.0 passes"
     rep_df, members = _collapse_identical_vectors(
@@ -970,7 +1005,7 @@ def semantic_dedup(
     mem = members.join(
         assigned.select(F.col(id_col).alias("gid"), "centroid_id"), "gid"
     )
-    dup = ((F.col("id") != F.col("gid")) & F.col("nonzero")) | F.coalesce(
+    dup = ((F.col("id") != F.col("gid")) & F.col("pairable")) | F.coalesce(
         F.col("_rep_dropped"), F.lit(False)
     )
     return mem.join(rep_dropped, "gid", "left").select(
@@ -1120,16 +1155,26 @@ def pq_codebooks(
     n_codes: int = 16,
 ) -> list:
     """Deterministic PQ codebooks: subspace ``s``'s codebook is the
-    ``n_codes`` smallest-id vectors' s-th sub-vectors (same no-RNG seeding
-    contract as ``seed_centroids`` — a second engine rebuilds the
+    ``n_codes`` smallest-id FINITE vectors' s-th sub-vectors (same no-RNG
+    seeding contract as ``seed_centroids`` — a second engine rebuilds the
     identical quantizer; k-means|| / Lloyd refinement slots in per
     subspace at cluster scale). Returns an (m, n_codes, d/m) float64
-    numpy array."""
+    numpy array.
+
+    A vector with a NaN/±Inf component never seeds a codebook
+    (adversarial-data round 8): one such entry poisons a whole subspace's
+    distance column with NaN, making every encode argmin undefined. Zero
+    vectors ARE valid codebook entries — L2 distance to the origin is
+    well-defined (unlike cosine)."""
     import numpy as np
 
     rows = sorted(
         (int(r[0]), [float(x) for x in r[1]])
-        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(n_codes).collect()
+        for r in corpus.filter(_finite_vec(F.col(vec_col)))
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_codes)
+        .collect()
     )
     V = np.array([v for _, v in rows], dtype=np.float64)
     d = V.shape[1]
@@ -1208,11 +1253,24 @@ def pq_topk(
     (query, neighbor, approx_d2); top-k is a per-query window over a
     frame the size of queries × corpus codes (at real scale, fold an IVF
     coarse quantizer in front to prune the scan, exactly as ivf_topk).
+
+    Degenerate-vector contract (adversarial-data round 8): a vector with
+    a NaN/±Inf component has no defined L2 geometry — it never seeds a
+    codebook (see ``pq_codebooks``), never encodes (its per-subspace
+    argmin is NaN-poisoned), never appears as a neighbor, and as a query
+    returns no rows. Filtering such vectors up front is also what keeps
+    ``approx_d2`` honestly non-nullable: every surviving distance is a
+    finite sum of finite table entries (a NaN here previously crossed
+    Arrow as NULL under the non-nullable field and crashed codegen with
+    "Value at index is null"). Zero vectors are NOT degenerate for L2
+    and flow through normally.
     """
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
 
+    corpus = corpus.filter(_finite_vec(F.col(vec_col)))
+    queries = queries.filter(_finite_vec(F.col(vec_col)))
     books = pq_codebooks(corpus, id_col, vec_col, m, n_codes)
     sub = books.shape[2]
     q_rows = sorted(

@@ -21,13 +21,27 @@ from land_registry_data_ingestion_spark.sources.parquet import load_tables
 
 _DIM = 64  # embeddings table dimension (TESTDATA)
 
-_COS = """
+
+def _nan_null(expr: str) -> str:
+    """NaN → NULL, stating the engine's degenerate-vector contract in
+    DuckDB terms (adversarial-data round 8): a cosine involving a
+    NaN/±Inf-component vector comes out NaN, which DuckDB orders ABOVE
+    every real value — unguarded, it passes every ``>= threshold`` and
+    ranks FIRST under ``DESC``. The engine maps it to NULL
+    (``cosine_similarity``'s nanvl; the Arrow kernels' NaN crosses as
+    NULL), where it fails filters and never ranks. Zero-norm vectors
+    already agree: DuckDB division by zero is NULL."""
+    return f"(CASE WHEN isnan({expr}) THEN NULL ELSE {expr} END)"
+
+
+_COS_RAW = """
     ROUND(
       list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
       / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
          * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
       6)
 """
+_COS = _nan_null(_COS_RAW)
 
 
 @query(
@@ -56,11 +70,11 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     WITH scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               ROUND(
+               {_nan_null('''ROUND(
                  list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
                  / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
                     * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
-                 6) AS cosine
+                 6)''')} AS cosine
         FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
         WHERE q.vec_id < 10
     )
@@ -68,7 +82,7 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *, CAST(ROW_NUMBER() OVER (
             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
         ) AS BIGINT) AS rank
-        FROM scored
+        FROM scored WHERE cosine IS NOT NULL
     ) WHERE rank <= 10
     """,
 )
@@ -81,15 +95,24 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cos_sql(x: str, y: str) -> str:
-    return f"""ROUND(
+    """Guarded cosine (NaN → NULL, see ``_nan_null``) — every consumer
+    wants the engine's undefined-never-ranks semantics."""
+    return _nan_null(f"""ROUND(
       list_dot_product(CAST({x} AS DOUBLE[]), CAST({y} AS DOUBLE[]))
       / (sqrt(list_dot_product(CAST({x} AS DOUBLE[]), CAST({x} AS DOUBLE[])))
          * sqrt(list_dot_product(CAST({y} AS DOUBLE[]), CAST({y} AS DOUBLE[])))),
-      6)"""
+      6)""")
 
 
 def _ivf_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
-    """DuckDB replay of the deterministic IVF index + nprobe search."""
+    """DuckDB replay of the deterministic IVF index + nprobe search.
+
+    Assignment/probe ordering coalesces the guarded cosine to -2.0 —
+    the engine's degenerate sentinel (below every real cosine, ties to
+    the smallest cid): a degenerate CENTROID must never win an
+    assignment, and a degenerate VECTOR assigns to the smallest cid
+    deterministically. NULL-cosine candidates never rank (engine filter
+    in ``ivf_topk``)."""
     return f"""
     WITH cents AS (
         SELECT vec_id AS cid, embedding AS cvec
@@ -100,7 +123,7 @@ def _ivf_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
             SELECT e.vec_id AS neighbor_id, e.embedding, c.cid,
                    ROW_NUMBER() OVER (
                        PARTITION BY e.vec_id
-                       ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid ASC
+                       ORDER BY COALESCE({_cos_sql('e.embedding', 'c.cvec')}, -2.0) DESC, c.cid ASC
                    ) AS rn
             FROM embeddings e CROSS JOIN cents c
         ) WHERE rn = 1
@@ -110,7 +133,7 @@ def _ivf_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
             SELECT q.vec_id AS query_id, c.cid,
                    ROW_NUMBER() OVER (
                        PARTITION BY q.vec_id
-                       ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC, c.cid ASC
+                       ORDER BY COALESCE({_cos_sql('q.embedding', 'c.cvec')}, -2.0) DESC, c.cid ASC
                    ) AS rn
             FROM embeddings q CROSS JOIN cents c
             WHERE q.vec_id < 10
@@ -128,7 +151,7 @@ def _ivf_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
         SELECT *, CAST(ROW_NUMBER() OVER (
             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
         ) AS BIGINT) AS rank
-        FROM cand
+        FROM cand WHERE cosine IS NOT NULL
     ) WHERE rank <= {k}
     """
 
@@ -214,7 +237,7 @@ def sim_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT query_id, label FROM (
             SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
-            ) AS rn FROM scored
+            ) AS rn FROM scored WHERE cosine IS NOT NULL
         ) WHERE rn <= 5
     ),
     votes AS (
@@ -258,7 +281,7 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT e.vec_id, e.embedding, c.cid,
                    ROW_NUMBER() OVER (
                        PARTITION BY e.vec_id
-                       ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid ASC
+                       ORDER BY COALESCE({_cos_sql('e.embedding', 'c.cvec')}, -2.0) DESC, c.cid ASC
                    ) AS rn
             FROM embeddings e CROSS JOIN cents c
         ) WHERE rn = 1
@@ -302,6 +325,15 @@ def _pq_sql(m: int = 8, n_codes: int = 16, sub: int = 8, k: int = 10) -> str:
     x_sub = f"CAST(e.embedding[s.s*{sub}+1 : s.s*{sub}+{sub}] AS DOUBLE[])"
     q_sub = f"CAST(q.embedding[s.s*{sub}+1 : s.s*{sub}+{sub}] AS DOUBLE[])"
     c_sub = "b.cvec"
+    # degenerate-vector contract (matches pq_topk/pq_codebooks): a vector
+    # with a non-finite component (⇔ non-finite self-dot) never seeds a
+    # codebook, never encodes, never ranks; zero vectors are valid L2
+    # citizens. Applied as an isfinite(self-dot) filter on every
+    # embeddings scan.
+    fin = (
+        "isfinite(list_dot_product(CAST({t}.embedding AS DOUBLE[]),"
+        " CAST({t}.embedding AS DOUBLE[])))"
+    )
     return f"""
     WITH subs(s) AS (VALUES {subspaces}),
     books AS (
@@ -310,7 +342,8 @@ def _pq_sql(m: int = 8, n_codes: int = 16, sub: int = 8, k: int = 10) -> str:
         FROM (
             SELECT embedding, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
                    AS INT) AS code
-            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_codes})
+            FROM (SELECT * FROM embeddings e WHERE {fin.format(t='e')}
+                  ORDER BY vec_id LIMIT {n_codes})
         ) c CROSS JOIN subs s
     ),
     encoded AS (
@@ -322,6 +355,7 @@ def _pq_sql(m: int = 8, n_codes: int = 16, sub: int = 8, k: int = 10) -> str:
                    ) AS rn
             FROM embeddings e CROSS JOIN subs s
             JOIN books b ON b.s = s.s
+            WHERE {fin.format(t='e')}
         ) WHERE rn = 1
     ),
     dtab AS (
@@ -329,7 +363,7 @@ def _pq_sql(m: int = 8, n_codes: int = 16, sub: int = 8, k: int = 10) -> str:
                {d2(q_sub, c_sub)} AS dt
         FROM embeddings q CROSS JOIN subs s
         JOIN books b ON b.s = s.s
-        WHERE q.vec_id < 10
+        WHERE q.vec_id < 10 AND {fin.format(t='q')}
     ),
     scored AS (
         SELECT d.query_id, enc.vec_id AS neighbor_id,
@@ -413,7 +447,7 @@ _RRF_NTOK = (
             SELECT c.vec_id AS doc_id, {_COS.replace("a.embedding", "q.embedding").replace("b.embedding", "c.embedding")} AS cosine
             FROM embeddings c JOIN embeddings q
               ON q.vec_id = 0 AND c.vec_id != 0
-        ) ORDER BY cosine DESC, doc_id LIMIT 50
+        ) WHERE cosine IS NOT NULL ORDER BY cosine DESC, doc_id LIMIT 50
     ),
     fused AS (
         SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.rank_a, s.rank_b,
@@ -457,16 +491,12 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     d AS (
         SELECT e.vec_id, c.cid,
-               ROUND(
-                 list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[]))
-                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-                    * sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])))),
-                 6) AS cos
+               {_cos_sql('e.embedding', 'c.cvec')} AS cos
         FROM embeddings e CROSS JOIN c
     ),
     a AS (
         SELECT vec_id, cid, cos, ROW_NUMBER() OVER (
-            PARTITION BY vec_id ORDER BY cos DESC, cid ASC
+            PARTITION BY vec_id ORDER BY COALESCE(cos, -2.0) DESC, cid ASC
         ) AS rn
         FROM d
     )
@@ -518,6 +548,7 @@ _BRUTE_IDS_SQL = f"""
                ) AS rank
         FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
         WHERE q.vec_id < 10
+          AND {_cos_sql('q.embedding', 'c.embedding')} IS NOT NULL
     ) WHERE rank <= 10
 """
 

@@ -31,6 +31,11 @@ documents (500 rows)
                 combining accents; case-STABLE chars only — see below)
   i % 23 == 5   text -> exact copy of row (i*7+11) % 500 (dup families)
   i % 19 == 6   text -> row (i*3+29) % 500 + ' extra token' (near-dup)
+  i % 59 == 9   text -> pathological valid UTF-8 (NUL byte, C0 controls,
+                zero-width space/joiner, combining marks, astral plane,
+                DEL, BOM-as-ZWNBSP mid-string)
+  i % 61 == 10  text -> one 4096-char token + ' tail' (degenerate
+                token-length distribution; stresses shingles/regex)
   i % 47 == 7   lang -> NULL
   i % 53 == 8   source -> NULL
   n_chars is recomputed as length(text) (NULL for NULL text) so the
@@ -51,10 +56,17 @@ events (10000 rows)
 embeddings (500 rows)
   i % 13 == 0   embedding -> all-zero vector (zero norm)
   i % 17 == 1   embedding -> exact copy of row (i*11+3) % 500
+  i % 19 == 2   embedding -> NaN in lane (i % dim) (NaN norm, not null —
+                within the dense fixed-dim contract, unlike NULL/ragged)
+  i % 29 == 4   embedding -> +Inf in lane (i % dim), -Inf in lane
+                ((i+1) % dim) (Inf norm; dot products overflow to ±Inf,
+                cosine degenerates to NaN)
   i % 23 == 3   label -> NULL
   (embedding stays non-NULL and fixed-dim: the ANN operators' declared
   contract is a dense fixed-dim column; NULL/ragged vectors are
-  rejected upstream by the pipeline, not handled per-query.)
+  rejected upstream by the pipeline, not handled per-query. NaN/Inf
+  COMPONENTS are representable inside that contract, so they are
+  injected.)
 """
 
 from __future__ import annotations
@@ -80,6 +92,20 @@ UNTOUCHED = [
 UNICODE_STRESS = (
     "straße ırmak οδος τέλος ςσ 你好 世界 мир приве́т "
     "café résumé 🦄 emoji"
+)
+
+
+# Pathological but VALID UTF-8: every code point here round-trips through
+# parquet, JVM strings, Arrow, and DuckDB. NUL and C0 controls are legal
+# inside UTF-8 strings (only C strings treat \x00 as a terminator);
+# zero-width space/joiner are format chars that most \s-style tokenizers
+# do NOT split on; U+FEFF mid-string is ZERO WIDTH NO-BREAK SPACE, not a
+# BOM; the astral-plane chars exercise any code path that wrongly counts
+# UTF-16 code units instead of code points.
+PATHOLOGICAL_UTF8 = (
+    "nul\x00byte ctrl\x01\x02seq del\x7fchar "
+    "zero​width jo‍iner feff﻿mid "
+    "combo é̂̃ astral \U0001f600\U0010fffd tail"
 )
 
 
@@ -114,6 +140,10 @@ def perturb_documents(table: pa.Table) -> pa.Table:
             text[i] = orig[(i * 7 + 11) % n]
         elif i % 19 == 6:
             text[i] = orig[(i * 3 + 29) % n] + " extra token"
+        elif i % 59 == 9:
+            text[i] = PATHOLOGICAL_UTF8
+        elif i % 61 == 10:
+            text[i] = "x" * 4096 + " tail"
         if i % 47 == 7:
             lang[i] = None
         if i % 53 == 8:
@@ -175,6 +205,15 @@ def perturb_embeddings(table: pa.Table) -> pa.Table:
             emb[i] = [0.0] * dim
         elif i % 17 == 1:
             emb[i] = orig[(i * 11 + 3) % n]
+        elif i % 19 == 2:
+            v = list(orig[i])
+            v[i % dim] = float("nan")
+            emb[i] = v
+        elif i % 29 == 4:
+            v = list(orig[i])
+            v[i % dim] = float("inf")
+            v[(i + 1) % dim] = float("-inf")
+            emb[i] = v
         if i % 23 == 3:
             label[i] = None
     return _rebuild(table, {"embedding": emb, "label": label})

@@ -407,11 +407,13 @@ def test_degenerate_embeddings_never_crash_or_win(spark):
     """Zero-norm and NaN-poisoned embeddings occur in real corpora
     (dead rows, failed encoders). They must neither fail the query —
     under ANSI mode a plain divide raises DIVIDE_BY_ZERO on the first
-    zero vector — nor WIN it: a NaN cosine sorts above every double
-    under desc, handing a garbage vector rank 1 in every top-k. Both
-    now map to NULL (rank last, fail thresholds). And k-means|| init
-    must not seed centers from them: the NaN distance crossed Arrow as
-    NULL and failed the kernel's non-nullable dist field outright."""
+    zero vector — nor APPEAR in it: a NaN cosine sorts above every
+    double under desc (rank 1 in every top-k) and DuckDB agrees, so the
+    declared contract (round 8) is NULL = undefined-NEVER-RANKS — a
+    degenerate neighbor is excluded from every candidate list and a
+    degenerate query returns no rows. And k-means|| init must not seed
+    centers from them: the NaN distance crossed Arrow as NULL and
+    failed the kernel's non-nullable dist field outright."""
     import math
 
     from land_registry_data_ingestion_spark.operators.similarity import (
@@ -432,19 +434,100 @@ def test_degenerate_embeddings_never_crash_or_win(spark):
 
     rows = brute_force_topk(emb, emb.filter("vec_id = 1"), k=4).collect()
     got = {r["neighbor_id"]: (r["cosine"], r["rank"]) for r in rows}
+    # degenerate neighbors never rank — not even last with a NULL score
+    assert set(got) == {3, 4}
     assert not any(
-        c is not None and (math.isnan(c) or math.isinf(c))
-        for c, _ in got.values()
+        c is None or math.isnan(c) or math.isinf(c) for c, _ in got.values()
     )
-    # real vectors outrank degenerate ones; NULL cosines sort last
-    real_ranks = [got[n][1] for n in (3, 4)]
-    degenerate_ranks = [got[n][1] for n in (2, 5)]
-    assert max(real_ranks) < min(degenerate_ranks)
-    assert all(got[n][0] is None for n in (2, 5))
+    assert got[3][1] == 1 and got[4][1] == 2  # cos 0.5 > cos -1.0
+
+    # a degenerate QUERY returns no rows at all
+    assert brute_force_topk(emb, emb.filter("vec_id in (2, 5)"), k=4).count() == 0
 
     centers = kmeans_parallel_init(emb, n_centroids=2, rounds=2).collect()
     assert len(centers) == 2
     assert {r["vec_id"] for r in centers} <= {1, 3, 4}
+
+
+def test_identical_degenerate_vectors_never_pair(spark):
+    """The identical-vector collapse (blocked_cosine_pairs /
+    lsh_bucketed_pairs / semantic_dedup) emits intra-family pairs at
+    cosine 1.0 without calling the verify kernel — but the kernel would
+    compute NaN for two bit-identical NaN-lane vectors, so the expansion
+    must mirror the drop (``pairable`` flag: self-dot finite AND > 0;
+    adversarial-data round 8 — previously only zero vectors were
+    excluded and an identical NaN family emitted phantom 1.0 pairs)."""
+    from land_registry_data_ingestion_spark.operators.similarity import (
+        blocked_cosine_pairs,
+        semantic_dedup,
+    )
+
+    nanv = [float("nan"), 1.0, 0.0, 0.0]
+    infv = [float("inf"), 1.0, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 0.0, 0.0]),
+            (2, [1.0, 2.0, 0.0, 0.0]),   # identical finite family → pairs
+            (3, nanv),
+            (4, nanv),                   # identical NaN family → never
+            (5, infv),
+            (6, infv),                   # identical Inf family → never
+            (7, [0.0, 0.0, 0.0, 0.0]),
+            (8, [0.0, 0.0, 0.0, 0.0]),   # identical zero family → never
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in blocked_cosine_pairs(emb, threshold=0.9).collect()
+    }
+    assert pairs == {(1, 2, 1.0)}
+
+    dup = {
+        r["vec_id"]: r["is_duplicate"]
+        for r in semantic_dedup(emb, n_clusters=2, threshold=0.9).collect()
+    }
+    # only the finite family's non-representative member is a duplicate
+    assert dup == {1: False, 2: True, 3: False, 4: False,
+                   5: False, 6: False, 7: False, 8: False}
+
+
+def test_pq_topk_excludes_degenerate_vectors_and_never_crashes(spark):
+    """PQ ADC search with NaN/Inf-component vectors in the corpus AND
+    the would-be codebook seed range: such vectors must not seed
+    codebooks (one NaN entry poisons a subspace's whole distance
+    column), must not encode, must not rank, and must not crash — the
+    NaN approx_d2 previously crossed Arrow as NULL under the
+    non-nullable field and killed codegen with "Value at index is
+    null" (adversarial-data round 8). Zero vectors are valid L2
+    citizens and must still rank."""
+    from land_registry_data_ingestion_spark.operators.similarity import (
+        pq_codebooks,
+        pq_topk,
+    )
+
+    rows = [
+        (0, [float("nan")] * 4),           # would-be seed: NaN
+        (1, [float("inf"), 1.0, 0.0, 0.0]),  # would-be seed: Inf
+        (2, [1.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 1.0]),
+        (4, [0.0, 0.0, 0.0, 0.0]),         # zero vector: valid for L2
+        (5, [1.0, 1.0, 1.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_codebooks(emb, m=2, n_codes=3)
+    assert books.shape == (2, 3, 2)
+    import numpy as np
+
+    assert np.isfinite(books).all()  # seeded from 2, 3, 4 — not 0/1
+
+    out = pq_topk(emb, emb, m=2, n_codes=3, k=10).collect()
+    qids = {r["query_id"] for r in out}
+    nids = {r["neighbor_id"] for r in out}
+    assert qids == {2, 3, 4, 5} and nids == {2, 3, 4, 5}
+    assert all(
+        r["approx_d2"] is not None and r["approx_d2"] >= 0.0 for r in out
+    )
 
 
 def test_normalize_and_ivf_tolerate_degenerate_vectors(spark):
