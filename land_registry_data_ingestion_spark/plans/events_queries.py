@@ -324,13 +324,23 @@ def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "evt_anomaly_zscore",
     sql="""
-    WITH stats AS (
+    WITH ev AS (
+        -- non-finite measurements are unmeasurable, not outliers: they
+        -- are excluded from moment estimation AND classification.
+        -- (Also what keeps the oracle computable: DuckDB's STDDEV
+        -- raises Out of Range on NaN/Inf input where Spark yields NaN —
+        -- adversarial-data round 8. isfinite(NULL) is NULL, so NULL
+        -- values drop here too; they contributed nothing before.)
+        SELECT event_id, event_type, value
+        FROM events WHERE isfinite(value)
+    ),
+    stats AS (
         SELECT event_type, AVG(value) AS mu, STDDEV(value) AS sigma
-        FROM events GROUP BY event_type
+        FROM ev GROUP BY event_type
     )
     SELECT e.event_id, e.event_type, e.value,
            ROUND((e.value - s.mu) / s.sigma, 4) AS zscore
-    FROM events e JOIN stats s ON e.event_type = s.event_type
+    FROM ev e JOIN stats s ON e.event_type = s.event_type
     WHERE abs((e.value - s.mu) / s.sigma) > 3
     """,
 )
@@ -339,9 +349,25 @@ def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviations from their type's mean. Per-type stats are one tiny
     aggregate broadcast into a map-side filter — the event log itself
     never shuffles (a window over event_type would funnel the whole log
-    through a handful of partitions)."""
+    through a handful of partitions).
+
+    Declared contract: a non-finite measurement (NaN/±Inf — failed
+    sensor, overflowed counter) is unmeasurable, not an outlier. It is
+    excluded from moment estimation (one NaN would poison its type's mu
+    and sigma, flagging EVERY event of that type under Spark's
+    NaN-is-greatest comparison) and never classified itself. NULL values
+    were already invisible (skipped by the moments, z = NULL fails the
+    filter); the explicit finite filter makes that shared contract
+    engine-independent — DuckDB's moment aggregates RAISE on non-finite
+    input rather than yielding NaN."""
     t = load_tables(spark, sf_dir)
-    stats = t.events.groupBy("event_type").agg(
+    v = F.col("value")
+    # isfinite(value): NaN fails ~isnan, ±Inf fails the abs test, NULL
+    # propagates to NULL and the filter drops it.
+    ev = t.events.filter(
+        ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
+    ).select("event_id", "event_type", "value")
+    stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev("value").alias("sigma")
     )
     # try_divide: a type whose values are all identical has sigma = 0 —
@@ -349,7 +375,7 @@ def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB oracle (double /0 → NULL) and falls out of the >3 filter.
     z = F.try_divide(F.col("value") - F.col("mu"), F.col("sigma"))
     return (
-        t.events.join(F.broadcast(stats), "event_type")
+        ev.join(F.broadcast(stats), "event_type")
         .filter(F.abs(z) > 3)
         .select(
             "event_id",

@@ -52,6 +52,12 @@ events (10000 rows)
   i % 41 == 6   props -> '{}'         (missing key)
   i % 13 == 8   ts -> truncated to the exact hour (window boundary)
   i % 11 == 9   ts -> copied from row i-1 (tie; event_id still unique)
+  i % 47 == 10  value -> NaN   (failed sensor; both engines propagate
+  i % 53 == 11  value -> +Inf   NaN/Inf through SUM/MIN/MAX/windows
+  i % 59 == 12  value -> -Inf   identically — moment estimators differ:
+                DuckDB STDDEV/CORR raise Out of Range on non-finite
+                input where Spark yields NaN, so moment-based queries
+                must declare non-finite measurements out of scope)
 
 embeddings (500 rows)
   i % 13 == 0   embedding -> all-zero vector (zero norm)
@@ -182,6 +188,12 @@ def perturb_events(table: pa.Table) -> pa.Table:
             ts[i] = ts[i].replace(minute=0, second=0, microsecond=0)
         if i % 11 == 9 and i > 0 and ts[i] is not None and ts[i - 1] is not None:
             ts[i] = ts[i - 1]
+        if i % 47 == 10 and value[i] is not None:
+            value[i] = float("nan")
+        elif i % 53 == 11 and value[i] is not None:
+            value[i] = float("inf")
+        elif i % 59 == 12 and value[i] is not None:
+            value[i] = float("-inf")
     return _rebuild(
         table,
         {

@@ -165,3 +165,64 @@ def test_repair_updates_converges_target_to_truth(spark):
     )
     counts = {r["presence"]: r["n_rows"] for r in got.counts.collect()}
     assert counts == {"both": 3}
+
+
+def test_anomaly_zscore_excludes_nonfinite_measurements(spark, tmp_path):
+    """Declared contract (round-8 adversarial gate): a NaN/±Inf value is
+    unmeasurable, not an outlier — excluded from moment estimation AND
+    never classified. Unfiltered, one NaN poisons its type's mu/sigma
+    and Spark's NaN-is-greatest comparison then flags EVERY event of
+    that type, while DuckDB's STDDEV raises Out of Range outright. The
+    oracle-differential run on the perturbed table is the pin: both
+    engines must agree AND the degenerate rows must be absent."""
+    import math
+    import shutil
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_harness import run_compare
+
+    src = f"{SF_CORRECTNESS}/events.parquet"
+    table = pq.read_table(src)
+    value = table.column("value").to_pylist()
+    poisoned = set()
+    for i in range(0, len(value), 97):
+        value[i] = [float("nan"), float("inf"), float("-inf")][(i // 97) % 3]
+        poisoned.add(i)
+    arrays = [
+        pa.array(value, type=table.schema.field("value").type)
+        if f.name == "value"
+        else table.column(f.name).combine_chunks()
+        for f in table.schema
+    ]
+    out_dir = tmp_path / "sfadv_value"
+    out_dir.mkdir()
+    pq.write_table(
+        pa.Table.from_arrays(arrays, schema=table.schema),
+        str(out_dir / "events.parquet"),
+    )
+
+    spec = REGISTRY["evt_anomaly_zscore"]
+    duck = duckdb.connect()
+    duck.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{out_dir}/events.parquet'"
+    )
+    problems = run_compare(
+        spark, duck, spec.fn, spec.sql, str(out_dir), "evt_anomaly_zscore"
+    )
+    assert problems == []
+
+    rows = spec.fn(spark, str(out_dir)).collect()
+    assert len(rows) > 0  # finite outliers still detected
+    flagged = {r["event_id"] for r in rows}
+    # event_id is the row index in the synthetic table, so the poisoned
+    # positions are directly checkable: none may be classified.
+    assert not (flagged & poisoned)
+    assert all(
+        r["value"] is not None
+        and math.isfinite(r["value"])
+        and math.isfinite(r["zscore"])
+        for r in rows
+    )
