@@ -99,40 +99,45 @@ def test_committed_floor_sessions_replay_clean():
     with open(os.path.join(os.path.dirname(__file__), "..", "BENCH_FLOORS.json")) as f:
         floors = json.load(f)
     adjudicated = {
-        ("scale", "text_quality_score", 1.7),  # r7 driver; judge 0.84-0.92 isolated
-        # --- r8 third floor cycle: one SUSTAINED host slow window.
-        # The three sessions behind the similarity-family plan change
-        # read 68.5 / 62.8 / 69.7 s headline vs the ~41-45 s committed
-        # medians (~50% hot, ~1 h long — same recurring episode class as
-        # ROUND3_NOTES/r7, longest observed). Every reading below is
-        # from those sessions, on an unchanged plan, and every query was
-        # isolated-re-measured after the window cooled: steady-state
-        # inside its band (readings in ROUND8_NOTES §floor-cycle table).
-        # Earlier enumerated readings that stopped flagging when the
-        # wider bands absorbed them (cdc_merge_state 4.547,
-        # text_quality_score 1.244, text_dup_span_trim 2.555,
-        # text_dsir_weights 3.559, evt_ohlc_hourly 0.532) left the set —
-        # it is maintained, not append-only.
-        ("headline", "dedup_minhash_lsh", 13.934),  # 3.05 isolated
-        ("headline", "evt_range_join", 1.13),  # 0.52 isolated
-        ("headline", "evt_sliding_users_24h", 5.753),  # 1.67 isolated
-        ("headline", "rel_full_outer_reconcile", 2.508),  # 0.49 isolated
-        ("headline", "rel_left_join_broadcast", 1.464),  # 0.48 isolated
-        ("headline", "rel_multi_join_chain", 2.483),  # 1.41 isolated
-        ("headline", "sim_kmeans_clusters", 0.892),  # 0.51 isolated
-        ("headline", "text_decontaminate", 2.912),  # 1.32 isolated
-        ("headline", "text_dup_span_trim", 4.876),  # 1.30 isolated
-        ("headline", "text_redact_pii", 1.284),  # 0.44 isolated
-        ("headline", "win_latest_row", 1.149),  # 0.49 isolated
-        ("scale", "sim_kmeans_clusters", 1.25),  # 0.78 isolated
-        ("scale", "text_dup_span_trim", 5.573),  # 3.71 isolated
-        ("scale", "text_repetition_filters", 1.745),  # 1.54 isolated
-        ("scale", "text_repetition_filters", 1.746),  # (same episode)
-        # first isolated re-run read 3.63 in a fresh load spike; second
-        # idle run 1.78 — matching its r8a idle steady-state 1.77/1.88
-        ("scale", "text_token_budget_sample", 3.37),
-        ("scale", "text_token_budget_sample", 3.785),
-        ("scale", "win_equidepth_histogram", 7.241),  # 3.55 isolated
+        # --- r8 third floor cycle (sessions 1-3 of 6): one SUSTAINED
+        # host slow window — 68.5 / 62.8 / 69.7 s headline vs the
+        # ~41-45 s committed medians, ~1 h, the longest episode of the
+        # class ROUND3_NOTES first documented. Host load oscillates
+        # without any engine process running (observed 1-min load 0.4 →
+        # 12.9 across idle polls), so single isolated re-measures can
+        # themselves land in warm patches; the adjudication evidence
+        # below is therefore isolated idle re-measures PLUS session 6 —
+        # a complete clean floor session (44.1 s headline, ZERO flags,
+        # plans unchanged) in which every reading below sat at
+        # steady-state far inside its band (full table in ROUND8_NOTES).
+        # Earlier enumerated readings left the set when the widened
+        # bands absorbed them or the 8-session cap rotated them out
+        # (cdc_merge_state 4.547, text_quality_score 1.7 / 1.244,
+        # text_dup_span_trim 2.555, text_dsir_weights 3.559,
+        # evt_ohlc_hourly 0.532, text_repetition_filters 1.745/1.746) —
+        # the set is maintained, not append-only.
+        ("headline", "dedup_embedding_cosine", 4.16),  # s6 1.55
+        ("headline", "dedup_minhash_lsh", 13.934),  # s6 2.83, iso 3.05
+        ("headline", "evt_range_join", 1.13),  # iso 0.52
+        ("headline", "evt_sliding_users_24h", 5.753),  # s6 1.57, iso 1.67
+        ("headline", "rel_full_outer_reconcile", 2.508),  # iso 0.49
+        ("headline", "rel_left_join_broadcast", 1.464),  # iso 0.48
+        ("headline", "rel_multi_join_chain", 2.483),  # iso 1.41
+        ("headline", "sim_kmeans_clusters", 0.892),  # iso 0.51
+        ("headline", "text_decontaminate", 2.912),  # iso 1.32
+        ("headline", "text_dup_span_trim", 4.876),  # s6 1.47, iso 1.30
+        ("headline", "text_redact_pii", 1.284),  # iso 0.44
+        ("headline", "win_latest_row", 1.149),  # iso 0.49
+        ("scale", "sim_kmeans_clusters", 1.25),  # s6 0.6, iso 0.78
+        ("scale", "text_dup_span_trim", 5.573),  # s6 2.5, iso 3.71
+        ("scale", "text_token_budget_sample", 3.37),  # s6 1.7, iso 1.78
+        ("scale", "text_token_budget_sample", 3.785),  # (same episode)
+        ("scale", "win_equidepth_histogram", 7.241),  # s6 2.6, iso 3.55
+        # --- sessions 4-5 (warm, 53.2 / 56.3 s): readings exposed when
+        # the cool session-6 median pulled bands down; same evidence.
+        ("headline", "dedup_minhash_lsh", 7.322),  # s6 2.83
+        ("scale", "evt_sliding_users_24h", 3.998),  # s6 2.4
+        ("scale", "sim_pq_topk", 2.218),  # s6 1.2 (26 ms over band)
     }
     flagged = set()
     for section, entries in floors.items():
