@@ -294,11 +294,17 @@ def blocked_cosine_pairs(
             na_norm = np.sqrt(_seq_pair_dots(va, va))
             for s in range(0, len(ids_a), chunk):
                 e = s + chunk
-                cos = np.round(
-                    _seq_cross_dots(va[s:e], vb)
-                    / np.multiply.outer(na_norm[s:e], nb_norm),
-                    6,
-                )
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = np.round(
+                        _seq_cross_dots(va[s:e], vb)
+                        / np.multiply.outer(na_norm[s:e], nb_norm),
+                        6,
+                    )
+                # NaN already fails >= threshold, but a nonzero dot over
+                # an underflowed-to-0.0 norm product is +Inf and would
+                # PASS it — mask to NaN so degenerate pairs never emit
+                # (same contract as cosine_score_pairs_vectorized).
+                cos = np.where(np.isfinite(cos), cos, np.nan)
                 ii, jj = np.nonzero(cos >= threshold)
                 ia, ib = ids_a[s:e][ii], ids_b[jj]
                 keep = ia < ib if triangular else ia != ib
@@ -388,7 +394,11 @@ def lsh_bucket_keys_vectorized(
     the sums — and therefore the sign bits — are bit-identical to the
     interpreted ``aggregate(zip_with(...))`` form and to DuckDB's
     ``list_dot_product``). Returns (id, vec, keys: array<string>), one key
-    string per table. Replaces tables × planes interpreted HOF folds per
+    string per table. Keys are defined for FINITE vectors only: a NaN
+    plane dot signs differently per engine (numpy ``NaN >= 0`` is False;
+    Spark/DuckDB order NaN above everything → True), so callers exclude
+    non-finite vectors first (``lsh_bucketed_pairs`` applies
+    ``_finite_vec``) — the bit-for-bit parity holds on that domain. Replaces tables × planes interpreted HOF folds per
     row (~10 µs each) with vectorized numpy — the same trap/fix as the IVF
     index build."""
     import numpy as np
@@ -441,11 +451,23 @@ def lsh_bucketed_pairs(
 ) -> DataFrame:
     """Approximate cosine-threshold pairs: candidates collide in ≥1 LSH
     table, then exact cosine verifies. Shuffle O(n·tables); bucket keys
-    come from the Arrow-vectorized kernel (one matmul per batch)."""
+    come from the Arrow-vectorized kernel (one matmul per batch).
+
+    Non-finite vectors never BUCKET (not merely never pair): a NaN-lane
+    dot signs differently per engine (numpy ``NaN >= 0`` is False, Spark
+    and DuckDB order NaN above every value → True), so leaving them in
+    would make the CANDIDATE sets non-replayable even though the exact
+    cosine verify drops their pairs on every side. The ``_finite_vec``
+    filter here and the matching ``isfinite(list_dot_product(v, v))``
+    in the oracle keep candidates, not just outputs, deterministic.
+    Zero-norm vectors bucket fine (dot 0 → bit '1' everywhere) and are
+    dropped by the verify's NULL cosine."""
     # Identical-vector collapse first (bucket keys, candidacy and cosine
     # are pure functions of the vector) — the within-bucket quadratic
     # candidate term runs over distinct vectors only.
-    rep_df, members = _collapse_identical_vectors(df, id_col, vec_col)
+    rep_df, members = _collapse_identical_vectors(
+        df.filter(_finite_vec(F.col(vec_col))), id_col, vec_col
+    )
     # Bucket join + distinct over IDS ONLY — candidates are the volume
     # term (within-bucket quadratic), so the dedup shuffle must carry two
     # longs per pair, not two d-dim vectors; vectors re-attach afterwards
@@ -648,10 +670,13 @@ def ivf_assign_vectorized(
             best = np.argmax(guarded, axis=1)
             out = pdf.assign(centroid_id=cids[best])
             if score_col is not None:
-                # the UNGUARDED cosine: NaN for a degenerate winner, which
-                # Arrow surfaces as NULL (see the schema note above)
+                # a degenerate winner's score surfaces as NULL: NaN
+                # crosses Arrow as NULL already, but a ±Inf quotient
+                # (nonzero dot over an underflowed norm product) would
+                # survive as a real Inf and rank first — mask to NaN
+                win = cos[np.arange(len(best)), best]
                 out = out.assign(
-                    **{score_col: cos[np.arange(len(best)), best]}
+                    **{score_col: np.where(np.isfinite(win), win, np.nan)}
                 )
             yield out
 
@@ -684,7 +709,16 @@ def cosine_score_pairs_vectorized(
             dots = _seq_pair_dots(A, B)
             na = np.sqrt(_seq_pair_dots(A, A))
             nb = np.sqrt(_seq_pair_dots(B, B))
-            yield pdf.assign(**{out_col: np.round(dots / (na * nb), 6)})
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.round(dots / (na * nb), 6)
+            # Non-finite → NaN → Arrow NULL. 0/0 is already NaN, but a
+            # NONZERO dot over a norm product that underflows to 0.0
+            # (all-subnormal components) quotients to ±Inf — which would
+            # pass >= threshold filters and rank FIRST, diverging from
+            # the expression form's try_divide → NULL and the oracle's
+            # NULL (division by zero). Same isfinite guard as
+            # ivf_assign_vectorized.
+            yield pdf.assign(**{out_col: np.where(np.isfinite(cos), cos, np.nan)})
 
     return df.mapInPandas(kernel, out_schema)
 
@@ -1204,7 +1238,15 @@ def pq_encode(
     """Map-only PQ encoding: each vector becomes ``m`` small codes
     (nearest codebook entry per subspace, ties to the smaller code).
     8 bytes of codes replace 256 bytes of floats — the compressed corpus
-    is what ships to the search tier at scale."""
+    is what ships to the search tier at scale.
+
+    Degenerate-vector contract (round 8) enforced HERE, not only in
+    ``pq_topk``'s plan-level pre-filter: a vector with a NaN/±Inf
+    component NaN-poisons every subspace's distance column, making its
+    argmin an arbitrary code — so the kernel drops such rows (they never
+    encode) even when the operator is called directly. The guard is
+    in-kernel (numpy mask, not a plan Filter) so a pre-filtered caller
+    like ``pq_topk`` pays nothing and its plan is unchanged."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
@@ -1224,6 +1266,12 @@ def pq_encode(
             M = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
+            finite = np.isfinite(M).all(axis=1)
+            if not finite.all():
+                pdf = pdf.loc[finite].reset_index(drop=True)
+                M = M[finite]
+                if len(pdf) == 0:
+                    continue
             codes = np.empty((len(pdf), m), dtype=np.int32)
             for s in range(m):
                 d2 = _sub_d2(M[:, s * sub : (s + 1) * sub], books[s])

@@ -272,21 +272,27 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine",
     sql="""
-    WITH pairs AS (
-        -- NOT isnan: a NaN cosine (NaN/Inf-poisoned vector) is undefined
+    WITH scored AS (
+        -- ROUND(..., 6) BEFORE the threshold, exactly like the engine's
+        -- blocked-pairs kernel (round-then-compare): a raw cosine in
+        -- [0.3999995, 0.4) pairs on both sides or neither.
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(
+                 list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                 6) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ),
+    pairs AS (
+        -- isfinite: a NaN cosine (NaN/Inf-poisoned vector) is undefined
         -- and never pairs — unguarded, DuckDB orders NaN above every
         -- value so it would pass the threshold (adversarial round 8);
-        -- zero-norm already yields NULL (division by zero) and drops.
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE NOT isnan(
-          list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))))
-          AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
-          >= 0.4
+        -- zero-norm already yields NULL (division by zero) and drops;
+        -- a ±Inf quotient is masked to NaN by the engine kernel, so the
+        -- oracle guard is isfinite, not merely NOT isnan.
+        SELECT id_a, id_b FROM scored
+        WHERE isfinite(cos) AND cos >= 0.4
     )
     SELECT d.doc_id, d.lang, d.source, d.n_chars
     FROM documents d

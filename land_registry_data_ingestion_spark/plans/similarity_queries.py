@@ -23,15 +23,22 @@ _DIM = 64  # embeddings table dimension (TESTDATA)
 
 
 def _nan_null(expr: str) -> str:
-    """NaN → NULL, stating the engine's degenerate-vector contract in
-    DuckDB terms (adversarial-data round 8): a cosine involving a
+    """Non-finite → NULL, stating the engine's degenerate-vector contract
+    in DuckDB terms (adversarial-data round 8): a cosine involving a
     NaN/±Inf-component vector comes out NaN, which DuckDB orders ABOVE
     every real value — unguarded, it passes every ``>= threshold`` and
     ranks FIRST under ``DESC``. The engine maps it to NULL
-    (``cosine_similarity``'s nanvl; the Arrow kernels' NaN crosses as
-    NULL), where it fails filters and never ranks. Zero-norm vectors
-    already agree: DuckDB division by zero is NULL."""
-    return f"(CASE WHEN isnan({expr}) THEN NULL ELSE {expr} END)"
+    (``cosine_similarity``'s nanvl; the Arrow kernels mask every
+    non-finite quotient to NaN, which crosses Arrow as NULL), where it
+    fails filters and never ranks. Zero-norm vectors already agree:
+    DuckDB division by zero is NULL. The guard is ``isfinite``, not
+    ``NOT isnan``, to match the kernels' mask exactly; on the declared
+    ``array<float>`` tables the two are equivalent (Cauchy–Schwarz in
+    double arithmetic over float32 inputs rules out ±Inf quotients —
+    the smallest float32 subnormal squared is ~1e-90, far above
+    double underflow, so a nonzero norm product can never round to
+    0.0)."""
+    return f"(CASE WHEN isfinite({expr}) THEN {expr} ELSE NULL END)"
 
 
 _COS_RAW = """
@@ -175,7 +182,15 @@ def _lsh_sql(
 ) -> str:
     """DuckDB replay of the hyperplane LSH: the planes are deterministic
     md5-derived constants, so they inline as literals (like the MinHash
-    coefficients) and a second engine rebuilds the identical buckets."""
+    coefficients) and a second engine rebuilds the identical buckets.
+
+    Non-finite vectors are excluded from bucketing on BOTH sides (the
+    engine's ``_finite_vec`` filter in ``lsh_bucketed_pairs``): a
+    NaN-lane plane dot signs differently per engine (DuckDB's
+    ``>= 0`` is TRUE for NaN, numpy's is False), so without the filter
+    the CANDIDATE sets diverge even though the exact-cosine verify
+    drops those pairs everywhere — candidates, not just outputs, must
+    stay replayable."""
     from land_registry_data_ingestion_spark.operators.similarity import (
         _hyperplane,
     )
@@ -193,11 +208,16 @@ def _lsh_sql(
         return "concat(" + ", ".join(bits) + ")"
 
     keyed = "\n        UNION ALL ".join(
-        f"SELECT vec_id AS id, {t} AS tbl, {bkt(t)} AS bkt FROM embeddings"
+        f"SELECT vec_id AS id, {t} AS tbl, {bkt(t)} AS bkt FROM vecs"
         for t in range(n_tables)
     )
     return f"""
-    WITH keyed AS (
+    WITH vecs AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE isfinite(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])))
+    ),
+    keyed AS (
         {keyed}
     ),
     cands AS (

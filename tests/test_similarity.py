@@ -563,3 +563,94 @@ def test_normalize_and_ivf_tolerate_degenerate_vectors(spark):
     out = ivf_topk(emb, emb.filter("vec_id in (1, 2)"), n_centroids=2, k=2)
     rows = out.collect()
     assert len(rows) > 0  # the query ran; degenerate inputs didn't kill it
+
+
+def test_vectorized_cosine_masks_inf_quotients(spark):
+    """A NONZERO dot over a norm product that underflows to 0.0
+    (all-subnormal double components) quotients to +Inf in raw numpy —
+    which would pass ``>= threshold`` filters and rank FIRST, diverging
+    from the expression form's try_divide → NULL and the oracle's
+    division-by-zero NULL. The Arrow kernels must mask every non-finite
+    quotient to NaN → Arrow NULL (round 9, ADVICE). Unreachable from the
+    declared array<float> tables (the smallest float32 subnormal squared
+    is ~1e-90, far above double underflow), so this pins the GENERIC
+    operator contract for double inputs."""
+    from land_registry_data_ingestion_spark.operators.similarity import (
+        blocked_cosine_pairs,
+        cosine_score_pairs_vectorized,
+    )
+
+    sub = 1e-200  # sub² underflows to 0.0 in double
+    pairs = spark.createDataFrame(
+        [(1, [sub, 0.0], 2, [1.0, 0.0])],
+        "id_a long, vec_a array<double>, id_b long, vec_b array<double>",
+    )
+    [r] = cosine_score_pairs_vectorized(pairs, "vec_a", "vec_b").collect()
+    assert r["cosine"] is None  # +Inf masked → NULL, never a rank-1 score
+
+    emb = spark.createDataFrame(
+        [(1, [sub, 0.0]), (2, [1.0, 0.0]), (3, [2.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in blocked_cosine_pairs(emb, threshold=0.4).collect()
+    }
+    # (1,2)/(1,3) quotient to +Inf raw — masked, never pair
+    assert got == {(2, 3): 1.0}
+
+
+def test_lsh_excludes_nonfinite_vectors_from_bucketing(spark):
+    """Non-finite vectors never BUCKET, not merely never pair: a NaN
+    plane dot signs differently per engine (numpy ``NaN >= 0`` False;
+    Spark/DuckDB order NaN above everything → True), so unfiltered they
+    make the CANDIDATE sets non-replayable even though the exact verify
+    drops their pairs everywhere (round 9, ADVICE — the oracle applies
+    the matching ``isfinite(list_dot_product(v, v))``)."""
+    from land_registry_data_ingestion_spark.operators.similarity import (
+        lsh_bucketed_pairs,
+    )
+
+    nanv = [float("nan"), 1.0, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 0.0, 0.0]),
+            (2, [1.0, 2.0, 0.0, 0.0]),  # identical finite family → pair
+            (3, nanv),
+            (4, nanv),                   # identical NaN family → never
+            (5, [float("inf"), 1.0, 1.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in lsh_bucketed_pairs(emb, dim=4, threshold=0.4).collect()
+    }
+    assert pairs == {(1, 2, 1.0)}
+
+
+def test_pq_encode_drops_nonfinite_vectors_directly(spark):
+    """``pq_encode`` called OUTSIDE ``pq_topk``'s plan-level pre-filter
+    must still enforce the round-8 contract in-kernel: a NaN/±Inf
+    component NaN-poisons every subspace's distance column, so argmin
+    would silently emit an arbitrary code — the row is dropped instead
+    (round 9, ADVICE). The guard is a numpy mask, not a plan Filter, so
+    pre-filtered callers pay nothing and their plans are unchanged."""
+    from land_registry_data_ingestion_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rows = [
+        (0, [float("nan")] * 4),
+        (1, [float("inf"), 1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_codebooks(emb, m=2, n_codes=2)
+    got = {
+        r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, books).collect()
+    }
+    assert set(got) == {2, 3}
+    assert all(len(c) == 2 for c in got.values())
