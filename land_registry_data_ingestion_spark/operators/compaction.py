@@ -55,6 +55,73 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 
 
+class StaleListingError(RuntimeError):
+    """A store read failed repeatedly because files vanished under its
+    plan — a reader outlived compaction's gc grace window. Raised by
+    :func:`run_with_listing_retry` once its re-list attempts are
+    exhausted; the message names the knob (``gc_grace_seconds``)."""
+
+
+# Task-time signatures of "a file the plan listed is gone" across the
+# layers a vanished parquet dir surfaces through (JVM FileNotFound /
+# Spark's error classes / Hadoop listing). Deliberately narrow: any
+# other failure re-raises unchanged — retrying, say, a corrupt-footer
+# error would just mask it.
+_VANISHED_FILE_MARKERS = (
+    "FileNotFoundException",
+    "FILE_NOT_EXIST",
+    "FILE_NOT_FOUND",
+    "PATH_NOT_FOUND",
+    "does not exist",
+)
+
+
+def _is_vanished_file_error(exc: BaseException) -> bool:
+    seen: list[str] = []
+    e: BaseException | None = exc
+    while e is not None and len(seen) < 8:
+        seen.append(str(e))
+        e = e.__cause__ or e.__context__
+    text = "\n".join(seen)
+    return any(m in text for m in _VANISHED_FILE_MARKERS)
+
+
+def run_with_listing_retry(build, action, attempts: int = 2, what: str = "store read"):
+    """Execute ``action(build())`` where ``build`` constructs a DataFrame
+    from a FRESH partition listing (e.g. ``CorpusStore.index`` /
+    ``SpanStore.index``) and ``action`` runs it.
+
+    This is the documented reader-side answer to the gc race
+    :func:`compact` narrows but cannot eliminate: a reader whose listing
+    snapshot predates a fold holds the folded dirs' paths in its lazy
+    plan, and if that plan is still executing ``gc_grace_seconds`` after
+    the fold, the gc may reclaim the dirs underneath it — surfacing as a
+    task-time FileNotFoundException. Because ``_folded.json`` appears in
+    the same atomic rename as the compact dir, simply RE-LISTING yields
+    a consistent post-fold view (the compact dir, never both), so the
+    retry is semantically exact — the re-built plan reads the same rows.
+
+    Only vanished-file failures are retried; everything else re-raises
+    unchanged. After ``attempts`` failures raises
+    :class:`StaleListingError` naming ``gc_grace_seconds`` — at that
+    point single executions are outliving the grace window and the knob,
+    not the retry count, is what needs raising."""
+    last: BaseException | None = None
+    for _ in range(max(1, attempts)):
+        try:
+            return action(build())
+        except Exception as e:
+            if not _is_vanished_file_error(e):
+                raise
+            last = e
+    raise StaleListingError(
+        f"{what} failed {attempts}x with files vanishing under its plan: "
+        f"each rebuilt plan outlived compaction's gc grace window. Raise "
+        f"gc_grace_seconds on compact() (default 300 s) above your "
+        f"longest reader, or pause compaction while ad-hoc readers run."
+    ) from last
+
+
 def live_partitions(index_dir: str, exclude_batch: int | str | None = None) -> list[str]:
     """Names of the partitions a reader should scan: every ``batch=*``
     dir that is not named in a live compact partition's ``_folded.json``
@@ -127,7 +194,12 @@ def compact(
     whose single plan outlives the grace period) can still crash. 300 s
     covers any realistic store probe by orders of magnitude; raise it
     for ad-hoc analytical readers, or set 0 to reclaim space eagerly
-    when no concurrent readers exist (tests, offline rebuilds).
+    when no concurrent readers exist (tests, offline rebuilds). Readers
+    that may outlive the window have a documented recovery:
+    :func:`run_with_listing_retry` re-lists and re-runs on a vanished
+    file (exact — a fresh listing is always post-fold consistent) and
+    fails with an actionable :class:`StaleListingError` naming this
+    knob when retries are exhausted.
     Correctness is unaffected either way: a pre-rename snapshot plans
     exactly the folded dirs, a post-rename snapshot plans exactly the
     compact dir — never both, because the compact dir and its

@@ -443,3 +443,70 @@ def test_corpus_store_near_dup_bands_survive_compaction(spark, tmp_path):
         _df(spark, [(60, near)]), 4, near_dup=True, threshold=0.5
     )
     assert res["n_accepted"] == 0 and res["n_near_dups_known"] == 1
+
+
+def test_reader_outliving_grace_retries_or_fails_actionably(spark, tmp_path):
+    """The narrowed gc race, from the reader's side (round 9): a reader
+    whose listing snapshot predates a fold holds the folded dirs' paths
+    in its lazy plan; if gc reclaims them mid-execution the plan dies
+    with a task-time FileNotFound. ``run_with_listing_retry`` must (a)
+    recover exactly by re-listing — a fresh listing is post-fold
+    consistent, same rows — and (b) when every rebuilt plan keeps dying,
+    fail with a StaleListingError naming gc_grace_seconds instead of a
+    raw executor stack. Unrelated failures must re-raise unchanged."""
+    import shutil
+
+    import pytest
+
+    from land_registry_data_ingestion_spark.operators.compaction import (
+        StaleListingError,
+        run_with_listing_retry,
+    )
+    from land_registry_data_ingestion_spark.operators.corpus_store import (
+        INDEX_SCHEMA,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    for b in range(3):
+        spark.createDataFrame(
+            [(f"fp{b}", b)], INDEX_SCHEMA
+        ).write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch={b}")
+        )
+
+    def build():
+        names = live_partitions(index_dir)
+        return spark.read.schema(INDEX_SCHEMA).parquet(
+            *[os.path.join(index_dir, n) for n in names]
+        )
+
+    # A stale plan: listing snapshot taken BEFORE batch=2 vanishes
+    # (standing in for a fold + gc that outran this reader's execution).
+    stale = build()
+    shutil.rmtree(os.path.join(index_dir, "batch=2"))
+    with pytest.raises(Exception, match="not exist|FileNotFound|FILE_NOT"):
+        stale.count()  # the unprotected reader crashes — the raw race
+
+    calls = {"n": 0}
+
+    def build_first_stale():
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else build()
+
+    # (a) recovery: attempt 1 executes the stale plan and dies on the
+    # vanished dir; attempt 2 re-lists and reads the surviving rows.
+    got = run_with_listing_retry(build_first_stale, lambda df: df.count())
+    assert got == 2 and calls["n"] == 2
+
+    # (b) exhaustion: every rebuilt plan still references a vanished dir
+    # (simulates executions that always outlive the grace window) —
+    # actionable error naming the config, chained to the real failure.
+    with pytest.raises(StaleListingError, match="gc_grace_seconds") as ei:
+        run_with_listing_retry(lambda: stale, lambda df: df.count())
+    assert ei.value.__cause__ is not None
+
+    # (c) foreign failures pass through untouched
+    with pytest.raises(ValueError, match="boom"):
+        run_with_listing_retry(
+            build, lambda df: (_ for _ in ()).throw(ValueError("boom"))
+        )
