@@ -5,6 +5,7 @@ the triage companion the pytest -q output can't give."""
 
 from __future__ import annotations
 
+import argparse
 import sys
 import traceback
 from pathlib import Path
@@ -20,8 +21,58 @@ from land_registry_data_ingestion_spark.plans.registry import _load_all, REGISTR
 from tests.oracle_harness import run_compare
 
 
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    # Both spellings accepted (the positional for habit, the flag because
+    # round 8's judge typed --data-dir and the old hand-rolled parser
+    # silently used the literal string "--data-dir" as the directory).
+    p.add_argument(
+        "data_dir_pos",
+        nargs="?",
+        default=None,
+        metavar="DATA_DIR",
+        help="adversarial parquet dir (default /tmp/sfadv)",
+    )
+    p.add_argument(
+        "--data-dir",
+        dest="data_dir_flag",
+        default=None,
+        help="same as the positional DATA_DIR",
+    )
+    p.add_argument(
+        "names",
+        nargs="*",
+        default=[],
+        help="query names to check (default: every SQL-oracled query)",
+    )
+    p.add_argument(
+        "--tb", action="store_true", help="print full tracebacks on exceptions"
+    )
+    p.add_argument(
+        "--json",
+        dest="out_json",
+        default=None,
+        metavar="PATH",
+        help="write {data_dir, head, queries_checked, diverged} to PATH",
+    )
+    args = p.parse_args(argv)
+    if args.data_dir_pos and args.data_dir_flag:
+        # `--data-dir X name1 name2`: argparse greedily binds name1 to
+        # the optional positional — reinterpret it as the first name.
+        args.names.insert(0, args.data_dir_pos)
+        args.data_dir_pos = None
+    args.data_dir = args.data_dir_flag or args.data_dir_pos or "/tmp/sfadv"
+    if not Path(args.data_dir).is_dir():
+        p.error(f"data dir does not exist: {args.data_dir}")
+    return args
+
+
 def main() -> None:
-    data_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfadv"
+    args = parse_args()
+    data_dir = args.data_dir
     spark = get_spark(
         app_name="lrdi-adv-triage",
         master="local[8]",
@@ -32,22 +83,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     _load_all()
-    rest = sys.argv[2:]
-    names = []
-    skip_next = False
-    for a in rest:
-        if skip_next:
-            skip_next = False
-            continue
-        if a == "--tb":
-            continue
-        if a == "--json":
-            skip_next = True
-            continue
-        names.append(a)
-    names = names or sorted(
+    names = args.names or sorted(
         n for n, s in REGISTRY.items() if s.sql is not None
     )
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
     duck = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
@@ -69,7 +110,7 @@ def main() -> None:
             n_bad += 1
             print(f"=== {name}: EXCEPTION {type(e).__name__}")
             print("   ", str(e).split("\n")[0][:300])
-            if "--tb" in sys.argv:
+            if args.tb:
                 traceback.print_exc()
             continue
         if problems:
@@ -78,11 +119,7 @@ def main() -> None:
             for p in problems[:8]:
                 print("   ", p[:300])
     print(f"\n{n_bad} queries diverged on {data_dir}")
-    out_json = None
-    argv = sys.argv[1:]
-    if "--json" in argv:
-        out_json = argv[argv.index("--json") + 1]
-    if out_json:
+    if args.out_json:
         import json
         import subprocess
 
@@ -92,7 +129,7 @@ def main() -> None:
             text=True,
             cwd=REPO_ROOT,
         ).stdout.strip()
-        with open(out_json, "w") as fh:
+        with open(args.out_json, "w") as fh:
             json.dump(
                 {
                     "data_dir": data_dir,
@@ -103,7 +140,9 @@ def main() -> None:
                 fh,
                 indent=1,
             )
-        print(f"wrote {out_json}")
+        print(f"wrote {args.out_json}")
+    if n_bad:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -280,3 +280,58 @@ def test_rotation_staleness_spill_hard_fails(monkeypatch, tmp_path):
         # window 0 spills everything; "b" at r4 would be 3 rounds stale
         # after an r7 run, so the generator must abort.
         gqi.rotation("HEAD", window=0, next_round=7, declared=["a", "b", "c"])
+
+
+def test_rotation_check_mode_never_writes(monkeypatch, tmp_path, capsys):
+    """--check must verify the committed file reproduces WITHOUT touching
+    it (round-9 verdict: a judge verification run used to rewrite
+    check_priority.py in place and needed a git checkout to undo), and
+    must exit non-zero naming the first divergent line when it doesn't."""
+    monkeypatch.setattr(
+        gqi, "affected_queries_function_level", lambda ref: (set(), {})
+    )
+    monkeypatch.setattr(gqi, "query_ages", lambda: {"a": 6, "b": 6})
+    target = tmp_path / "check_priority.py"
+    monkeypatch.setattr(gqi, "_CHECK_PRIORITY_PATH", str(target))
+
+    # generate the committed file once, then check-mode must reproduce it
+    gqi.rotation("HEAD", window=2, next_round=7, declared=["a", "b"])
+    committed = target.read_text()
+    gqi.rotation("HEAD", window=2, next_round=7, declared=["a", "b"], check=True)
+    assert target.read_text() == committed
+    assert "check OK" in capsys.readouterr().out
+
+    # a divergent regeneration (different round) fails without writing
+    with pytest.raises(SystemExit, match="check FAILED.*line"):
+        gqi.rotation(
+            "HEAD", window=2, next_round=8, declared=["a", "b"], check=True
+        )
+    assert target.read_text() == committed
+
+
+def test_rotation_out_redirects_emission(monkeypatch, tmp_path):
+    """--out writes the generated file elsewhere and leaves the committed
+    check_priority.py untouched."""
+    monkeypatch.setattr(
+        gqi, "affected_queries_function_level", lambda ref: (set(), {})
+    )
+    monkeypatch.setattr(gqi, "query_ages", lambda: {"a": 6, "b": 6})
+    target = tmp_path / "check_priority.py"
+    target.write_text("SENTINEL")
+    monkeypatch.setattr(gqi, "_CHECK_PRIORITY_PATH", str(target))
+    out = tmp_path / "elsewhere.py"
+    gqi.rotation(
+        "HEAD", window=2, next_round=7, declared=["a", "b"], out=str(out)
+    )
+    assert target.read_text() == "SENTINEL"
+    assert 'CHECK_PRIORITY: tuple[str, ...] = (' in out.read_text()
+
+
+def test_normalize_module_is_cwd_insensitive(monkeypatch, tmp_path):
+    """git emits repo-relative paths; resolving them against the process
+    CWD instead of the repo root mapped every touched module to a
+    garbage dotted name when the generator ran from elsewhere — rule 1
+    then silently saw ZERO touched queries (found in round 9)."""
+    rel = f"{gqi.PKG}/operators/similarity.py"
+    monkeypatch.chdir(tmp_path)
+    assert gqi._normalize_module(rel) == f"{gqi.PKG}.operators.similarity"
