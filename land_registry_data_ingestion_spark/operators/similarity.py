@@ -628,9 +628,6 @@ def ivf_assign_vectorized(
         (int(r[0]), [float(x) for x in r[1]])
         for r in centroids.select(id_col, vec_col).collect()
     )
-    cids = np.array([c for c, _ in rows], dtype=np.int64)
-    C = np.array([v for _, v in rows], dtype=np.float64)
-    cnorm = np.sqrt(_seq_pair_dots(C, C))
     out_fields = list(corpus.schema.fields) + [
         T.StructField("centroid_id", T.LongType(), False)
     ]
@@ -644,6 +641,16 @@ def ivf_assign_vectorized(
         # makes codegen read the null slot and crash the query.
         out_fields.append(T.StructField(score_col, T.DoubleType(), True))
     out_schema = T.StructType(out_fields)
+
+    if not rows:
+        # No centroids at all (empty corpus, or every seed filtered as
+        # degenerate): nothing is assignable — an empty result with the
+        # declared schema, not an unshaped-numpy IndexError (empty-tier
+        # adversarial gate, round 9).
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    cids = np.array([c for c, _ in rows], dtype=np.int64)
+    C = np.array([v for _, v in rows], dtype=np.float64)
+    cnorm = np.sqrt(_seq_pair_dots(C, C))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1147,12 +1154,17 @@ def _nearest_cosine_distance(
         (int(r[0]), [float(x) for x in r[1]])
         for r in centers.select(id_col, vec_col).collect()
     )
-    C = np.array([v for _, v in rows], dtype=np.float64)
-    cnorm = np.sqrt(_seq_pair_dots(C, C))
     out_schema = T.StructType(
         list(corpus.select(id_col, vec_col).schema.fields)
         + [T.StructField("dist", T.DoubleType(), False)]
     )
+    if not rows:
+        # no centers (empty corpus): no point has a distance to sample
+        # against — empty frame, not an unshaped-numpy IndexError
+        # (empty-tier adversarial gate, round 9)
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    C = np.array([v for _, v in rows], dtype=np.float64)
+    cnorm = np.sqrt(_seq_pair_dots(C, C))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1210,6 +1222,12 @@ def pq_codebooks(
         .limit(n_codes)
         .collect()
     )
+    if not rows:
+        # no finite vectors to seed from: an (m, 0, 0) empty quantizer —
+        # pq_encode emits no codes against it and pq_topk returns no
+        # rows, instead of V.shape[1] raising on an unshaped empty array
+        # (empty-tier adversarial gate, round 9)
+        return np.zeros((m, 0, 0), dtype=np.float64)
     V = np.array([v for _, v in rows], dtype=np.float64)
     d = V.shape[1]
     assert d % m == 0, f"dim {d} not divisible by m={m}"
@@ -1258,6 +1276,10 @@ def pq_encode(
             T.StructField("codes", T.ArrayType(T.IntegerType(), False), False),
         ]
     )
+    if n_codes == 0:
+        # empty quantizer (see pq_codebooks): nothing encodes — argmin
+        # over zero codebook entries is undefined
+        return corpus.sparkSession.createDataFrame([], out_schema)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1325,6 +1347,19 @@ def pq_topk(
         (int(r[0]), [float(x) for x in r[1]])
         for r in queries.select(id_col, vec_col).collect()
     )
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("approx_d2", T.DoubleType(), False),
+        ]
+    )
+    if books.shape[1] == 0 or not q_rows:
+        # empty quantizer or no finite queries: no ADC tables to build
+        # and nothing to rank (empty-tier adversarial gate, round 9)
+        return corpus.sparkSession.createDataFrame(
+            [], T.StructType(list(out_schema.fields))
+        ).withColumn("rank", F.lit(None).cast("long"))
     q_ids = np.array([i for i, _ in q_rows], dtype=np.int64)
     Q = np.array([v for _, v in q_rows], dtype=np.float64)
     # ADC tables: (n_queries, m, n_codes), rounded like the oracle
@@ -1337,13 +1372,6 @@ def pq_topk(
     )
 
     codes = pq_encode(corpus, books, id_col, vec_col)
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType(), False),
-            T.StructField("neighbor_id", T.LongType(), False),
-            T.StructField("approx_d2", T.DoubleType(), False),
-        ]
-    )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -299,7 +299,7 @@ def cdc_state_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "run_datetime": __import__("datetime").datetime(2024, 2, 1),
             }
         )
-        checksum = (
+        checksum_df = (
             store.state_as_of("r1")
             .agg(
                 F.count("*").alias("n_rows"),
@@ -311,11 +311,14 @@ def cdc_state_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min(F.year("transaction_date")).cast("long").alias("min_year"),
                 F.max(F.year("transaction_date")).cast("long").alias("max_year"),
             )
-            .collect()
         )
+        checksum = checksum_df.collect()
         # one aggregated row — materialized before the store dir is
-        # removed, then rebuilt as a DataFrame for the harness contract
-        return spark.createDataFrame(checksum, schema=None)
+        # removed, then rebuilt as a DataFrame for the harness contract.
+        # Rebuilt against the aggregate's OWN schema: on an empty state
+        # every cell but n_rows/n_keys is NULL, and schema inference
+        # cannot type an all-NULL column (empty-tier crash, round 9).
+        return spark.createDataFrame(checksum, schema=checksum_df.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

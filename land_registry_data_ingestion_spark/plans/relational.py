@@ -570,6 +570,13 @@ def f_working_day_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(o_totalprice), 2) AS sum_price
     FROM orders
     GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    -- Declared contract (empty-tier adversarial gate, round 9): Spark
+    -- emits NO super-aggregate rows over an empty relation (its grouping
+    -- sets expand before aggregation), while DuckDB emits the ANSI
+    -- grand-total row with COUNT 0. A COUNT(*)=0 group can only be that
+    -- phantom row — every group Spark produces has at least one row —
+    -- so this HAVING encodes "no rows, no rollup" exactly.
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -577,7 +584,13 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     produces leaf, per-status, and grand-total rows from a single
     shuffle (Spark expands grouping sets map-side; no re-scan per
     level). GROUPING() flags disambiguate genuine NULL keys from
-    subtotal rows."""
+    subtotal rows.
+
+    Empty-input contract: Spark produces no super-aggregate rows over an
+    empty relation (grouping-set expansion happens before aggregation,
+    so there is no group to aggregate), diverging from ANSI/DuckDB's
+    COUNT-0 grand-total row; the oracle declares Spark's semantics via
+    HAVING COUNT(*) > 0."""
     t = load_tables(spark, sf_dir)
     return (
         t.orders.rollup("o_orderstatus", "o_orderpriority")

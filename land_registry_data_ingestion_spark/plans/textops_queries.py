@@ -945,14 +945,22 @@ def text_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars_measured").cast("double").alias("total_chars"),
         F.count_distinct("source").cast("double").alias("n_sources"),
         F.count_distinct("lang").cast("double").alias("n_langs"),
+        # try_divide, not `/`: COUNT(*) is 0 on an empty corpus, where
+        # ANSI `/` raises DIVIDE_BY_ZERO while the DuckDB oracle's x/0
+        # yields NULL — the declared contract is NULL rates on an empty
+        # corpus (empty-tier adversarial gate, round 9)
         (
             F.lit(1.0)
-            - F.count_distinct("fp").cast("double") / F.count("*")
+            - F.try_divide(
+                F.count_distinct("fp").cast("double"), F.count("*")
+            )
         ).alias("exact_dup_doc_rate"),
         F.avg("quality_score").alias("mean_quality"),
-        (
-            F.sum(F.when(F.col("n_tokens") < 5, 1).otherwise(0)).cast("double")
-            / F.count("*")
+        F.try_divide(
+            F.sum(F.when(F.col("n_tokens") < 5, 1).otherwise(0)).cast(
+                "double"
+            ),
+            F.count("*"),
         ).alias("short_doc_rate"),
     )
     metrics = [

@@ -56,7 +56,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         dest="out_json",
         default=None,
         metavar="PATH",
-        help="write {data_dir, head, queries_checked, diverged} to PATH",
+        help="merge this run's {data_dir, head, queries_checked, diverged}"
+        " into PATH under tiers[--tier]",
+    )
+    p.add_argument(
+        "--tier",
+        default="hostile",
+        help="tier label this data dir was generated with "
+        "(gen_adversarial.py --tier); keys the --json record",
     )
     args = p.parse_args(argv)
     if args.data_dir_pos and args.data_dir_flag:
@@ -129,18 +136,28 @@ def main() -> None:
             text=True,
             cwd=REPO_ROOT,
         ).stdout.strip()
+        record = {
+            "data_dir": data_dir,
+            "head": head,
+            "queries_checked": len(names),
+            "diverged": n_bad,
+        }
+        # One artifact, one record per tier — each tier re-runs
+        # independently, so a stale tier stays visible as a stale head
+        # instead of being overwritten by whichever tier ran last.
+        art: dict = {"tiers": {}}
+        try:
+            with open(args.out_json) as fh:
+                prev = json.load(fh)
+            if isinstance(prev.get("tiers"), dict):
+                art = prev
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
+        art["tiers"][args.tier] = record
+        art["tiers"] = {k: art["tiers"][k] for k in sorted(art["tiers"])}
         with open(args.out_json, "w") as fh:
-            json.dump(
-                {
-                    "data_dir": data_dir,
-                    "head": head,
-                    "queries_checked": len(names),
-                    "diverged": n_bad,
-                },
-                fh,
-                indent=1,
-            )
-        print(f"wrote {args.out_json}")
+            json.dump(art, fh, indent=1)
+        print(f"wrote {args.out_json} (tier={args.tier})")
     if n_bad:
         raise SystemExit(1)
 

@@ -237,25 +237,142 @@ PERTURB = {
     "embeddings": perturb_embeddings,
 }
 
+ALL_TABLES = UNTOUCHED + ["documents", "events", "embeddings"]
 
-def generate(out_dir: str, src: str = SRC) -> None:
+
+# ---------------------------------------------------------------------------
+# Round 9: three more hostile tiers sharing the triage harness. The hostile
+# tier stresses VALUES (NULL/NaN/Inf/Unicode/ties); these stress SHAPE:
+#
+#   empty     — every table 0 rows. At 100 TB every filter, partition, and
+#               incremental batch eventually presents an empty input; a
+#               query that crashes or disagrees with its oracle on empty
+#               input is wrong, just rarely.
+#   singleton — every table exactly 1 row (head row, so documents.doc_id
+#               and embeddings.vec_id stay aligned). n=1 is where sample
+#               moments (STDDEV_SAMP, CORR), windows, and seeded
+#               algorithms hide undefined behavior.
+#   skew      — 90-95% of rows collapse onto one hot key per axis:
+#               documents text (one ~450-way exact-dup family), events
+#               user_id/event_type (one giant session/window partition),
+#               embeddings vector (one ~450-way identical-vector family),
+#               lineitem l_partkey and orders o_custkey (one hot join
+#               key). Degenerate skew is the shape that exposes
+#               nondeterministic tie-breaks and quadratic blow-ups the
+#               uniform tiers never reach.
+#
+# All rules stay deterministic (fixed modular index rules, no RNG) so the
+# dirs regenerate byte-identically for the judge.
+# ---------------------------------------------------------------------------
+
+
+def skew_documents(table: pa.Table) -> pa.Table:
+    text = table.column("text").to_pylist()
+    hot = text[0]
+    n = len(text)
+    out = [text[i] if i % 10 == 0 else hot for i in range(n)]
+    n_chars = [len(t) if t is not None else None for t in out]
+    return _rebuild(table, {"text": out, "n_chars": n_chars})
+
+
+def skew_events(table: pa.Table) -> pa.Table:
+    user_id = table.column("user_id").to_pylist()
+    event_type = table.column("event_type").to_pylist()
+    hot_user, hot_type = user_id[0], event_type[0]
+    n = len(user_id)
+    user_id = [user_id[i] if i % 10 == 0 else hot_user for i in range(n)]
+    event_type = [
+        event_type[i] if i % 7 == 0 else hot_type for i in range(n)
+    ]
+    return _rebuild(table, {"user_id": user_id, "event_type": event_type})
+
+
+def skew_embeddings(table: pa.Table) -> pa.Table:
+    emb = table.column("embedding").to_pylist()
+    hot = emb[0]
+    n = len(emb)
+    emb = [emb[i] if i % 10 == 0 else hot for i in range(n)]
+    return _rebuild(table, {"embedding": emb})
+
+
+def skew_lineitem(table: pa.Table) -> pa.Table:
+    pk = table.column("l_partkey").to_pylist()
+    hot = pk[0]
+    n = len(pk)
+    pk = [pk[i] if i % 20 == 0 else hot for i in range(n)]
+    return _rebuild(table, {"l_partkey": pk})
+
+
+def skew_orders(table: pa.Table) -> pa.Table:
+    ck = table.column("o_custkey").to_pylist()
+    hot = ck[0]
+    n = len(ck)
+    ck = [ck[i] if i % 20 == 0 else hot for i in range(n)]
+    return _rebuild(table, {"o_custkey": ck})
+
+
+SKEW_PERTURB = {
+    "documents": skew_documents,
+    "events": skew_events,
+    "embeddings": skew_embeddings,
+    "lineitem": skew_lineitem,
+    "orders": skew_orders,
+}
+
+TIER_DEFAULT_OUT = {
+    "hostile": "/tmp/sfadv",
+    "empty": "/tmp/sfadv_empty",
+    "singleton": "/tmp/sfadv_one",
+    "skew": "/tmp/sfadv_skew",
+}
+
+
+def generate(out_dir: str, src: str = SRC, tier: str = "hostile") -> None:
     os.makedirs(out_dir, exist_ok=True)
-    for name in UNTOUCHED:
-        shutil.copyfile(
-            os.path.join(src, f"{name}.parquet"),
-            os.path.join(out_dir, f"{name}.parquet"),
-        )
-    for name, fn in PERTURB.items():
-        table = pq.read_table(os.path.join(src, f"{name}.parquet"))
-        out = fn(table)
-        assert out.schema == table.schema, f"{name}: schema drifted"
-        assert out.num_rows == table.num_rows, f"{name}: row count drifted"
-        pq.write_table(out, os.path.join(out_dir, f"{name}.parquet"))
-    print(f"adversarial tables written to {out_dir}")
+    if tier == "hostile":
+        for name in UNTOUCHED:
+            shutil.copyfile(
+                os.path.join(src, f"{name}.parquet"),
+                os.path.join(out_dir, f"{name}.parquet"),
+            )
+        for name, fn in PERTURB.items():
+            table = pq.read_table(os.path.join(src, f"{name}.parquet"))
+            out = fn(table)
+            assert out.schema == table.schema, f"{name}: schema drifted"
+            assert out.num_rows == table.num_rows, f"{name}: rows drifted"
+            pq.write_table(out, os.path.join(out_dir, f"{name}.parquet"))
+    elif tier in ("empty", "singleton"):
+        n_keep = 0 if tier == "empty" else 1
+        for name in ALL_TABLES:
+            table = pq.read_table(os.path.join(src, f"{name}.parquet"))
+            out = table.slice(0, n_keep)
+            assert out.schema == table.schema, f"{name}: schema drifted"
+            pq.write_table(out, os.path.join(out_dir, f"{name}.parquet"))
+    elif tier == "skew":
+        for name in ALL_TABLES:
+            table = pq.read_table(os.path.join(src, f"{name}.parquet"))
+            fn = SKEW_PERTURB.get(name)
+            out = fn(table) if fn else table
+            assert out.schema == table.schema, f"{name}: schema drifted"
+            assert out.num_rows == table.num_rows, f"{name}: rows drifted"
+            pq.write_table(out, os.path.join(out_dir, f"{name}.parquet"))
+    else:
+        raise SystemExit(f"unknown tier: {tier}")
+    print(f"adversarial tables (tier={tier}) written to {out_dir}")
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="/tmp/sfadv")
+    ap.add_argument(
+        "--tier",
+        default="hostile",
+        choices=sorted(TIER_DEFAULT_OUT),
+        help="which hostile shape family to generate",
+    )
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="output dir (default: per-tier /tmp path)",
+    )
     args = ap.parse_args()
-    generate(args.out)
+    generate(args.out or TIER_DEFAULT_OUT[args.tier], tier=args.tier)

@@ -37,43 +37,18 @@ def _git(*args: str) -> subprocess.CompletedProcess:
     )
 
 
-def test_adversarial_artifact_fresh_and_clean():
-    """ADVERSARIAL.json's recorded head must not predate the last
-    engine-semantics change (diffed against the WORKING TREE, so
-    uncommitted edits flag too — the fix is always: re-run
-    ``gen_adversarial.py`` + ``adversarial_triage.py --json
-    ADVERSARIAL.json`` as the round's last step), and the recorded
-    triage must be 0/;-diverged over every SQL-oracled query."""
-    path = os.path.join(REPO_ROOT, "ADVERSARIAL.json")
-    with open(path) as fh:
-        art = json.load(fh)
+# Round 9: the gate grew from one hostile-values tier to four shape
+# tiers (hostile / empty / singleton / skew — gen_adversarial.py
+# --tier). Each must be re-run at the round's final engine HEAD.
+REQUIRED_TIERS = ("hostile", "empty", "singleton", "skew")
 
-    assert art.get("diverged") == 0, (
-        "the committed adversarial triage records divergences — fix the "
-        "engine/oracle contracts and re-run the gate"
-    )
-    from land_registry_data_ingestion_spark.plans.registry import (
-        REGISTRY,
-        _load_all,
-    )
 
-    _load_all()
-    n_sql = sum(1 for s in REGISTRY.values() if s.sql is not None)
-    assert art.get("queries_checked") == n_sql, (
-        f"triage checked {art.get('queries_checked')} queries but "
-        f"{n_sql} declare SQL oracles — re-run the gate over all of them"
-    )
-
-    head = art.get("head")
-    assert head, "ADVERSARIAL.json records no head — re-run the triage"
-    if _git("cat-file", "-e", f"{head}^{{commit}}").returncode != 0:
-        pytest.skip(f"recorded head {head[:9]} not in this clone")
-
+def _stale_engine_files(head: str) -> list[str]:
     diff = _git("diff", "--name-only", head).stdout.splitlines()
     diff += _git(
         "ls-files", "--others", "--exclude-standard"
     ).stdout.splitlines()
-    stale = sorted(
+    return sorted(
         f
         for f in set(diff)
         if (
@@ -81,8 +56,53 @@ def test_adversarial_artifact_fresh_and_clean():
             or f in _ALSO_WATCHED
         )
     )
-    assert not stale, (
-        f"engine modules changed after ADVERSARIAL.json was recorded at "
-        f"{head[:9]}: {stale} — regenerate the adversarial dir and re-run "
-        f"scripts/adversarial_triage.py --json ADVERSARIAL.json at HEAD"
+
+
+def test_adversarial_artifact_fresh_and_clean():
+    """Every tier record in ADVERSARIAL.json must (a) exist, (b) record
+    zero divergences over every SQL-oracled query, and (c) carry a head
+    that does not predate the last engine-semantics change (diffed
+    against the WORKING TREE, so uncommitted edits flag too — the fix is
+    always: regenerate each tier dir and re-run ``adversarial_triage.py
+    --tier <t> --json ADVERSARIAL.json`` as the round's last step)."""
+    path = os.path.join(REPO_ROOT, "ADVERSARIAL.json")
+    with open(path) as fh:
+        art = json.load(fh)
+
+    from land_registry_data_ingestion_spark.plans.registry import (
+        REGISTRY,
+        _load_all,
     )
+
+    _load_all()
+    n_sql = sum(1 for s in REGISTRY.values() if s.sql is not None)
+
+    tiers = art.get("tiers")
+    assert isinstance(tiers, dict), (
+        "ADVERSARIAL.json predates the tiered gate — re-run "
+        "adversarial_triage.py --tier <t> --json for every tier"
+    )
+    missing = [t for t in REQUIRED_TIERS if t not in tiers]
+    assert not missing, f"tiers never triaged: {missing}"
+
+    for tier in REQUIRED_TIERS:
+        rec = tiers[tier]
+        assert rec.get("diverged") == 0, (
+            f"tier {tier!r} records {rec.get('diverged')} divergences — "
+            "fix the engine/oracle contracts and re-run the gate"
+        )
+        assert rec.get("queries_checked") == n_sql, (
+            f"tier {tier!r} checked {rec.get('queries_checked')} queries "
+            f"but {n_sql} declare SQL oracles — re-run it over all"
+        )
+        head = rec.get("head")
+        assert head, f"tier {tier!r} records no head — re-run the triage"
+        if _git("cat-file", "-e", f"{head}^{{commit}}").returncode != 0:
+            pytest.skip(f"recorded head {head[:9]} not in this clone")
+        stale = _stale_engine_files(head)
+        assert not stale, (
+            f"engine modules changed after tier {tier!r} was recorded at "
+            f"{head[:9]}: {stale} — regenerate the tier dir and re-run "
+            f"scripts/adversarial_triage.py --tier {tier} --json "
+            "ADVERSARIAL.json at HEAD"
+        )

@@ -654,3 +654,72 @@ def test_pq_encode_drops_nonfinite_vectors_directly(spark):
     }
     assert set(got) == {2, 3}
     assert all(len(c) == 2 for c in got.values())
+
+
+def test_empty_corpus_returns_empty_not_crash(spark):
+    """Empty-input contract (empty-tier adversarial gate, round 9): at
+    100 TB every filter, partition, and incremental batch eventually
+    presents an EMPTY corpus, and the whole ANN/clustering family used
+    to die on it — the collected centroid/codebook matrix came back as
+    an unshaped (0,)-dim numpy array and ``_seq_pair_dots`` raised
+    IndexError before any Spark job even ran. The contract is: empty in,
+    empty out, with the declared schema intact."""
+    from land_registry_data_ingestion_spark.operators.similarity import (
+        ivf_assign_vectorized,
+        ivf_topk,
+        kmeans_parallel_init,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+        seed_centroids,
+        semantic_dedup,
+    )
+
+    emb = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+
+    assigned = ivf_assign_vectorized(emb, seed_centroids(emb))
+    assert assigned.count() == 0
+    assert assigned.columns == ["vec_id", "embedding", "centroid_id"]
+
+    books = pq_codebooks(emb, m=2, n_codes=4)
+    assert books.shape == (2, 0, 0)
+    assert pq_encode(emb, books).count() == 0
+
+    tk = pq_topk(emb, emb, m=2, n_codes=4)
+    assert tk.count() == 0
+    assert tk.columns == ["query_id", "neighbor_id", "approx_d2", "rank"]
+
+    tk2 = ivf_topk(emb, emb)
+    assert tk2.count() == 0
+    assert tk2.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+    assert semantic_dedup(emb).count() == 0
+    assert kmeans_parallel_init(emb, n_centroids=4).count() == 0
+
+
+def test_all_degenerate_corpus_pq_returns_empty(spark):
+    """A non-empty corpus whose every vector is degenerate (NaN/Inf
+    lanes) must behave like the empty corpus for PQ: no finite seed
+    vectors → an (m, 0, 0) quantizer → no codes, no neighbors — not an
+    arbitrary-code encode or an IndexError."""
+    from land_registry_data_ingestion_spark.operators.similarity import (
+        pq_codebooks,
+        pq_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [float("nan")] * 4),
+            (1, [float("inf"), 1.0, 0.0, 0.0]),
+            (2, [float("-inf"), float("nan"), 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    from pyspark.sql import functions as SF
+    from land_registry_data_ingestion_spark.operators.similarity import (
+        _finite_vec,
+    )
+
+    finite = emb.filter(_finite_vec(SF.col("embedding")))
+    assert pq_codebooks(finite, m=2, n_codes=2).shape == (2, 0, 0)
+    assert pq_topk(emb, emb, m=2, n_codes=2).count() == 0
