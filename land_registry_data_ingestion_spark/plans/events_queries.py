@@ -331,8 +331,13 @@ def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- raises Out of Range on NaN/Inf input where Spark yields NaN —
         -- adversarial-data round 8. isfinite(NULL) is NULL, so NULL
         -- values drop here too; they contributed nothing before.)
+        -- abs(value) < 1e154: a FINITE value whose square overflows
+        -- double is just as unmeasurable for sample moments — DuckDB's
+        -- STDDEV raises Out of Range on the overflowed accumulator
+        -- where Spark silently yields Inf sigma (timeedge tier, round
+        -- 9). 1e154 ≈ sqrt(DBL_MAX): below it v² is representable.
         SELECT event_id, event_type, value
-        FROM events WHERE isfinite(value)
+        FROM events WHERE isfinite(value) AND abs(value) < 1e154
     ),
     stats AS (
         SELECT event_type, AVG(value) AS mu, STDDEV(value) AS sigma
@@ -363,9 +368,13 @@ def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     v = F.col("value")
     # isfinite(value): NaN fails ~isnan, ±Inf fails the abs test, NULL
-    # propagates to NULL and the filter drops it.
+    # propagates to NULL and the filter drops it. The < 1e154 magnitude
+    # bound extends the contract to finite values whose SQUARE overflows
+    # double (sqrt(DBL_MAX) ≈ 1.34e154): such a measurement poisons the
+    # moment accumulator exactly like an Inf — Spark would yield an Inf
+    # sigma (classifying nothing, silently) while DuckDB raises.
     ev = t.events.filter(
-        ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
+        ~F.isnan(v) & (F.abs(v) < F.lit(1e154))
     ).select("event_id", "event_type", "value")
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev("value").alias("sigma")

@@ -874,9 +874,17 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- makes `date_trunc(ts) IS NULL` evaluate false on NULL ts),
         -- which yields several ra=1 rows in the NULL-hour group. The
         -- epoch form propagates NULL correctly.
+        -- FLOOR division, not DuckDB's truncate-toward-zero `//`: a
+        -- pre-epoch ts has negative epoch_us, where `//` rounds UP and
+        -- buckets 1969-12-31 23:30 into 1970-01-01 00:00 while Spark's
+        -- date_trunc (and ANSI) floor to 23:00 (timeedge tier, round
+        -- 9). The CASE subtracts 1 exactly when the remainder is
+        -- negative; NULL ts propagates through both operands to NULL.
         SELECT event_type,
                TIMESTAMP '1970-01-01'
-                 + (epoch_us(ts) // 3600000000) * INTERVAL 1 HOUR AS hour,
+                 + (epoch_us(ts) // 3600000000
+                    - CASE WHEN epoch_us(ts) % 3600000000 < 0
+                           THEN 1 ELSE 0 END) * INTERVAL 1 HOUR AS hour,
                ts, event_id, value
         FROM events
     ),

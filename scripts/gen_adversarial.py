@@ -319,11 +319,86 @@ SKEW_PERTURB = {
     "orders": skew_orders,
 }
 
+
+# ---------------------------------------------------------------------------
+# Tier "timeedge": representable-but-extreme VALUES at type boundaries.
+#
+#   events.ts    — pre-epoch timestamps (negative epoch seconds: every
+#                  epoch-div bucket, gap, and window computation must
+#                  FLOOR, not truncate toward zero — the classic
+#                  integer-division divergence), the exact epoch
+#                  boundary ±1 µs, and a far future inside the
+#                  TIMESTAMP(NANOS) int64 range (≤ 2262-04-11).
+#   events.value — ±1e308 (SUM overflows to ±Inf in IEEE — both engines
+#                  must agree), 5e-324 (subnormal), 1e-308.
+#   embeddings   — one lane at ±1e200 (self-dot overflows to +Inf: the
+#                  vector is degenerate by the declared isfinite(v·v)
+#                  contract even though every COMPONENT is finite), and
+#                  an all-1e-170 vector (norm-product underflow: cosine
+#                  = nonzero/0 → ±Inf quotient, the round-9 ADVICE
+#                  shape, exercised end-to-end here).
+#
+# All timestamps stay µs-aligned: the engine documents nanos→micros
+# truncation at ingest (sources/parquet.py), so sub-µs residue is out of
+# the declared contract.
+# ---------------------------------------------------------------------------
+
+
+def timeedge_events(table: pa.Table) -> pa.Table:
+    from datetime import datetime, timedelta
+
+    ts = table.column("ts").to_pylist()
+    value = table.column("value").to_pylist()
+    n = len(ts)
+    for i in range(n):
+        if i % 101 == 0:
+            ts[i] = datetime(1965, 3, 7, 12, 34, 56, 789000) + timedelta(
+                seconds=i
+            )
+        elif i % 103 == 1:
+            ts[i] = datetime(1969, 12, 31, 23, 59, 59, 999999)
+        elif i % 107 == 2:
+            ts[i] = datetime(1970, 1, 1, 0, 0, 0, 1)
+        elif i % 109 == 3:
+            ts[i] = datetime(2250, 6, 15, 6, 7, 8, 91011 % 1000000) + timedelta(
+                minutes=i % 1440
+            )
+        if i % 113 == 4:
+            value[i] = 1e308
+        elif i % 127 == 5:
+            value[i] = -1e308
+        elif i % 131 == 6:
+            value[i] = 5e-324
+        elif i % 137 == 7:
+            value[i] = 1e-308
+    return _rebuild(table, {"ts": ts, "value": value})
+
+
+def timeedge_embeddings(table: pa.Table) -> pa.Table:
+    emb = table.column("embedding").to_pylist()
+    n = len(emb)
+    dim = len(emb[0])
+    for i in range(n):
+        if i % 13 == 0:
+            v = list(emb[i])
+            v[i % dim] = 1e200 if i % 2 == 0 else -1e200
+            emb[i] = v
+        elif i % 17 == 1:
+            emb[i] = [1e-170] * dim
+    return _rebuild(table, {"embedding": emb})
+
+
+TIMEEDGE_PERTURB = {
+    "events": timeedge_events,
+    "embeddings": timeedge_embeddings,
+}
+
 TIER_DEFAULT_OUT = {
     "hostile": "/tmp/sfadv",
     "empty": "/tmp/sfadv_empty",
     "singleton": "/tmp/sfadv_one",
     "skew": "/tmp/sfadv_skew",
+    "timeedge": "/tmp/sfadv_time",
 }
 
 
@@ -348,10 +423,11 @@ def generate(out_dir: str, src: str = SRC, tier: str = "hostile") -> None:
             out = table.slice(0, n_keep)
             assert out.schema == table.schema, f"{name}: schema drifted"
             pq.write_table(out, os.path.join(out_dir, f"{name}.parquet"))
-    elif tier == "skew":
+    elif tier in ("skew", "timeedge"):
+        perturb = SKEW_PERTURB if tier == "skew" else TIMEEDGE_PERTURB
         for name in ALL_TABLES:
             table = pq.read_table(os.path.join(src, f"{name}.parquet"))
-            fn = SKEW_PERTURB.get(name)
+            fn = perturb.get(name)
             out = fn(table) if fn else table
             assert out.schema == table.schema, f"{name}: schema drifted"
             assert out.num_rows == table.num_rows, f"{name}: rows drifted"

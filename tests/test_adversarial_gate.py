@@ -37,10 +37,11 @@ def _git(*args: str) -> subprocess.CompletedProcess:
     )
 
 
-# Round 9: the gate grew from one hostile-values tier to four shape
-# tiers (hostile / empty / singleton / skew — gen_adversarial.py
-# --tier). Each must be re-run at the round's final engine HEAD.
-REQUIRED_TIERS = ("hostile", "empty", "singleton", "skew")
+# Round 9: the gate grew from one hostile-values tier to five tiers
+# (hostile values / empty / singleton / skew shapes / timeedge
+# boundary magnitudes — gen_adversarial.py --tier). Each must be
+# re-run at the round's final engine HEAD.
+REQUIRED_TIERS = ("hostile", "empty", "singleton", "skew", "timeedge")
 
 
 def _stale_engine_files(head: str) -> list[str]:
