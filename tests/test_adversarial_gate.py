@@ -107,3 +107,38 @@ def test_adversarial_artifact_fresh_and_clean():
             f"scripts/adversarial_triage.py --tier {tier} --json "
             "ADVERSARIAL.json at HEAD"
         )
+
+
+def test_tier_generators_are_deterministic(tmp_path):
+    """Every tier regenerates BYTE-identically (fixed modular index
+    rules, no RNG) — the property that lets an external verifier
+    sha-compare a regenerated dir against the one the committed triage
+    ran on. A generator that drifted (dict ordering, float repr,
+    timestamp ambiguity) would quietly decouple the artifact from the
+    data it claims to describe."""
+    import hashlib
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_adversarial",
+        os.path.join(REPO_ROOT, "scripts", "gen_adversarial.py"),
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+
+    def digest(d):
+        h = hashlib.sha256()
+        for p in sorted(os.listdir(d)):
+            h.update(p.encode())
+            with open(os.path.join(d, p), "rb") as fh:
+                h.update(fh.read())
+        return h.hexdigest()
+
+    for tier in REQUIRED_TIERS:
+        a = tmp_path / f"{tier}_a"
+        b = tmp_path / f"{tier}_b"
+        gen.generate(str(a), tier=tier)
+        gen.generate(str(b), tier=tier)
+        assert digest(a) == digest(b), f"tier {tier!r} is not reproducible"
+
+
