@@ -17,8 +17,13 @@ so any comparison failure is an engine-semantics divergence, not data
 noise.
 
 Usage:
-    python scripts/gen_adversarial.py [--out /tmp/sfadv]
+    python scripts/gen_adversarial.py [--tier hostile|empty|singleton|skew|timeedge]
+                                      [--out DIR]   # default: per-tier /tmp path
     SPARK_GRAFT_SF_TEST=/tmp/sfadv python -m pytest tests/test_oracle.py -q
+
+This docstring documents the default --tier hostile value rules; the
+round-9 shape tiers (empty / singleton / skew / timeedge) are described
+at their definitions below.
 
 Perturbation map (index i is the row position in the source table):
 
