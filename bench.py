@@ -311,11 +311,20 @@ def host_section(before: dict, after: dict, wall: float) -> dict:
     flagged reading be labeled "slow-window session" from recorded data
     alone — round 8 spent 6 bench sessions + ~20 isolated re-measures
     adjudicating drift flags by hand."""
-    dt = max(1, after["total"] - before["total"])
+    dt = after["total"] - before["total"]
+    if before["total"] <= 0 or after["total"] <= 0 or dt <= 0:
+        # /proc unreadable on either probe (non-Linux host, transient
+        # failure): record honest nulls, not a fabricated "fully busy /
+        # zero steal" reading — host_slow_window treats None as
+        # no-evidence (round-9 review).
+        busy = steal = None
+    else:
+        busy = round(1.0 - (after["idle"] - before["idle"]) / dt, 3)
+        steal = round((after["steal"] - before["steal"]) / dt, 4)
     return {
         "load1": [before.get("load1"), after.get("load1")],
-        "cpu_busy": round(1.0 - (after["idle"] - before["idle"]) / dt, 3),
-        "cpu_steal": round((after["steal"] - before["steal"]) / dt, 4),
+        "cpu_busy": busy,
+        "cpu_steal": steal,
         "wall_sec": round(wall, 3),
     }
 
@@ -352,6 +361,79 @@ def host_slow_window(host: dict, ref_canary: float | None = None) -> list[str]:
         if (s.get("cpu_steal") or 0) > STEAL_MAX:
             ev.append(f"{sec} cpu_steal {s['cpu_steal']} > {STEAL_MAX}")
     return ev
+
+
+def build_new_floors(
+    floors: dict,
+    host_rec: dict,
+    timings: dict,
+    headline_plans: dict,
+    scale: dict | None,
+) -> dict:
+    """Refresh the committed floor sidecar from ONE run: per-query best
+    time + plan fingerprint. An unchanged plan keeps the best floor ever
+    seen; a changed plan starts a fresh floor/band. The session id links
+    every per-query session minimum to this invocation's host telemetry
+    (``_hosts[sid]``) — the round-9 mechanism that makes drift
+    adjudication mechanical. Extracted from main() so the
+    headline-only-run path is unit-testable (round-9 review: that path
+    used to silently erase the whole committed scale section)."""
+    hosts: dict[str, dict] = dict(floors.get("_hosts") or {})
+    sid = 1 + max((int(k) for k in hosts), default=0)
+    hosts[str(sid)] = host_rec
+    hosts = {k: hosts[k] for k in sorted(hosts, key=int)[-16:]}
+
+    def floor_entry(prev: dict, best: float, fp: str) -> dict:
+        # "floor" = best ever on this plan (min-of-min, the honest
+        # lower bound); "sessions" = rolling per-INVOCATION minima
+        # (newest last, capped at 8) — the noise band the stall flag
+        # reads; "sids" = the host-telemetry session id behind each
+        # (None for readings recorded before telemetry existed, and
+        # for driver readings appended by hand during adjudication).
+        # A plan change resets all three: old timings measured a
+        # different operator tree.
+        this = round(best, 3)
+        prev_sessions = prev.get("sessions") or []
+        prev_sids = prev.get("sids") or []
+        prev_sids = [None] * (len(prev_sessions) - len(prev_sids)) + prev_sids
+        if prev.get("plan") == fp:
+            sessions = prev_sessions[-7:] + [this]
+            sids = prev_sids[-7:] + [sid]
+            floor = round(min(best, prev.get("floor") or best), 3)
+        else:
+            sessions = [this]
+            sids = [sid]
+            floor = this
+        return {"floor": floor, "plan": fp, "sessions": sessions, "sids": sids}
+
+    new_floors = {
+        "_hosts": hosts,
+        "headline": {
+            n: floor_entry(
+                floors.get("headline", {}).get(n, {}),
+                timings[n],
+                headline_plans[n],
+            )
+            for n in HEADLINE
+        },
+    }
+    if scale is not None:
+        new_floors["scale"] = {
+            n: floor_entry(
+                floors.get("scale", {}).get(n, {}),
+                scale["queries"][n],
+                scale["spread"][n]["plan"],
+            )
+            for n in SCALE_QUERIES
+        }
+    elif floors.get("scale"):
+        # Headline-only run (SPARK_GRAFT_BENCH_SCALE=0): carry the
+        # committed scale section forward untouched — overwriting the
+        # file without it would silently erase every scale query's
+        # floor/sessions/sids and drop the stall detector onto the
+        # loose 2x-floor fallback (round-9 review).
+        new_floors["scale"] = floors["scale"]
+    return new_floors
 
 
 # Absolute noise term of the stall band, per section. Scale keeps the
@@ -740,62 +822,9 @@ def main() -> None:
         json.dump(detail, f, indent=2)
 
     if os.environ.get("SPARK_GRAFT_BENCH_WRITE_FLOORS") == "1":
-        # Refresh the committed floor sidecar from THIS run: per-query
-        # best time + plan fingerprint. An unchanged plan keeps the best
-        # floor ever seen; a changed plan starts a fresh floor. Only
-        # written on explicit request so a driver run can never
-        # overwrite its own reference.
-        # Session id links every per-query session minimum to this
-        # invocation's host telemetry (floors["_hosts"][sid]) — the
-        # round-9 mechanism that makes drift adjudication mechanical.
-        hosts: dict[str, dict] = dict(floors.get("_hosts") or {})
-        sid = 1 + max((int(k) for k in hosts), default=0)
-        hosts[str(sid)] = host_rec
-        hosts = {k: hosts[k] for k in sorted(hosts, key=int)[-16:]}
-
-        def floor_entry(prev: dict, best: float, fp: str) -> dict:
-            # "floor" = best ever on this plan (min-of-min, the honest
-            # lower bound); "sessions" = rolling per-INVOCATION minima
-            # (newest last, capped at 8) — the noise band the stall flag
-            # reads; "sids" = the host-telemetry session id behind each
-            # (None for readings recorded before telemetry existed, and
-            # for driver readings appended by hand during adjudication).
-            # A plan change resets all three: old timings measured a
-            # different operator tree.
-            this = round(best, 3)
-            prev_sessions = prev.get("sessions") or []
-            prev_sids = prev.get("sids") or []
-            prev_sids = [None] * (len(prev_sessions) - len(prev_sids)) + prev_sids
-            if prev.get("plan") == fp:
-                sessions = prev_sessions[-7:] + [this]
-                sids = prev_sids[-7:] + [sid]
-                floor = round(min(best, prev.get("floor") or best), 3)
-            else:
-                sessions = [this]
-                sids = [sid]
-                floor = this
-            return {"floor": floor, "plan": fp, "sessions": sessions, "sids": sids}
-
-        new_floors = {
-            "_hosts": hosts,
-            "headline": {
-                n: floor_entry(
-                    floors.get("headline", {}).get(n, {}),
-                    timings[n],
-                    headline_plans[n],
-                )
-                for n in HEADLINE
-            },
-        }
-        if scale is not None:
-            new_floors["scale"] = {
-                n: floor_entry(
-                    floors.get("scale", {}).get(n, {}),
-                    scale["queries"][n],
-                    scale["spread"][n]["plan"],
-                )
-                for n in SCALE_QUERIES
-            }
+        new_floors = build_new_floors(
+            floors, host_rec, timings, headline_plans, scale
+        )
         with open(os.path.join(REPO_ROOT, "BENCH_FLOORS.json"), "w") as f:
             json.dump(new_floors, f, indent=1)
 

@@ -86,7 +86,13 @@ def _is_vanished_file_error(exc: BaseException) -> bool:
     return any(m in text for m in _VANISHED_FILE_MARKERS)
 
 
-def run_with_listing_retry(build, action, attempts: int = 2, what: str = "store read"):
+def run_with_listing_retry(
+    build,
+    action,
+    attempts: int = 2,
+    what: str = "store read",
+    root: str | None = None,
+):
     """Execute ``action(build())`` where ``build`` constructs a DataFrame
     from a FRESH partition listing (e.g. ``CorpusStore.index`` /
     ``SpanStore.index``) and ``action`` runs it.
@@ -105,7 +111,14 @@ def run_with_listing_retry(build, action, attempts: int = 2, what: str = "store 
     unchanged. After ``attempts`` failures raises
     :class:`StaleListingError` naming ``gc_grace_seconds`` — at that
     point single executions are outliving the grace window and the knob,
-    not the retry count, is what needs raising."""
+    not the retry count, is what needs raising.
+
+    Caveat on the marker match: PATH_NOT_FOUND / "does not exist" also
+    fire on a plain misconfigured path (a dir that never existed), which
+    is indistinguishable from a reclaimed dir by the error text alone.
+    Pass ``root`` (the store's root directory) so the terminal error can
+    tell the two apart: a root that is itself missing is a
+    configuration error, not a gc race (round-9 review)."""
     last: BaseException | None = None
     for _ in range(max(1, attempts)):
         try:
@@ -114,11 +127,19 @@ def run_with_listing_retry(build, action, attempts: int = 2, what: str = "store 
             if not _is_vanished_file_error(e):
                 raise
             last = e
+    if root is not None and not os.path.isdir(root):
+        raise FileNotFoundError(
+            f"{what}: store root does not exist: {root!r} — this is a "
+            f"misconfigured path, not a compaction race; no amount of "
+            f"gc_grace_seconds will help."
+        ) from last
     raise StaleListingError(
         f"{what} failed {attempts}x with files vanishing under its plan: "
         f"each rebuilt plan outlived compaction's gc grace window. Raise "
         f"gc_grace_seconds on compact() (default 300 s) above your "
-        f"longest reader, or pause compaction while ad-hoc readers run."
+        f"longest reader, or pause compaction while ad-hoc readers run. "
+        f"(If the store path might simply be wrong, verify it exists — "
+        f"a never-existed path surfaces with these same error markers.)"
     ) from last
 
 

@@ -331,13 +331,17 @@ def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- raises Out of Range on NaN/Inf input where Spark yields NaN —
         -- adversarial-data round 8. isfinite(NULL) is NULL, so NULL
         -- values drop here too; they contributed nothing before.)
-        -- abs(value) < 1e154: a FINITE value whose square overflows
-        -- double is just as unmeasurable for sample moments — DuckDB's
-        -- STDDEV raises Out of Range on the overflowed accumulator
-        -- where Spark silently yields Inf sigma (timeedge tier, round
-        -- 9). 1e154 ≈ sqrt(DBL_MAX): below it v² is representable.
+        -- abs(value) < 1e100: a FINITE but extreme value overflows the
+        -- moment ACCUMULATOR — STDDEV sums squared deviations across
+        -- rows, so the bound must leave headroom for |v - mu| up to 2B
+        -- and for the row count, not merely keep one v² representable
+        -- (two in-type values at ±9.7e153 already overflow, though each
+        -- is < sqrt(DBL_MAX)). DuckDB raises Out of Range there; Spark
+        -- silently yields Inf sigma (timeedge tier, round 9). At
+        -- B = 1e100 the accumulator stays < n·4e200 — finite for any
+        -- physically possible row count (n < 1e107).
         SELECT event_id, event_type, value
-        FROM events WHERE isfinite(value) AND abs(value) < 1e154
+        FROM events WHERE isfinite(value) AND abs(value) < 1e100
     ),
     stats AS (
         SELECT event_type, AVG(value) AS mu, STDDEV(value) AS sigma
@@ -368,13 +372,16 @@ def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     v = F.col("value")
     # isfinite(value): NaN fails ~isnan, ±Inf fails the abs test, NULL
-    # propagates to NULL and the filter drops it. The < 1e154 magnitude
-    # bound extends the contract to finite values whose SQUARE overflows
-    # double (sqrt(DBL_MAX) ≈ 1.34e154): such a measurement poisons the
-    # moment accumulator exactly like an Inf — Spark would yield an Inf
-    # sigma (classifying nothing, silently) while DuckDB raises.
+    # propagates to NULL and the filter drops it. The < 1e100 magnitude
+    # bound extends the contract to finite values that overflow the
+    # moment ACCUMULATOR: STDDEV sums squared deviations over the whole
+    # type, so a per-value sqrt(DBL_MAX) bound is not enough (two
+    # in-type values at ±9.7e153 overflow it). Such a measurement
+    # poisons the moments exactly like an Inf — Spark would yield an
+    # Inf sigma (classifying nothing, silently) while DuckDB raises;
+    # 1e100 leaves accumulator headroom for any possible row count.
     ev = t.events.filter(
-        ~F.isnan(v) & (F.abs(v) < F.lit(1e154))
+        ~F.isnan(v) & (F.abs(v) < F.lit(1e100))
     ).select("event_id", "event_type", "value")
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev("value").alias("sigma")

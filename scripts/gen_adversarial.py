@@ -376,6 +376,17 @@ def timeedge_events(table: pa.Table) -> pa.Table:
             value[i] = 5e-324
         elif i % 137 == 7:
             value[i] = 1e-308
+        elif i % 139 == 8:
+            # ±9.7e153: each value's square is representable but ONE
+            # deviation pair overflows a moment accumulator — the shape
+            # that proved a per-value sqrt(DBL_MAX) bound insufficient
+            # (round-9 review). Must be excluded by the measurability
+            # contract on both engines.
+            value[i] = 9.7e153 if i % 2 == 0 else -9.7e153
+        elif i % 149 == 9:
+            # ±9e99: inside the declared 1e100 bound — large magnitudes
+            # that must still MEASURE identically on both engines.
+            value[i] = 9e99 if i % 2 == 0 else -9e99
     return _rebuild(table, {"ts": ts, "value": value})
 
 

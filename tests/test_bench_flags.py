@@ -252,3 +252,38 @@ def test_flagged_reading_with_slow_window_telemetry_auto_adjudicates():
     quiet = {"load_start": 0.2, "canary_sec": 8.1}
     assert bench.host_slow_window(slow, ref_canary=8.0)
     assert not bench.host_slow_window(quiet, ref_canary=8.0)
+
+
+def test_headline_only_floors_write_preserves_scale_section():
+    """A headline-only run (SPARK_GRAFT_BENCH_SCALE=0) with floors
+    written must carry the committed scale section forward untouched —
+    it used to drop it entirely, erasing every scale floor/band and
+    putting the stall detector on the loose 2x-floor fallback."""
+    prev = {
+        "_hosts": {"1": {"load_start": 0.2}},
+        "headline": {n: {"plan": "p", "floor": 1.0, "sessions": [1.0],
+                         "sids": [1]} for n in bench.HEADLINE},
+        "scale": {n: {"plan": "s", "floor": 2.0, "sessions": [2.0, 2.1],
+                      "sids": [1, 1]} for n in bench.SCALE_QUERIES},
+    }
+    timings = {n: 1.1 for n in bench.HEADLINE}
+    plans = {n: "p" for n in bench.HEADLINE}
+    out = bench.build_new_floors(prev, {"load_start": 0.3}, timings, plans, None)
+    assert out["scale"] == prev["scale"]
+    # and the headline entries appended this session's minima
+    any_q = bench.HEADLINE[0]
+    assert out["headline"][any_q]["sessions"] == [1.0, 1.1]
+    assert out["headline"][any_q]["sids"] == [1, 2]
+
+
+def test_host_section_honest_nulls_without_proc():
+    """When either probe lacks /proc ticks (non-Linux host, transient
+    read failure) the section must record None busy/steal — not a
+    fabricated 'fully busy, zero steal' — and host_slow_window must
+    treat that as no-evidence rather than crashing."""
+    dead = {"load1": None, "total": 0, "idle": 0, "steal": 0}
+    s = bench.host_section(dead, dead, wall=10.0)
+    assert s["cpu_busy"] is None and s["cpu_steal"] is None
+    assert bench.host_slow_window(
+        {"load_start": None, "canary_sec": None, "headline": s}, None
+    ) == []

@@ -510,3 +510,29 @@ def test_reader_outliving_grace_retries_or_fails_actionably(spark, tmp_path):
         run_with_listing_retry(
             build, lambda df: (_ for _ in ()).throw(ValueError("boom"))
         )
+
+
+def test_listing_retry_names_misconfigured_root(spark):
+    """PATH_NOT_FOUND-style markers also fire on a path that never
+    existed; with ``root`` passed, the terminal error must say
+    "misconfigured path", not blame gc_grace_seconds for a dir that was
+    never there (round-9 review)."""
+    import pytest
+
+    from land_registry_data_ingestion_spark.operators.compaction import (
+        StaleListingError,
+        run_with_listing_retry,
+    )
+
+    missing = "/tmp/lrdi_never_existed_store_xyz"
+
+    def build():
+        raise RuntimeError(f"[PATH_NOT_FOUND] Path does not exist: {missing}")
+
+    with pytest.raises(FileNotFoundError, match="misconfigured path"):
+        run_with_listing_retry(build, lambda df: df, root=missing)
+
+    # without root the behavior is unchanged: StaleListingError names
+    # the grace knob (the reader cannot tell the two cases apart)
+    with pytest.raises(StaleListingError, match="gc_grace_seconds"):
+        run_with_listing_retry(build, lambda df: df)
