@@ -90,10 +90,18 @@ def test_committed_floor_sessions_replay_clean():
     the r7 driver reading and the r8 episodes). Anything else flagging
     would be a false flag. Note the set is maintained, not append-only:
     r7's text_token_budget_sample 2.642 stopped flagging when drift
-    readings widened its band, and the r7/r8 text_dsir_weights /
+    readings widened its band, the r7/r8 text_dsir_weights /
     text_token_budget_sample readings left the file entirely when the
     round-8 NULL-semantics fixes changed those queries' plans and reset
-    their sessions (a plan change starts a fresh band by design)."""
+    their sessions (a plan change starts a fresh band by design), and
+    seven r8-era entries (sim_kmeans_clusters 0.892 / 1.25,
+    evt_range_join 1.13, text_lm_perplexity 2.475, evt_rolling_24h
+    0.803, text_dup_span_trim 5.573 scale, win_equidepth_histogram
+    7.241) were pruned in round 10 when the r9 session-4 floors write
+    widened their bands past them. The replay itself is
+    ``bench.replay_floor_flags`` — the same function the floors-write
+    gate runs, so this test and the gate can never disagree about what
+    counts as an open flag."""
     import json
 
     with open(os.path.join(os.path.dirname(__file__), "..", "BENCH_FLOORS.json")) as f:
@@ -110,67 +118,37 @@ def test_committed_floor_sessions_replay_clean():
         # a complete clean floor session (44.1 s headline, ZERO flags,
         # plans unchanged) in which every reading below sat at
         # steady-state far inside its band (full table in ROUND8_NOTES).
-        # Earlier enumerated readings left the set when the widened
-        # bands absorbed them or the 8-session cap rotated them out
-        # (cdc_merge_state 4.547, text_quality_score 1.7 / 1.244,
-        # text_dup_span_trim 2.555, text_dsir_weights 3.559,
-        # evt_ohlc_hourly 0.532, text_repetition_filters 1.745/1.746;
-        # after the r9 floor sessions additionally dedup_minhash_lsh
-        # 13.934 / 7.322, rel_full_outer_reconcile 2.508,
-        # rel_left_join_broadcast 1.464, text_decontaminate 2.912,
-        # win_latest_row 1.149 headline + 1.7 scale [the r8 driver
-        # reading, r8 verdict "wrong" #1] and text_token_budget_sample
-        # 3.37 / 3.785) — the set is maintained, not append-only.
+        # All remaining entries predate session telemetry (sid None),
+        # which is why they are enumerated here instead of
+        # auto-adjudicating from recorded host data; every reading
+        # recorded since round 9 carries a sid, so this set can only
+        # shrink as the 8-session cap rotates the old readings out.
         ("headline", "dedup_embedding_cosine", 4.16),  # s6 1.55
-        ("headline", "evt_range_join", 1.13),  # iso 0.52
         ("headline", "evt_sliding_users_24h", 5.753),  # s6 1.57, iso 1.67
         ("headline", "rel_multi_join_chain", 2.483),  # iso 1.41
-        ("headline", "sim_kmeans_clusters", 0.892),  # iso 0.51
         ("headline", "text_dup_span_trim", 4.876),  # s6 1.47, iso 1.30
         ("headline", "text_redact_pii", 1.284),  # iso 0.44
-        ("scale", "sim_kmeans_clusters", 1.25),  # s6 0.6, iso 0.78
-        ("scale", "text_dup_span_trim", 5.573),  # s6 2.5, iso 3.71
-        ("scale", "win_equidepth_histogram", 7.241),  # s6 2.6, iso 3.55
         ("scale", "evt_sliding_users_24h", 3.998),  # s6 2.4
         ("scale", "sim_pq_topk", 2.218),  # s6 1.2 (26 ms over band)
-        # --- r8-era readings newly exposed when the r9 floor sessions
-        # pulled their bands' medians down (each 1-6% over the new
-        # edge); isolated quiet-host re-measures sit far inside —
-        # table in ROUND9_NOTES. Pre-telemetry readings (sid None), so
-        # hand-enumerated like the rest.
-        ("headline", "text_lm_perplexity", 2.475),  # iso 1.368
-        ("headline", "evt_rolling_24h", 0.803),  # iso 0.436
+        # r8-era reading exposed when the r9 floor sessions pulled its
+        # band's median down; isolated quiet-host re-measure far inside
+        # (table in ROUND9_NOTES).
         ("scale", "text_dsir_weights", 3.635),  # iso 2.019
     }
-    hosts = floors.get("_hosts") or {}
-    canaries = sorted(
-        h["canary_sec"] for h in hosts.values() if h.get("canary_sec")
-    )
-    ref_canary = canaries[len(canaries) // 2] if canaries else None
-    flagged = set()
-    auto = set()
     for section, entries in floors.items():
         if section.startswith("_"):
             continue  # _hosts: the session telemetry map, not a section
-        abs_noise = bench.ABS_NOISE_SEC[section]
         for name, ref in entries.items():
-            sessions = ref.get("sessions", [])
-            assert len(sessions) >= 3, (
-                f"{section}/{name}: {len(sessions)} sessions — a plan "
+            n_sessions = len(ref.get("sessions", []))
+            assert n_sessions >= 3, (
+                f"{section}/{name}: {n_sessions} sessions — a plan "
                 "change must land with >=3 fresh floor sessions"
             )
-            sids = ref.get("sids") or []
-            sids = [None] * (len(sessions) - len(sids)) + sids
-            thr = bench.stall_threshold(ref, abs_noise)
-            for s, sid in zip(sessions, sids):
-                if s > thr:
-                    flagged.add((section, name, s))
-                    # round 9: a reading whose own session telemetry
-                    # shows a slow window is adjudicated MECHANICALLY —
-                    # no isolated re-measure, no enumeration above
-                    host = hosts.get(str(sid)) if sid is not None else None
-                    if host and bench.host_slow_window(host, ref_canary):
-                        auto.add((section, name, s))
+    flagged, auto = bench.replay_floor_flags(floors)
+    # The r9 session-4 readings (evt_asof_join 0.983, cdc_merge_state
+    # 6.411, text_segment_dedup 4.306) must auto-adjudicate via the
+    # session's recorded scale load1 ramp (4.75 → 23.45 from a 0.13
+    # start) — the round-10 SECTION_LOAD1_MAX clause, not enumeration.
     assert flagged - auto == adjudicated
 
 
@@ -213,7 +191,10 @@ def test_host_slow_window_classifier():
     healthy = {
         "load_start": 0.3,
         "canary_sec": 8.0,
-        "headline": {"load1": [1.0, 25.0], "cpu_busy": 0.8,
+        # section load1 inflated by the bench's OWN local[32] threads —
+        # the recorded clean ceiling is ~14 (sid 1, scale), which must
+        # NOT read as external load
+        "headline": {"load1": [1.0, 14.0], "cpu_busy": 0.8,
                      "cpu_steal": 0.001, "wall_sec": 45.0},
     }
     assert bench.host_slow_window(healthy, ref_canary=8.2) == []
@@ -224,11 +205,20 @@ def test_host_slow_window_classifier():
     assert bench.host_slow_window({**healthy, "canary_sec": 20.0}, 8.2)
     # hypervisor steal during a section
     stolen = dict(healthy)
-    stolen["scale"] = {"load1": [20.0, 22.0], "cpu_busy": 0.9,
+    stolen["scale"] = {"load1": [15.0, 16.0], "cpu_busy": 0.9,
                        "cpu_steal": 0.12, "wall_sec": 70.0}
     assert bench.host_slow_window(stolen, 8.2)
+    # mid-run external load ramp (round 10, the r9 session-4 episode:
+    # quiet 0.13 start, scale section load1 ending 23.45 — every other
+    # clause blind to it)
+    ramped = dict(healthy)
+    ramped["scale"] = {"load1": [4.75, 23.45], "cpu_busy": 0.43,
+                       "cpu_steal": 0.04, "wall_sec": 545.0}
+    ev = bench.host_slow_window(ramped, 8.2)
+    assert ev and any("load1 peak" in e for e in ev)
     # missing/None telemetry never crashes and never auto-adjudicates
     assert bench.host_slow_window({}, None) == []
+    assert bench.host_slow_window({"headline": {"load1": [None, None]}}, None) == []
 
 
 def test_host_probe_reads_this_linux_host():
@@ -274,6 +264,99 @@ def test_headline_only_floors_write_preserves_scale_section():
     any_q = bench.HEADLINE[0]
     assert out["headline"][any_q]["sessions"] == [1.0, 1.1]
     assert out["headline"][any_q]["sids"] == [1, 2]
+
+
+def test_replay_floor_flags_splits_auto_from_open():
+    """The shared replay primitive: a same-plan outlier reading linked
+    to slow-window telemetry lands in ``auto``; the same reading linked
+    to a quiet session stays an open flag; sub-band readings never
+    appear."""
+    floors = {
+        "_hosts": {
+            "1": {"load_start": 0.2, "canary_sec": 8.0},      # quiet
+            "2": {"load_start": 12.0, "canary_sec": 8.1},     # loaded
+        },
+        "headline": {
+            "q_auto": {"plan": "p", "floor": 1.0,
+                       "sessions": [1.0, 1.05, 1.1, 2.5],
+                       "sids": [None, None, 1, 2]},
+            "q_open": {"plan": "p", "floor": 1.0,
+                       "sessions": [1.0, 1.05, 1.1, 2.5],
+                       "sids": [None, None, 2, 1]},
+            "q_clean": {"plan": "p", "floor": 1.0,
+                        "sessions": [1.0, 1.05, 1.1],
+                        "sids": [None, 1, 2]},
+        },
+    }
+    flagged, auto = bench.replay_floor_flags(floors)
+    assert ("headline", "q_auto", 2.5) in flagged
+    assert ("headline", "q_auto", 2.5) in auto
+    assert ("headline", "q_open", 2.5) in flagged
+    assert ("headline", "q_open", 2.5) not in auto
+    assert not any(n == "q_clean" for _, n, _ in flagged)
+
+
+def test_floors_write_gate_blocks_unadjudicated_changes():
+    """The round-10 snapshot gate: a floors write that introduces a new
+    open (un-adjudicated) flag, or silently drops one the enumerated
+    set still lists, must be named in the blockers dict; a write that
+    leaves the open set unchanged is free to land unattended — exactly
+    the r9 failure (snapshot committed a 4th session with three open
+    flags after the last gate run) made impossible."""
+    base = {
+        "_hosts": {"1": {"load_start": 0.2, "canary_sec": 8.0}},
+        "headline": {
+            "q": {"plan": "p", "floor": 1.0,
+                  "sessions": [1.0, 1.05, 1.1], "sids": [1, 1, 1]},
+        },
+    }
+    # identical open sets → no blockers
+    assert bench.floors_write_blockers(base, base) == {}
+
+    # a new quiet-session outlier reading → "new" blocker
+    import copy
+
+    worse = copy.deepcopy(base)
+    worse["_hosts"]["2"] = {"load_start": 0.3, "canary_sec": 8.1}
+    q = worse["headline"]["q"]
+    q["sessions"], q["sids"] = q["sessions"] + [2.6], q["sids"] + [2]
+    blk = bench.floors_write_blockers(base, worse)
+    assert blk.get("new") == [("headline", "q", 2.6)]
+
+    # the same reading on a LOADED session auto-adjudicates → no blocker
+    slow = copy.deepcopy(worse)
+    slow["_hosts"]["2"]["load_start"] = 12.0
+    assert bench.floors_write_blockers(base, slow) == {}
+
+    # a previously-open flag vanishing (band widened / session rotated
+    # out) orphans the test's enumerated set → "gone" blocker
+    had_open = copy.deepcopy(worse)
+    assert bench.floors_write_blockers(had_open, base).get("gone") == [
+        ("headline", "q", 2.6)
+    ]
+
+
+def test_hosts_trim_keeps_sid_referenced_records():
+    """_hosts trims to the last 16 sessions but must retain any record a
+    sids list still references: headline-only writes carry the scale
+    section forward untouched, so a fixed window would rotate out the
+    telemetry that makes old scale flags mechanically adjudicable."""
+    prev = {
+        "_hosts": {str(i): {"load_start": 0.1 * i} for i in range(1, 21)},
+        "headline": {n: {"plan": "p", "floor": 1.0, "sessions": [1.0],
+                         "sids": [20]} for n in bench.HEADLINE},
+        # scale section still references session 1 — 19 sessions old
+        "scale": {n: {"plan": "s", "floor": 2.0, "sessions": [2.0],
+                      "sids": [1]} for n in bench.SCALE_QUERIES},
+    }
+    timings = {n: 1.0 for n in bench.HEADLINE}
+    plans = {n: "p" for n in bench.HEADLINE}
+    out = bench.build_new_floors(prev, {"load_start": 0.2}, timings, plans, None)
+    hosts = out["_hosts"]
+    assert "1" in hosts, "sid still referenced by the scale section"
+    assert str(21) in hosts, "this write's own record"
+    # the unreferenced old records beyond the window are gone
+    assert "2" not in hosts and "3" not in hosts
 
 
 def test_host_section_honest_nulls_without_proc():
