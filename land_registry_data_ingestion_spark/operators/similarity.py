@@ -1356,10 +1356,18 @@ def pq_topk(
     )
     if books.shape[1] == 0 or not q_rows:
         # empty quantizer or no finite queries: no ADC tables to build
-        # and nothing to rank (empty-tier adversarial gate, round 9)
+        # and nothing to rank (empty-tier adversarial gate, round 9).
+        # rank is declared non-nullable to match the normal path's
+        # row_number() output — a lit(NULL).cast() here made the two
+        # paths' schemas differ in nullability, which schema-sensitive
+        # consumers (writers, unions) would reject (round-10 review).
         return corpus.sparkSession.createDataFrame(
-            [], T.StructType(list(out_schema.fields))
-        ).withColumn("rank", F.lit(None).cast("long"))
+            [],
+            T.StructType(
+                list(out_schema.fields)
+                + [T.StructField("rank", T.LongType(), False)]
+            ),
+        )
     q_ids = np.array([i for i, _ in q_rows], dtype=np.int64)
     Q = np.array([v for _, v in q_rows], dtype=np.float64)
     # ADC tables: (n_queries, m, n_codes), rounded like the oracle

