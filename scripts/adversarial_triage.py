@@ -6,6 +6,9 @@ the triage companion the pytest -q output can't give."""
 from __future__ import annotations
 
 import argparse
+import hashlib
+import importlib.util
+import os
 import sys
 import traceback
 from pathlib import Path
@@ -19,6 +22,34 @@ import duckdb
 from land_registry_data_ingestion_spark.session import get_spark
 from land_registry_data_ingestion_spark.plans.registry import _load_all, REGISTRY
 from tests.oracle_harness import run_compare
+
+
+def _load_tier_names() -> list[str]:
+    """The generator's tier set, imported from gen_adversarial.py so the
+    two scripts can never disagree about what a tier is (round-10
+    review: --tier used to be a free-form label, so a typo'd or reused
+    label produced a clean-looking ADVERSARIAL.json record for a tier
+    that never actually ran)."""
+    spec = importlib.util.spec_from_file_location(
+        "gen_adversarial",
+        os.path.join(os.path.dirname(__file__), "gen_adversarial.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return sorted(mod.TIER_DEFAULT_OUT)
+
+
+def dir_digest(d: str) -> str:
+    """sha-256 over (sorted filename, bytes) of a data dir — the same
+    digest the gate test computes over a freshly regenerated tier, so a
+    recorded triage is verifiably bound to the tier's actual data (the
+    generators are pinned byte-deterministic)."""
+    h = hashlib.sha256()
+    for p in sorted(os.listdir(d)):
+        h.update(p.encode())
+        with open(os.path.join(d, p), "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()
 
 
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
@@ -62,6 +93,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument(
         "--tier",
         default="hostile",
+        choices=_load_tier_names(),
         help="tier label this data dir was generated with "
         "(gen_adversarial.py --tier); keys the --json record",
     )
@@ -138,6 +170,7 @@ def main() -> None:
         ).stdout.strip()
         record = {
             "data_dir": data_dir,
+            "data_sha256": dir_digest(data_dir),
             "head": head,
             "queries_checked": len(names),
             "diverged": n_bad,

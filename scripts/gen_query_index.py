@@ -718,31 +718,88 @@ def rotation(
 # -- index generation ----------------------------------------------------
 
 
+def _parse_args(argv: list[str] | None = None):
+    """Argparse front end (round-10, r9 verdict #7: ``--help`` used to
+    fall through to the default mode and REWRITE QUERIES.md /
+    QUERY_DEPS.json — the same mutate-on-verify footgun class as the r8
+    triage/rotation nits). All four modes keep their documented
+    spellings; with no mode flag the script regenerates the index."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    p.add_argument(
+        "--consumers",
+        nargs="+",
+        metavar="MODULE",
+        default=None,
+        help="print the declared queries transitively importing the "
+        "named modules (dotted names or file paths)",
+    )
+    p.add_argument(
+        "--touched-since",
+        metavar="GIT_REF",
+        default=None,
+        help="same, for every package module touched since GIT_REF",
+    )
+    p.add_argument(
+        "--rotation",
+        metavar="GIT_REF",
+        default=None,
+        help="regenerate plans/check_priority.py from this round "
+        "boundary (rule-1 touched queries first, then staleness fill)",
+    )
+    p.add_argument(
+        "--window", type=int, default=50, help="external-check window size"
+    )
+    p.add_argument(
+        "--round",
+        dest="next_round",
+        type=int,
+        default=None,
+        help="the upcoming round number (integer, not 'rN'; default: "
+        "newest CORRECTNESS round + 1)",
+    )
+    p.add_argument(
+        "--check",
+        action="store_true",
+        help="verify the committed check_priority.py reproduces WITHOUT "
+        "writing anything; exit non-zero on drift",
+    )
+    p.add_argument(
+        "--out",
+        default=None,
+        metavar="PATH",
+        help="write the generated rotation elsewhere, leaving the "
+        "committed file untouched",
+    )
+    args = p.parse_args(argv)
+    if args.check and args.out:
+        p.error("--check and --out are mutually exclusive")
+    if (args.check or args.out or args.next_round is not None) and not args.rotation:
+        p.error("--check/--out/--round only apply to --rotation")
+    return args
+
+
 def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "--consumers":
-        for mod, qs in consumers(sys.argv[2:]).items():
+    args = _parse_args()
+    if args.consumers:
+        for mod, qs in consumers(args.consumers).items():
             print(f"{mod}: {len(qs)} consumer queries")
             for q in qs:
                 print(f"  {q}")
         return
-    if len(sys.argv) > 1 and sys.argv[1] == "--rotation":
-        # --rotation <git-ref> [--window N] [--round R] [--check | --out P]
-        args = sys.argv[2:]
-        ref = args[0]
-        window = int(args[args.index("--window") + 1]) if "--window" in args else 50
-        if "--round" in args:
-            nxt = int(args[args.index("--round") + 1])
-        else:  # infer: newest CORRECTNESS file + 1
+    if args.rotation:
+        nxt = args.next_round
+        if nxt is None:  # infer: newest CORRECTNESS file + 1
             nxt = max(query_ages().values(), default=0) + 1
-        check = "--check" in args
-        out = args[args.index("--out") + 1] if "--out" in args else None
-        if check and out:
-            raise SystemExit("--check and --out are mutually exclusive")
-        rotation(ref, window, nxt, out=out, check=check)
+        rotation(args.rotation, args.window, nxt, out=args.out, check=args.check)
         return
-    if len(sys.argv) > 1 and sys.argv[1] == "--touched-since":
-        touched = touched_since(sys.argv[2])
-        print(f"touched package modules since {sys.argv[2]}: {len(touched)}")
+    if args.touched_since:
+        touched = touched_since(args.touched_since)
+        print(f"touched package modules since {args.touched_since}: {len(touched)}")
         affected: set[str] = set()
         for mod, qs in consumers(touched).items():
             print(f"{mod}: {len(qs)} consumer queries")

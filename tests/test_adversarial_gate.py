@@ -86,6 +86,12 @@ def test_adversarial_artifact_fresh_and_clean():
     missing = [t for t in REQUIRED_TIERS if t not in tiers]
     assert not missing, f"tiers never triaged: {missing}"
 
+    # Verdicts first, for EVERY tier: a pytest.skip inside this loop
+    # used to abort the whole test at the first tier whose head was
+    # absent from the clone, silently skipping the diverged==0 and
+    # queries_checked assertions for all remaining tiers (round-10
+    # review) — so the unconditional checks run before any
+    # head-existence question is asked.
     for tier in REQUIRED_TIERS:
         rec = tiers[tier]
         assert rec.get("diverged") == 0, (
@@ -96,10 +102,16 @@ def test_adversarial_artifact_fresh_and_clean():
             f"tier {tier!r} checked {rec.get('queries_checked')} queries "
             f"but {n_sql} declare SQL oracles — re-run it over all"
         )
-        head = rec.get("head")
-        assert head, f"tier {tier!r} records no head — re-run the triage"
+        assert rec.get("head"), f"tier {tier!r} records no head — re-run the triage"
+
+    # Freshness per tier: a head this clone cannot resolve (shallow /
+    # partial checkout) skips only THAT tier's staleness check.
+    any_checked = False
+    for tier in REQUIRED_TIERS:
+        head = tiers[tier]["head"]
         if _git("cat-file", "-e", f"{head}^{{commit}}").returncode != 0:
-            pytest.skip(f"recorded head {head[:9]} not in this clone")
+            continue
+        any_checked = True
         stale = _stale_engine_files(head)
         assert not stale, (
             f"engine modules changed after tier {tier!r} was recorded at "
@@ -107,6 +119,8 @@ def test_adversarial_artifact_fresh_and_clean():
             f"scripts/adversarial_triage.py --tier {tier} --json "
             "ADVERSARIAL.json at HEAD"
         )
+    if not any_checked:
+        pytest.skip("no recorded tier head resolvable in this clone")
 
 
 def test_tier_generators_are_deterministic(tmp_path):
@@ -140,5 +154,50 @@ def test_tier_generators_are_deterministic(tmp_path):
         gen.generate(str(a), tier=tier)
         gen.generate(str(b), tier=tier)
         assert digest(a) == digest(b), f"tier {tier!r} is not reproducible"
+
+
+def test_tier_records_bind_to_tier_data(tmp_path):
+    """Each committed tier record must carry the sha-256 of the data dir
+    it actually triaged, and that hash must equal a fresh
+    ``generate()`` of the SAME tier (byte-identical regeneration is
+    pinned above). Without this binding, --tier was a free-form label:
+    all five tiers could be 'triaged' against one reused directory and
+    the gate would accept the clean records (round-10 review)."""
+    import hashlib
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "adversarial_triage",
+        os.path.join(REPO_ROOT, "scripts", "adversarial_triage.py"),
+    )
+    triage = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(triage)
+    gspec = importlib.util.spec_from_file_location(
+        "gen_adversarial",
+        os.path.join(REPO_ROOT, "scripts", "gen_adversarial.py"),
+    )
+    gen = importlib.util.module_from_spec(gspec)
+    gspec.loader.exec_module(gen)
+
+    # the triage script's tier choices are the generator's tier set
+    assert triage._load_tier_names() == sorted(gen.TIER_DEFAULT_OUT)
+
+    with open(os.path.join(REPO_ROOT, "ADVERSARIAL.json")) as fh:
+        tiers = json.load(fh)["tiers"]
+    for tier in REQUIRED_TIERS:
+        rec = tiers[tier]
+        recorded = rec.get("data_sha256")
+        assert recorded, (
+            f"tier {tier!r} records no data_sha256 — re-run "
+            f"scripts/adversarial_triage.py --tier {tier} on a freshly "
+            "generated dir"
+        )
+        fresh = tmp_path / tier
+        gen.generate(str(fresh), tier=tier)
+        assert triage.dir_digest(str(fresh)) == recorded, (
+            f"tier {tier!r}'s recorded data hash does not match a fresh "
+            f"generate() of that tier — the triage ran on mislabeled or "
+            "stale data; regenerate the dir and re-run the triage"
+        )
 
 
