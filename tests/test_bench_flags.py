@@ -133,9 +133,9 @@ def test_committed_floor_sessions_replay_clean():
         # the bands, both verified steady-state then, both among the
         # oldest readings in their windows (2-4 more sessions from
         # rotating out):
+        # (the second r10 session rotated out scale win_latest_row 1.7
+        # and scale evt_sliding_users_24h 3.998 in turn)
         ("headline", "dedup_minhash_lsh", 7.322),  # r8 episode; iso + s6 table in ROUND8_NOTES
-        ("scale", "win_latest_row", 1.7),  # the r8 driver reading, r8 verdict "wrong" #1; iso 0.9
-        ("scale", "evt_sliding_users_24h", 3.998),  # s6 2.4
         # r8-era reading exposed when the r9 floor sessions pulled its
         # band's median down; isolated quiet-host re-measure far inside
         # (table in ROUND9_NOTES).
