@@ -353,6 +353,15 @@ STEAL_MAX = 0.05
 # load_start 0.13 — a quiet start, so load_start/canary/steal all
 # missed it and three same-plan flags needed hand adjudication). 20
 # splits the two with ≥40% margin each way.
+#
+# Known limitation (accepted): the clause bounds self-load, it cannot
+# DISTINGUISH it — a same-plan regression that keeps the full local[32]
+# pool runnable long enough could push a section edge past 20 and
+# auto-adjudicate its own session. The protection against that class is
+# structural, not per-session: a real regression recurs in every
+# subsequent session (each new flagged reading re-enters the gate),
+# and constant-factor regressions in this engine come from plan
+# changes, which the fingerprint check catches regardless of timing.
 SECTION_LOAD1_MAX = 20.0
 
 
@@ -940,15 +949,15 @@ def main() -> None:
         # change, which is precisely the adjudication the gate exists to
         # demand.
         blockers = floors_write_blockers(floors, new_floors)
+        blocker_lines = "".join(
+            f"  {kind}: {item}\n"
+            for kind in ("new", "gone")
+            for item in blockers.get(kind, [])
+        )
         if blockers and os.environ.get("SPARK_GRAFT_BENCH_FORCE_FLOORS") != "1":
             print(
                 "BENCH_FLOORS.json NOT written: this session changes the "
-                "un-adjudicated flag set.\n"
-                + "".join(
-                    f"  {kind}: {item}\n"
-                    for kind in ("new", "gone")
-                    for item in blockers.get(kind, [])
-                )
+                "un-adjudicated flag set.\n" + blocker_lines
                 + "Re-run on a quiet host, or adjudicate: sync the "
                 "enumerated set in tests/test_bench_flags.py::"
                 "test_committed_floor_sessions_replay_clean and re-run "
@@ -956,6 +965,17 @@ def main() -> None:
                 file=sys.stderr,
             )
         else:
+            if blockers:
+                # The forced write's OWN delta, not the refused run's —
+                # per-invocation minima differ between sessions, so the
+                # operator must sync the enumerated set to exactly these
+                # tuples (round-10 review: a silent forced write would
+                # recreate the r9 red-after-last-gate-run failure).
+                print(
+                    "BENCH_FLOORS.json written UNDER FORCE; sync the "
+                    "enumerated set to this delta:\n" + blocker_lines,
+                    file=sys.stderr,
+                )
             with open(os.path.join(REPO_ROOT, "BENCH_FLOORS.json"), "w") as f:
                 json.dump(new_floors, f, indent=1)
 

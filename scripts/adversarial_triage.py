@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import argparse
 import hashlib
-import importlib.util
 import os
 import sys
 import traceback
@@ -25,29 +24,47 @@ from tests.oracle_harness import run_compare
 
 
 def _load_tier_names() -> list[str]:
-    """The generator's tier set, imported from gen_adversarial.py so the
-    two scripts can never disagree about what a tier is (round-10
-    review: --tier used to be a free-form label, so a typo'd or reused
-    label produced a clean-looking ADVERSARIAL.json record for a tier
-    that never actually ran)."""
-    spec = importlib.util.spec_from_file_location(
-        "gen_adversarial",
-        os.path.join(os.path.dirname(__file__), "gen_adversarial.py"),
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return sorted(mod.TIER_DEFAULT_OUT)
+    """The generator's tier set, read from gen_adversarial.py's
+    TIER_DEFAULT_OUT literal so the two scripts can never disagree about
+    what a tier is (round-10 review: --tier used to be a free-form
+    label, so a typo'd or reused label produced a clean-looking
+    ADVERSARIAL.json record for a tier that never actually ran). Parsed
+    via AST, not exec'd: importing the generator pulls pyarrow and
+    builds its perturbation tables, which even ``--help`` would pay."""
+    import ast
+
+    path = os.path.join(os.path.dirname(__file__), "gen_adversarial.py")
+    with open(path) as fh:
+        tree = ast.parse(fh.read(), filename=path)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and any(
+            getattr(t, "id", None) == "TIER_DEFAULT_OUT" for t in node.targets
+        ):
+            return sorted(ast.literal_eval(node.value))
+    raise RuntimeError(f"TIER_DEFAULT_OUT not found in {path}")
 
 
 def dir_digest(d: str) -> str:
-    """sha-256 over (sorted filename, bytes) of a data dir — the same
-    digest the gate test computes over a freshly regenerated tier, so a
-    recorded triage is verifiably bound to the tier's actual data (the
-    generators are pinned byte-deterministic)."""
+    """sha-256 binding a data dir's contents: every regular file under
+    ``d`` (recursive, sorted by relative path) contributes its path, its
+    size, and its bytes, each segment delimited — so neither a
+    subdirectory layout (Spark-written datasets) nor a boundary-shifted
+    (name, content) split can alias another dir's digest (round-10
+    review: the first cut crashed on subdirectories and had no
+    separators). The gate test computes the same digest over a freshly
+    regenerated tier, so a recorded triage is verifiably bound to the
+    tier's actual data (the generators are pinned byte-deterministic)."""
     h = hashlib.sha256()
-    for p in sorted(os.listdir(d)):
-        h.update(p.encode())
-        with open(os.path.join(d, p), "rb") as fh:
+    files: list[str] = []
+    for root, dirs, names in os.walk(d):
+        dirs.sort()
+        for n in names:
+            files.append(os.path.relpath(os.path.join(root, n), d))
+    for rel in sorted(files):
+        full = os.path.join(d, rel)
+        size = os.path.getsize(full)
+        h.update(rel.encode() + b"\0" + str(size).encode() + b"\0")
+        with open(full, "rb") as fh:
             h.update(fh.read())
     return h.hexdigest()
 

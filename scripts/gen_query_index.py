@@ -752,7 +752,10 @@ def _parse_args(argv: list[str] | None = None):
         "boundary (rule-1 touched queries first, then staleness fill)",
     )
     p.add_argument(
-        "--window", type=int, default=50, help="external-check window size"
+        "--window",
+        type=int,
+        default=None,
+        help="external-check window size (default 50)",
     )
     p.add_argument(
         "--round",
@@ -778,8 +781,19 @@ def _parse_args(argv: list[str] | None = None):
     args = p.parse_args(argv)
     if args.check and args.out:
         p.error("--check and --out are mutually exclusive")
-    if (args.check or args.out or args.next_round is not None) and not args.rotation:
-        p.error("--check/--out/--round only apply to --rotation")
+    if (
+        args.check
+        or args.out
+        or args.next_round is not None
+        or args.window is not None
+    ) and not args.rotation:
+        # every rotation-only flag must refuse to fall through to the
+        # default mode, which REWRITES the committed index files — a
+        # forgotten --rotation ref must error, not mutate (round-10
+        # review caught --window missing from this guard)
+        p.error("--check/--out/--round/--window only apply to --rotation")
+    if args.window is None:
+        args.window = 50
     return args
 
 

@@ -37,6 +37,18 @@ def _git(*args: str) -> subprocess.CompletedProcess:
     )
 
 
+def _load_script(name: str):
+    """Import a scripts/ module by file path (they are not a package)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REPO_ROOT, "scripts", f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 # Round 9: the gate grew from one hostile-values tier to five tiers
 # (hostile values / empty / singleton / skew shapes / timeedge
 # boundary magnitudes — gen_adversarial.py --tier). Each must be
@@ -130,30 +142,18 @@ def test_tier_generators_are_deterministic(tmp_path):
     ran on. A generator that drifted (dict ordering, float repr,
     timestamp ambiguity) would quietly decouple the artifact from the
     data it claims to describe."""
-    import hashlib
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location(
-        "gen_adversarial",
-        os.path.join(REPO_ROOT, "scripts", "gen_adversarial.py"),
-    )
-    gen = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(gen)
-
-    def digest(d):
-        h = hashlib.sha256()
-        for p in sorted(os.listdir(d)):
-            h.update(p.encode())
-            with open(os.path.join(d, p), "rb") as fh:
-                h.update(fh.read())
-        return h.hexdigest()
+    gen = _load_script("gen_adversarial")
+    # the SAME digest the triage records and the binding test verifies —
+    # a second local copy of the algorithm could silently drift from
+    # what the artifact actually pins (round-10 review)
+    digest = _load_script("adversarial_triage").dir_digest
 
     for tier in REQUIRED_TIERS:
         a = tmp_path / f"{tier}_a"
         b = tmp_path / f"{tier}_b"
         gen.generate(str(a), tier=tier)
         gen.generate(str(b), tier=tier)
-        assert digest(a) == digest(b), f"tier {tier!r} is not reproducible"
+        assert digest(str(a)) == digest(str(b)), f"tier {tier!r} is not reproducible"
 
 
 def test_tier_records_bind_to_tier_data(tmp_path):
@@ -163,21 +163,8 @@ def test_tier_records_bind_to_tier_data(tmp_path):
     pinned above). Without this binding, --tier was a free-form label:
     all five tiers could be 'triaged' against one reused directory and
     the gate would accept the clean records (round-10 review)."""
-    import hashlib
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location(
-        "adversarial_triage",
-        os.path.join(REPO_ROOT, "scripts", "adversarial_triage.py"),
-    )
-    triage = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(triage)
-    gspec = importlib.util.spec_from_file_location(
-        "gen_adversarial",
-        os.path.join(REPO_ROOT, "scripts", "gen_adversarial.py"),
-    )
-    gen = importlib.util.module_from_spec(gspec)
-    gspec.loader.exec_module(gen)
+    triage = _load_script("adversarial_triage")
+    gen = _load_script("gen_adversarial")
 
     # the triage script's tier choices are the generator's tier set
     assert triage._load_tier_names() == sorted(gen.TIER_DEFAULT_OUT)
