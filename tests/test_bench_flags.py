@@ -134,8 +134,8 @@ def test_committed_floor_sessions_replay_clean():
         # oldest readings in their windows (2-4 more sessions from
         # rotating out):
         # (the second r10 session rotated out scale win_latest_row 1.7
-        # and scale evt_sliding_users_24h 3.998 in turn)
-        ("headline", "dedup_minhash_lsh", 7.322),  # r8 episode; iso + s6 table in ROUND8_NOTES
+        # and scale evt_sliding_users_24h 3.998 in turn; the third,
+        # headline dedup_minhash_lsh 7.322)
         # r8-era reading exposed when the r9 floor sessions pulled its
         # band's median down; isolated quiet-host re-measure far inside
         # (table in ROUND9_NOTES).
