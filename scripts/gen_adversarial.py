@@ -17,7 +17,7 @@ so any comparison failure is an engine-semantics divergence, not data
 noise.
 
 Usage:
-    python scripts/gen_adversarial.py [--tier hostile|empty|singleton|skew|timeedge]
+    python scripts/gen_adversarial.py [--tier hostile|empty|singleton|skew|timeedge|allnull]
                                       [--out DIR]   # default: per-tier /tmp path
     SPARK_GRAFT_SF_TEST=/tmp/sfadv python -m pytest tests/test_oracle.py -q
 
@@ -409,12 +409,69 @@ TIMEEDGE_PERTURB = {
     "embeddings": timeedge_embeddings,
 }
 
+
+# ---------------------------------------------------------------------------
+# Tier "allnull" (round 10): every nullable ANALYTIC column 100% NULL
+# while every row and primary key survives. Distinct from both existing
+# NULL-bearing shapes: the hostile tier scatters NULLs so valid rows
+# always anchor every group/window/join, and the empty tier removes the
+# rows themselves — this tier keeps the rows and removes the values, so
+# code that branches on "has rows" must then aggregate, group, window,
+# join, tokenize, and rank over NOTHING but NULL keys and NULL measures
+# (one all-NULL group per keyed operator, zero measurable values, zero
+# tokens corpus-wide, no timestamps to bucket). At 100 TB this is a
+# real shape: a malformed upstream delivery or a schema-mapping bug
+# yields exactly full-size files with intact keys and dead columns.
+#
+#   documents  — text/lang/source NULL everywhere; n_chars NULL (the
+#                generator-preserved invariant n_chars == length(text)).
+#   events     — ts/user_id/event_type/value/props NULL everywhere.
+#   embeddings — label NULL everywhere; the embedding column itself
+#                stays non-NULL (the ANN operators' declared contract
+#                is a dense fixed-dim column; NULL vectors are rejected
+#                upstream by the pipeline, not handled per-query).
+# ---------------------------------------------------------------------------
+
+
+def allnull_documents(table: pa.Table) -> pa.Table:
+    nulls = [None] * table.num_rows
+    return _rebuild(
+        table,
+        {"text": nulls, "lang": nulls, "source": nulls, "n_chars": nulls},
+    )
+
+
+def allnull_events(table: pa.Table) -> pa.Table:
+    nulls = [None] * table.num_rows
+    return _rebuild(
+        table,
+        {
+            "ts": nulls,
+            "user_id": nulls,
+            "event_type": nulls,
+            "value": nulls,
+            "props": nulls,
+        },
+    )
+
+
+def allnull_embeddings(table: pa.Table) -> pa.Table:
+    return _rebuild(table, {"label": [None] * table.num_rows})
+
+
+ALLNULL_PERTURB = {
+    "documents": allnull_documents,
+    "events": allnull_events,
+    "embeddings": allnull_embeddings,
+}
+
 TIER_DEFAULT_OUT = {
     "hostile": "/tmp/sfadv",
     "empty": "/tmp/sfadv_empty",
     "singleton": "/tmp/sfadv_one",
     "skew": "/tmp/sfadv_skew",
     "timeedge": "/tmp/sfadv_time",
+    "allnull": "/tmp/sfadv_null",
 }
 
 
@@ -439,8 +496,12 @@ def generate(out_dir: str, src: str = SRC, tier: str = "hostile") -> None:
             out = table.slice(0, n_keep)
             assert out.schema == table.schema, f"{name}: schema drifted"
             pq.write_table(out, os.path.join(out_dir, f"{name}.parquet"))
-    elif tier in ("skew", "timeedge"):
-        perturb = SKEW_PERTURB if tier == "skew" else TIMEEDGE_PERTURB
+    elif tier in ("skew", "timeedge", "allnull"):
+        perturb = {
+            "skew": SKEW_PERTURB,
+            "timeedge": TIMEEDGE_PERTURB,
+            "allnull": ALLNULL_PERTURB,
+        }[tier]
         for name in ALL_TABLES:
             table = pq.read_table(os.path.join(src, f"{name}.parquet"))
             fn = perturb.get(name)

@@ -49,11 +49,16 @@ def _load_script(name: str):
     return mod
 
 
-# Round 9: the gate grew from one hostile-values tier to five tiers
-# (hostile values / empty / singleton / skew shapes / timeedge
-# boundary magnitudes — gen_adversarial.py --tier). Each must be
-# re-run at the round's final engine HEAD.
-REQUIRED_TIERS = ("hostile", "empty", "singleton", "skew", "timeedge")
+# Round 9 grew the gate from one hostile-values tier to five (hostile
+# values / empty / singleton / skew shapes / timeedge boundary
+# magnitudes); round 10 added allnull (whole nullable columns 100%
+# NULL with rows and keys intact — the malformed-delivery shape
+# neither scattered hostile NULLs nor the empty tier reaches). Each
+# must be re-run at the round's final engine HEAD
+# (gen_adversarial.py --tier).
+REQUIRED_TIERS = (
+    "hostile", "empty", "singleton", "skew", "timeedge", "allnull",
+)
 
 
 def _stale_engine_files(head: str) -> list[str]:
