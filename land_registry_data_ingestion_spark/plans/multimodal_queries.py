@@ -23,7 +23,16 @@ from land_registry_data_ingestion_spark.operators.multimodal import extract_feat
 from land_registry_data_ingestion_spark.plans.registry import query
 from land_registry_data_ingestion_spark.sources.parquet import load_tables
 
-_MEDIA_TYPE = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+# Positive residue ((x % 3) + 3) % 3, not bare x % 3: both engines'
+# ``%`` keeps the dividend's sign, so a negative doc_id (hash-derived
+# 64-bit ids make these ordinary — keyedge adversarial tier, round 10)
+# yields residues -1/-2, which the CASE silently lumped into 'video'
+# and, worse, drove Spark's 1-based element_at to index 0 (runtime
+# INVALID_INDEX_OF_ZERO crash).
+_MEDIA_TYPE = (
+    "CASE ((doc_id % 3) + 3) % 3 "
+    "WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+)
 
 
 @query(
@@ -45,7 +54,7 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
         ).alias("media_type"),
         F.col("text").cast("binary").alias("content"),
     )
@@ -79,7 +88,7 @@ def mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
         ).alias("media_type"),
         F.col("n_chars").alias("n_bytes_meta"),
         F.col("text").cast("binary").alias("content"),
@@ -98,7 +107,7 @@ def mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
         SELECT doc_id AS media_id, text,
                (n_chars % 5000) + 500 AS dur
-        FROM documents WHERE doc_id % 3 = 2
+        FROM documents WHERE ((doc_id % 3) + 3) % 3 = 2
     ), f AS (
         SELECT media_id, text,
                unnest(range(CAST(ceil(dur / 1000.0) AS BIGINT))) AS i
@@ -124,7 +133,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir)
-    media = t.documents.filter(F.col("doc_id") % 3 == 2).select(
+    media = t.documents.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 2).select(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("media_type"),
         F.col("text").cast("binary").alias("content"),

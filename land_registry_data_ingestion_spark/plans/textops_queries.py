@@ -236,9 +236,15 @@ _ENRICHED = """
          THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
          ELSE text END
     || CASE WHEN doc_id % 5 = 0
-            THEN ' tel +44 7' || lpad(CAST(doc_id * 7919 % 100000000 AS VARCHAR), 8, '0')
+            THEN ' tel +44 7' || lpad(CAST((doc_id % 100000000) * 7919 % 100000000 AS VARCHAR), 8, '0')
             ELSE '' END
 """
+# (doc_id % 1e8) * 7919 % 1e8, NOT doc_id * 7919 % 1e8: congruence-
+# identical for every id (truncated remainder preserves residue class
+# and sign through the reduction), but the bare product overflows int64
+# for hash-derived ids near ±2^63 — an ANSI runtime crash on both
+# engines (keyedge adversarial tier, round 10). The reduced intermediate
+# is bounded by 1e8 * 7919 ≈ 8e11.
 _EMAIL_RE_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PHONE_RE_SQL = "\\+[0-9][0-9 ()-]{6,}[0-9]"
 
@@ -283,7 +289,11 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id") % 5 == 0,
                 F.concat(
                     F.lit(" tel +44 7"),
-                    F.lpad((F.col("doc_id") * 7919 % 100000000).cast("string"), 8, "0"),
+                    F.lpad(
+                        (F.col("doc_id") % 100000000 * 7919 % 100000000).cast("string"),
+                        8,
+                        "0",
+                    ),
                 ),
             ).otherwise(F.lit("")),
         ).alias("text"),

@@ -17,7 +17,8 @@ so any comparison failure is an engine-semantics divergence, not data
 noise.
 
 Usage:
-    python scripts/gen_adversarial.py [--tier hostile|empty|singleton|skew|timeedge|allnull]
+    python scripts/gen_adversarial.py [--tier hostile|empty|singleton|skew|
+                                       timeedge|allnull|keyedge]
                                       [--out DIR]   # default: per-tier /tmp path
     SPARK_GRAFT_SF_TEST=/tmp/sfadv python -m pytest tests/test_oracle.py -q
 
@@ -465,6 +466,83 @@ ALLNULL_PERTURB = {
     "embeddings": allnull_embeddings,
 }
 
+
+# ---------------------------------------------------------------------------
+# Tier "keyedge" (round 10): ids drawn from the FULL int64 range —
+# INT64_MAX-adjacent, INT64_MIN-adjacent, and small negatives — with
+# uniqueness (and, for user_id, group identity) preserved. Realistic at
+# 100 TB: production pipelines key documents and events by 64-bit
+# content/snowflake hashes, so ids near ±2^63 are ordinary inputs, and
+# any id ARITHMETIC (scaling, offsetting, modular synthesis) that was
+# only ever exercised on small dense test ids overflows exactly here —
+# ANSI engines raise where legacy engines wrap, so an overflow is an
+# engine-vs-oracle divergence, not a silent wrong answer. The
+# relational TPC-H tables keep their dense keys (their cross-table
+# join contract would need a coordinated remap; the LLM-pipeline
+# tables are where hash-derived ids actually occur).
+#
+#   documents.doc_id / embeddings.vec_id / events.event_id — row-index
+#       rule: i%11==0 -> INT64_MAX - i, ==1 -> INT64_MIN + 1 + i,
+#       ==2 -> -(i+1); else unchanged. Distinct by construction and
+#       disjoint from the small non-negative originals.
+#   events.user_id — VALUE-keyed injective rule (u%5) so every row of
+#       a user maps to the same new id and grouping structure is
+#       byte-identical on both engines.
+# ---------------------------------------------------------------------------
+
+_I64MAX = (1 << 63) - 1
+_I64MIN = -(1 << 63)
+
+
+def _keyedge_row_ids(ids: list) -> list:
+    out = []
+    for i, v in enumerate(ids):
+        if i % 11 == 0:
+            out.append(_I64MAX - i)
+        elif i % 11 == 1:
+            out.append(_I64MIN + 1 + i)
+        elif i % 11 == 2:
+            out.append(-(i + 1))
+        else:
+            out.append(v)
+    return out
+
+
+def keyedge_documents(table: pa.Table) -> pa.Table:
+    return _rebuild(
+        table, {"doc_id": _keyedge_row_ids(table.column("doc_id").to_pylist())}
+    )
+
+
+def keyedge_embeddings(table: pa.Table) -> pa.Table:
+    return _rebuild(
+        table, {"vec_id": _keyedge_row_ids(table.column("vec_id").to_pylist())}
+    )
+
+
+def keyedge_events(table: pa.Table) -> pa.Table:
+    event_id = _keyedge_row_ids(table.column("event_id").to_pylist())
+    user_id = [
+        None
+        if u is None
+        else _I64MAX - u
+        if u % 5 == 0
+        else _I64MIN + 1 + u
+        if u % 5 == 1
+        else -(u + 1)
+        if u % 5 == 2
+        else u
+        for u in table.column("user_id").to_pylist()
+    ]
+    return _rebuild(table, {"event_id": event_id, "user_id": user_id})
+
+
+KEYEDGE_PERTURB = {
+    "documents": keyedge_documents,
+    "events": keyedge_events,
+    "embeddings": keyedge_embeddings,
+}
+
 TIER_DEFAULT_OUT = {
     "hostile": "/tmp/sfadv",
     "empty": "/tmp/sfadv_empty",
@@ -472,6 +550,7 @@ TIER_DEFAULT_OUT = {
     "skew": "/tmp/sfadv_skew",
     "timeedge": "/tmp/sfadv_time",
     "allnull": "/tmp/sfadv_null",
+    "keyedge": "/tmp/sfadv_key",
 }
 
 
@@ -496,11 +575,12 @@ def generate(out_dir: str, src: str = SRC, tier: str = "hostile") -> None:
             out = table.slice(0, n_keep)
             assert out.schema == table.schema, f"{name}: schema drifted"
             pq.write_table(out, os.path.join(out_dir, f"{name}.parquet"))
-    elif tier in ("skew", "timeedge", "allnull"):
+    elif tier in ("skew", "timeedge", "allnull", "keyedge"):
         perturb = {
             "skew": SKEW_PERTURB,
             "timeedge": TIMEEDGE_PERTURB,
             "allnull": ALLNULL_PERTURB,
+            "keyedge": KEYEDGE_PERTURB,
         }[tier]
         for name in ALL_TABLES:
             table = pq.read_table(os.path.join(src, f"{name}.parquet"))

@@ -53,11 +53,15 @@ def _load_script(name: str):
 # values / empty / singleton / skew shapes / timeedge boundary
 # magnitudes); round 10 added allnull (whole nullable columns 100%
 # NULL with rows and keys intact — the malformed-delivery shape
-# neither scattered hostile NULLs nor the empty tier reaches). Each
-# must be re-run at the round's final engine HEAD
-# (gen_adversarial.py --tier).
+# neither scattered hostile NULLs nor the empty tier reaches) and
+# keyedge (ids across the full int64 range — hash-derived 64-bit keys;
+# found 3 real crashes on first contact: element_at index 0 from
+# negative-id residues in both mm_* queries, int64 overflow in
+# text_redact_pii's synthetic-phone arithmetic). Each must be re-run
+# at the round's final engine HEAD (gen_adversarial.py --tier).
 REQUIRED_TIERS = (
     "hostile", "empty", "singleton", "skew", "timeedge", "allnull",
+    "keyedge",
 )
 
 
