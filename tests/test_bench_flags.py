@@ -135,11 +135,16 @@ def test_committed_floor_sessions_replay_clean():
         # rotating out):
         # (the second r10 session rotated out scale win_latest_row 1.7
         # and scale evt_sliding_users_24h 3.998 in turn; the third,
-        # headline dedup_minhash_lsh 7.322)
-        # r8-era reading exposed when the r9 floor sessions pulled its
-        # band's median down; isolated quiet-host re-measure far inside
-        # (table in ROUND9_NOTES).
-        ("scale", "text_dsir_weights", 3.635),  # iso 2.019
+        # headline dedup_minhash_lsh 7.322; the fourth, the last
+        # pre-telemetry entry, scale text_dsir_weights 3.635)
+        # One sid-carrying entry: r10 session 1 (sid 5) read this
+        # same-plan transient 0.039 s over the band the fourth r10
+        # session's append exposed; its own telemetry is quiet (load
+        # 0.22, steal 0.006), so it cannot auto-adjudicate — but the
+        # three subsequent quiet sessions read 1.808 / 0.868 / 1.254,
+        # all far inside the band, so steady-state is unaffected and
+        # the reading rotates out within four more sessions.
+        ("scale", "text_token_budget_sample", 2.965),
     }
     for section, entries in floors.items():
         if section.startswith("_"):
