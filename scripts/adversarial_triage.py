@@ -53,10 +53,22 @@ def dir_digest(d: str) -> str:
     review: the first cut crashed on subdirectories and had no
     separators). The gate test computes the same digest over a freshly
     regenerated tier, so a recorded triage is verifiably bound to the
-    tier's actual data (the generators are pinned byte-deterministic)."""
+    tier's actual data (the generators are pinned byte-deterministic).
+
+    A missing dir raises instead of hashing as empty, and an unreadable
+    subtree raises instead of being silently skipped (round-10 review:
+    os.walk swallows both by default, so a /tmp dir reclaimed mid-triage
+    would have recorded sha256('') as a plausible-looking binding and
+    surfaced only later as a confusing 'mislabeled data' test failure)."""
+    if not os.path.isdir(d):
+        raise FileNotFoundError(f"dir_digest: data dir does not exist: {d!r}")
+
+    def _raise(err: OSError) -> None:
+        raise err
+
     h = hashlib.sha256()
     files: list[str] = []
-    for root, dirs, names in os.walk(d):
+    for root, dirs, names in os.walk(d, onerror=_raise):
         dirs.sort()
         for n in names:
             files.append(os.path.relpath(os.path.join(root, n), d))

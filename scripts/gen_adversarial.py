@@ -494,18 +494,22 @@ _I64MAX = (1 << 63) - 1
 _I64MIN = -(1 << 63)
 
 
+def _edge_id(x: int, residue: int, keep: int) -> int:
+    """The single source of truth for the keyedge boundary-id rule
+    (round-10 review: the row-index and user-value mappings used to
+    carry two copies of these branches): residue 0 -> INT64_MAX - x,
+    1 -> INT64_MIN + 1 + x, 2 -> -(x + 1), otherwise ``keep``."""
+    if residue == 0:
+        return _I64MAX - x
+    if residue == 1:
+        return _I64MIN + 1 + x
+    if residue == 2:
+        return -(x + 1)
+    return keep
+
+
 def _keyedge_row_ids(ids: list) -> list:
-    out = []
-    for i, v in enumerate(ids):
-        if i % 11 == 0:
-            out.append(_I64MAX - i)
-        elif i % 11 == 1:
-            out.append(_I64MIN + 1 + i)
-        elif i % 11 == 2:
-            out.append(-(i + 1))
-        else:
-            out.append(v)
-    return out
+    return [_edge_id(i, i % 11, v) for i, v in enumerate(ids)]
 
 
 def keyedge_documents(table: pa.Table) -> pa.Table:
@@ -523,15 +527,7 @@ def keyedge_embeddings(table: pa.Table) -> pa.Table:
 def keyedge_events(table: pa.Table) -> pa.Table:
     event_id = _keyedge_row_ids(table.column("event_id").to_pylist())
     user_id = [
-        None
-        if u is None
-        else _I64MAX - u
-        if u % 5 == 0
-        else _I64MIN + 1 + u
-        if u % 5 == 1
-        else -(u + 1)
-        if u % 5 == 2
-        else u
+        None if u is None else _edge_id(u, u % 5, u)
         for u in table.column("user_id").to_pylist()
     ]
     return _rebuild(table, {"event_id": event_id, "user_id": user_id})

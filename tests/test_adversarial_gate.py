@@ -175,8 +175,13 @@ def test_tier_records_bind_to_tier_data(tmp_path):
     triage = _load_script("adversarial_triage")
     gen = _load_script("gen_adversarial")
 
-    # the triage script's tier choices are the generator's tier set
+    # the triage script's tier choices are the generator's tier set —
+    # and this test's own REQUIRED_TIERS must be that same set, or a
+    # tier added to the generator but forgotten here would never be
+    # required, freshness-checked, or data-bound (round-10 review: the
+    # same label-drift class the triage/generator binding closed)
     assert triage._load_tier_names() == sorted(gen.TIER_DEFAULT_OUT)
+    assert set(REQUIRED_TIERS) == set(gen.TIER_DEFAULT_OUT)
 
     with open(os.path.join(REPO_ROOT, "ADVERSARIAL.json")) as fh:
         tiers = json.load(fh)["tiers"]

@@ -118,11 +118,15 @@ def test_committed_floor_sessions_replay_clean():
         # a complete clean floor session (44.1 s headline, ZERO flags,
         # plans unchanged) in which every reading below sat at
         # steady-state far inside its band (full table in ROUND8_NOTES).
-        # All remaining entries predate session telemetry (sid None),
-        # which is why they are enumerated here instead of
-        # auto-adjudicating from recorded host data; every reading
-        # recorded since round 9 carries a sid, so this set can only
-        # shrink as the 8-session cap rotates the old readings out.
+        # An entry belongs here when it flags against its band and its
+        # own session telemetry shows NO mechanical slow window —
+        # historically the pre-telemetry (sid None) readings, but a
+        # sid-carrying reading from a QUIET session can also land here
+        # when it is a genuine one-off transient; each entry must cite
+        # recorded steady-state evidence (later sessions / isolated
+        # re-measures inside the band). Entries leave as the 8-session
+        # cap rotates them out, and every change in either direction
+        # passes through bench.py's floors-write gate.
         # After the round-10 floor session rotated the r8 slow-cycle
         # sessions out, six entries left the set (dedup_embedding_cosine
         # 4.16, evt_sliding_users_24h 5.753 headline, rel_multi_join_chain
