@@ -156,3 +156,74 @@ def test_extract_features_null_content_stays_null(spark):
     assert rows[2]["n_bytes"] is None
     assert rows[2]["content_sha256"] is None
     assert rows[2]["feature"] is None
+
+
+def test_media_queries_total_over_full_int64_id_range(spark, tmp_path):
+    """Unit-level pin of the keyedge contract (round 10): the media-type
+    dispatch and the redact PII enrichment must be TOTAL over the full
+    int64 id range — hash-derived 64-bit ids make negatives and
+    ±2^63-adjacent values ordinary inputs. Before the round-10 fixes,
+    a negative doc_id drove the 1-based element_at to index 0
+    (INVALID_INDEX_OF_ZERO) and doc_id * 7919 overflowed int64 under
+    ANSI; the keyedge adversarial tier pins this end-to-end against the
+    DuckDB oracle, this test pins it at the query-function level with
+    no oracle in the loop."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from land_registry_data_ingestion_spark.plans.registry import (
+        REGISTRY,
+        _load_all,
+    )
+
+    i64max = (1 << 63) - 1
+    i64min = -(1 << 63)
+    ids = [
+        0, 1, 2, 3, -1, -2, -3,
+        i64max, i64max - 1, i64max - 2,
+        i64min + 1, i64min + 2, i64min + 3,
+        7919, -7919, 100000000, -100000000,
+    ]
+    texts = [f"doc {i} body text with several tokens" for i in range(len(ids))]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(ids)),
+            "source": pa.array(["test"] * len(ids)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    papq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    _load_all()
+    for name in (
+        "mm_feature_extract",
+        "mm_metadata_stats",
+        "mm_frame_sample",
+        "text_redact_pii",
+    ):
+        REGISTRY[name].fn(spark, str(tmp_path)).collect()  # must not raise
+
+    # the media class is the POSITIVE residue of doc_id mod 3 (Python's
+    # % is already non-negative for a positive modulus, so it is the
+    # reference semantics here)
+    classes = ["image", "audio", "video"]
+    got = {
+        r["media_id"]: r["media_type"]
+        for r in REGISTRY["mm_feature_extract"]
+        .fn(spark, str(tmp_path))
+        .select("media_id", "media_type")
+        .collect()
+    }
+    assert got == {i: classes[i % 3] for i in ids}
+
+    # redact: every doc_id % 5 == 0 row gained exactly one phone and it
+    # was redacted (n_phones counts the pre-redaction matches)
+    phones = {
+        r["doc_id"]: r["n_phones"]
+        for r in REGISTRY["text_redact_pii"].fn(spark, str(tmp_path)).collect()
+    }
+    assert all(
+        (n >= 1) == (i % 5 == 0) for i, n in phones.items()
+    ), phones
