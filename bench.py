@@ -365,12 +365,24 @@ STEAL_MAX = 0.05
 SECTION_LOAD1_MAX = 20.0
 
 
-def host_slow_window(host: dict, ref_canary: float | None = None) -> list[str]:
+def host_slow_window(
+    host: dict, ref_canary: float | None = None, section: str | None = None
+) -> list[str]:
     """Mechanical slow-window verdict for one recorded bench session's
     telemetry (the dict written as ``_hosts[sid]`` in BENCH_FLOORS.json
     / ``host`` in the compact line). Returns the evidence strings —
     empty means no host anomaly is visible in the recorded data, so a
-    same-plan flag in that session deserves a real look."""
+    same-plan flag in that session deserves a real look.
+
+    ``section`` restricts the PER-SECTION clauses (cpu_steal, mid-run
+    load1 ramp) to the named section; the session-wide clauses
+    (load_start, canary) always apply. The adjudication path passes the
+    flagged reading's own section (round-11 ADVICE): evidence recorded
+    only during the scale section must not dismiss a headline flag from
+    the same session — the headline section ran BEFORE that load
+    arrived, so a genuine headline regression would otherwise be
+    silently adjudicated away. ``section=None`` (the human-facing
+    default) keeps the full-session view."""
     ev: list[str] = []
     l0 = host.get("load_start")
     if l0 is not None and l0 > LOAD1_IDLE_MAX:
@@ -383,6 +395,8 @@ def host_slow_window(host: dict, ref_canary: float | None = None) -> list[str]:
             f"canary {c}s > {CANARY_SLOW_RATIO}x reference {ref_canary}s"
         )
     for sec in ("headline", "scale"):
+        if section is not None and sec != section:
+            continue
         s = host.get(sec) or {}
         if (s.get("cpu_steal") or 0) > STEAL_MAX:
             ev.append(f"{sec} cpu_steal {s['cpu_steal']} > {STEAL_MAX}")
@@ -428,6 +442,16 @@ def replay_floor_flags(floors: dict) -> tuple[set, set]:
         for name, ref in entries.items():
             sessions = ref.get("sessions") or []
             sids = ref.get("sids") or []
+            if len(sids) > len(sessions):
+                # The build path keeps them in lockstep; a longer sids
+                # list means a hand-edited/corrupt sidecar, and the
+                # None-padding below would silently zip() values against
+                # the WRONG session ids — adjudication would then read
+                # the wrong telemetry (round-11 ADVICE).
+                raise ValueError(
+                    f"{section}/{name}: {len(sids)} sids for "
+                    f"{len(sessions)} sessions — corrupt floors entry"
+                )
             sids = [None] * (len(sessions) - len(sids)) + sids
             thr = stall_threshold(ref, abs_noise)
             if thr is None:
@@ -437,7 +461,9 @@ def replay_floor_flags(floors: dict) -> tuple[set, set]:
                     continue
                 flagged.add((section, name, s))
                 host = hosts.get(str(sid)) if sid is not None else None
-                if host and host_slow_window(host, ref_canary):
+                # evidence must match the flagged reading's own section
+                # (or be session-wide) — see host_slow_window
+                if host and host_slow_window(host, ref_canary, section=section):
                     auto.add((section, name, s))
     return flagged, auto
 
@@ -936,6 +962,7 @@ def main() -> None:
     with open(os.path.join(REPO_ROOT, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=2)
 
+    floors_status: str | None = None
     if os.environ.get("SPARK_GRAFT_BENCH_WRITE_FLOORS") == "1":
         new_floors = build_new_floors(
             floors, host_rec, timings, headline_plans, scale
@@ -955,6 +982,7 @@ def main() -> None:
             for item in blockers.get(kind, [])
         )
         if blockers and os.environ.get("SPARK_GRAFT_BENCH_FORCE_FLOORS") != "1":
+            floors_status = "refused"
             print(
                 "BENCH_FLOORS.json NOT written: this session changes the "
                 "un-adjudicated flag set.\n" + blocker_lines
@@ -965,6 +993,7 @@ def main() -> None:
                 file=sys.stderr,
             )
         else:
+            floors_status = "forced" if blockers else "written"
             if blockers:
                 # The forced write's OWN delta, not the refused run's —
                 # per-invocation minima differ between sessions, so the
@@ -1002,6 +1031,13 @@ def main() -> None:
     # wall, then per-section [load1_start, load1_end, cpu_busy,
     # cpu_steal, wall_sec] — enough to label a flagged driver run
     # slow-window with zero re-measures (full struct in the sidecar).
+    if floors_status is not None:
+        # Machine-readable floors-write verdict (round-11 ADVICE): an
+        # automated invocation must not have to parse stderr to learn a
+        # floors write was refused — and the process exits non-zero on
+        # refusal (below), AFTER the compact line is printed so the
+        # parse contract holds either way.
+        out["floors_write"] = floors_status
     out["host"] = {"l0": host_rec.get("load_start"), "c": canary_sec}
     for sec_name, tag in (("headline", "h"), ("scale", "s")):
         s = host_rec.get(sec_name)
@@ -1055,7 +1091,48 @@ def main() -> None:
         line = json.dumps(out, separators=(",", ":"))
     sys.stdout.flush()
     print(line, flush=True)
+    if floors_status == "refused":
+        sys.exit(3)
+
+
+def _parse_args(argv: list[str] | None = None) -> None:
+    """Minimal front end (round-11, r10 verdict #2): ``bench.py`` takes
+    NO positional or flag operands — all knobs are environment variables
+    — but before this existed ``bench.py --help`` silently ran the full
+    ~13-minute two-section bench and overwrote BENCH_DETAIL.json (the
+    same mutate-on-verify footgun class as the five fixed in round 10).
+    ``--help`` now prints and exits; any unexpected argument errors out
+    instead of benching."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="bench.py",
+        description=(
+            "Run the two-section bench (headline at $SPARK_GRAFT_SF_DIR, "
+            "scale at the replicated scale dir), write BENCH_DETAIL.json, "
+            "and print one compact JSON line last."
+        ),
+        epilog=(
+            "environment variables:\n"
+            "  SPARK_GRAFT_SF_DIR             headline data dir "
+            "(default /root/testdata/sf0.1)\n"
+            "  SPARK_GRAFT_CPUS               local[] thread count "
+            "(default 32)\n"
+            "  SPARK_GRAFT_DRIVER_MEM         driver heap (default 24g)\n"
+            "  SPARK_GRAFT_BENCH_SCALE=0      skip the scale section\n"
+            "  SPARK_GRAFT_BENCH_COOLDOWN     seconds between scale "
+            "passes (default 20)\n"
+            "  SPARK_GRAFT_BENCH_WRITE_FLOORS=1  refresh BENCH_FLOORS.json "
+            "(gated; exit 3 + floors_write:\"refused\" on the compact "
+            "line when the write would change the open-flag set)\n"
+            "  SPARK_GRAFT_BENCH_FORCE_FLOORS=1  override the gate "
+            "(adjudicate in the same change)"
+        ),
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    p.parse_args(argv)
 
 
 if __name__ == "__main__":
+    _parse_args()
     main()

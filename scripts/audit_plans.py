@@ -7,6 +7,12 @@ python eval operators, cartesians, scan count and widest ReadSchema —
 into one table (stdout + PLAN_AUDIT.md). Run after adding operators:
 
     python scripts/audit_plans.py [sf_dir]
+        regenerate PLAN_AUDIT.md (and print it)
+    python scripts/audit_plans.py [sf_dir] --check
+        verify the committed PLAN_AUDIT.md reproduces WITHOUT writing
+        anything; exit non-zero naming the first divergent line
+    python scripts/audit_plans.py [sf_dir] --out PATH
+        write the regenerated audit elsewhere, committed file untouched
 
 COUNTING RULE (two numbers per operator class, "cold/final"):
 
@@ -236,11 +242,74 @@ def _fmt(p) -> str:
     return str(c) if c == f else f"{c}/{f}"
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = get_spark(app_name="plan-audit", master="local[4]",
-                      extra_conf={"spark.sql.shuffle.partitions": "8"})
-    spark.sparkContext.setLogLevel("ERROR")
+_PLAN_AUDIT_PATH = os.path.join(REPO_ROOT, "PLAN_AUDIT.md")
+
+
+def _parse_args(argv: list[str] | None = None):
+    """Argparse front end (round-11, r10 verdict #2): the old
+    ``sys.argv[1]``-as-data-dir parsing treated ANY first argument as
+    the sf dir, so ``audit_plans.py --check`` ran all 112 queries
+    against the literal path "--check", overwrote the committed
+    PLAN_AUDIT.md with ERROR rows, and exited 0 — the same
+    mutate-on-verify footgun class round 10 fixed in five sibling
+    scripts. ``--check`` now diffs instead of writing."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    p.add_argument(
+        "sf_dir",
+        nargs="?",
+        default="/root/testdata/sf0.01",
+        help="parquet data dir the plans are built against "
+        "(default: %(default)s)",
+    )
+    p.add_argument(
+        "--check",
+        action="store_true",
+        help="verify the committed PLAN_AUDIT.md reproduces WITHOUT "
+        "writing anything; exit non-zero on drift",
+    )
+    p.add_argument(
+        "--out",
+        default=None,
+        metavar="PATH",
+        help="write the regenerated audit elsewhere, leaving the "
+        "committed file untouched",
+    )
+    args = p.parse_args(argv)
+    if args.check and args.out:
+        p.error("--check and --out are mutually exclusive")
+    return args
+
+
+def check_against(content: str, committed_path: str) -> None:
+    """Diff regenerated audit content against the committed file; exit
+    non-zero naming the first divergent line. Writes nothing."""
+    try:
+        committed = open(committed_path).read()
+    except OSError:
+        committed = ""
+    if committed == content:
+        print(f"check OK: {committed_path} reproduces")
+        return
+    got, want = committed.splitlines(), content.splitlines()
+    for i in range(max(len(got), len(want))):
+        g = got[i] if i < len(got) else "<missing>"
+        w = want[i] if i < len(want) else "<missing>"
+        if g != w:
+            raise SystemExit(
+                f"check FAILED: first divergence at line {i + 1}:\n"
+                f"  committed:   {g}\n"
+                f"  regenerated: {w}"
+            )
+    raise SystemExit("check FAILED: content differs")  # unreachable
+
+
+def render_audit(spark, sf_dir: str) -> str:
+    """Build the full PLAN_AUDIT.md content for the registry surface."""
     _load_all()
     rows = []
     for name, spec in REGISTRY.items():
@@ -287,11 +356,22 @@ def main() -> None:
             f"{a['widest_scan_cols']} | {a['py_eval']} | {a['cartesian']} | "
             f"{_fmt(a['bnlj'])} | {a['map_in_pandas']} | {_fmt(a['sorts'])} |"
         )
-    out = "\n".join(lines) + "\n"
-    out_path = os.path.join(REPO_ROOT, "PLAN_AUDIT.md")
+    return "\n".join(lines) + "\n"
+
+
+def main() -> None:
+    args = _parse_args()
+    spark = get_spark(app_name="plan-audit", master="local[4]",
+                      extra_conf={"spark.sql.shuffle.partitions": "8"})
+    spark.sparkContext.setLogLevel("ERROR")
+    content = render_audit(spark, args.sf_dir)
+    if args.check:
+        check_against(content, _PLAN_AUDIT_PATH)
+        return
+    out_path = args.out or _PLAN_AUDIT_PATH
     with open(out_path, "w") as f:
-        f.write(out)
-    print(out)
+        f.write(content)
+    print(content)
     print(f"written: {out_path}")
 
 

@@ -23,11 +23,14 @@ Usage:
         (the one-command pre-round rotation check)
     python scripts/gen_query_index.py --rotation <git-ref>
             [--window N] [--round R] [--check | --out PATH]
+            [--as-of ROUND]
         regenerate plans/check_priority.py (rule-1 touched queries
         first, then staleness fill). --check verifies the committed
         file reproduces WITHOUT writing anything (exit non-zero on
         drift); --out writes elsewhere — so a verification run never
-        mutates the working tree.
+        mutates the working tree. --as-of rN reads external-row ages
+        as of round N, so --check can verify the committed pre-driver
+        rotation after the driver lands a newer CORRECTNESS file.
 """
 
 from __future__ import annotations
@@ -590,16 +593,26 @@ def affected_queries_function_level(ref: str) -> tuple[set[str], dict]:
 # -- external-row ages + rotation emission --------------------------------
 
 
-def query_ages() -> dict[str, int]:
+def query_ages(as_of: int | None = None) -> dict[str, int]:
     """Query -> newest round with an externally green CORRECTNESS row
     (green: no error, rows match, schema/hash not refuted). Missing
-    queries have no row yet — infinitely stale."""
+    queries have no row yet — infinitely stale.
+
+    ``as_of`` ignores CORRECTNESS files NEWER than that round: the
+    committed rotation is generated before the driver runs, so its
+    rule-2 ordering reads ages as of the previous round — verifying it
+    at a post-driver tree (where the new round's CORRECTNESS file has
+    refreshed the ages) needs the historical view (round-11, r10
+    verdict #4: the judge had to move CORRECTNESS_r10.json aside to get
+    ``--check`` to pass)."""
     import glob
     import re as _re
 
     ages: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json"))):
         rnd = int(_re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        if as_of is not None and rnd > as_of:
+            continue
         for q, v in json.load(open(f)).items():
             green = (
                 v.get("err") in (None, "")
@@ -622,6 +635,7 @@ def rotation(
     declared: list[str] | None = None,
     out: str | None = None,
     check: bool = False,
+    as_of: int | None = None,
 ) -> None:
     """Emit plans/check_priority.py: rule-1 (symbol-level touched) queries
     first, then untouched oldest-external-row first. HARD-FAILS if the
@@ -643,7 +657,7 @@ def rotation(
         declared = list(registry.REGISTRY)
     touched, changed = affected_queries_function_level(ref)
     touched &= set(declared)
-    ages = query_ages()
+    ages = query_ages(as_of)
     for mod, syms in sorted(changed.items()):
         print(f"changed {mod}: {'<whole module>' if syms is None else sorted(syms)}")
     if len(touched) > window:
@@ -772,6 +786,15 @@ def _parse_args(argv: list[str] | None = None):
         "writing anything; exit non-zero on drift",
     )
     p.add_argument(
+        "--as-of",
+        dest="as_of",
+        metavar="ROUND",
+        default=None,
+        help="read external-row ages as of this round ('r10' or '10'), "
+        "ignoring newer CORRECTNESS files — lets --check verify the "
+        "committed pre-driver rotation at a post-driver tree",
+    )
+    p.add_argument(
         "--out",
         default=None,
         metavar="PATH",
@@ -779,19 +802,36 @@ def _parse_args(argv: list[str] | None = None):
         "committed file untouched",
     )
     args = p.parse_args(argv)
+    for flag, val in (("--rotation", args.rotation),
+                      ("--touched-since", args.touched_since)):
+        if val is not None and not val.strip():
+            # a misexpanded shell variable; main() dispatches on
+            # `is not None`, so this errors here rather than falling
+            # through to the index-rewriting default mode
+            p.error(f"{flag} got an empty git ref")
     if args.check and args.out:
         p.error("--check and --out are mutually exclusive")
     if (
         args.check
-        or args.out
+        or args.out is not None
         or args.next_round is not None
         or args.window is not None
-    ) and not args.rotation:
+        or args.as_of is not None
+    ) and args.rotation is None:
         # every rotation-only flag must refuse to fall through to the
         # default mode, which REWRITES the committed index files — a
         # forgotten --rotation ref must error, not mutate (round-10
         # review caught --window missing from this guard)
-        p.error("--check/--out/--round/--window only apply to --rotation")
+        p.error(
+            "--check/--out/--round/--window/--as-of only apply to --rotation"
+        )
+    if args.as_of is not None:
+        # accept "r10" or "10"; anything else is a typo, not a mode
+        raw = args.as_of.lstrip("rR")
+        if not raw.isdigit():
+            p.error(f"--as-of wants a round number ('r10' or '10'), got "
+                    f"{args.as_of!r}")
+        args.as_of = int(raw)
     if args.window is None:
         args.window = 50
     return args
@@ -799,19 +839,25 @@ def _parse_args(argv: list[str] | None = None):
 
 def main() -> None:
     args = _parse_args()
-    if args.consumers:
+    # Dispatch on `is not None`, never truthiness (round-11 ADVICE): an
+    # empty-string ref from a misexpanded shell variable (`--rotation
+    # ""`) must error inside its mode, not fall through to the default
+    # mode that REWRITES QUERIES.md/QUERY_DEPS.json — the exact
+    # mutate-on-verify footgun this front end exists to close.
+    if args.consumers is not None:
         for mod, qs in consumers(args.consumers).items():
             print(f"{mod}: {len(qs)} consumer queries")
             for q in qs:
                 print(f"  {q}")
         return
-    if args.rotation:
+    if args.rotation is not None:
         nxt = args.next_round
-        if nxt is None:  # infer: newest CORRECTNESS file + 1
-            nxt = max(query_ages().values(), default=0) + 1
-        rotation(args.rotation, args.window, nxt, out=args.out, check=args.check)
+        if nxt is None:  # infer: newest visible CORRECTNESS file + 1
+            nxt = max(query_ages(args.as_of).values(), default=0) + 1
+        rotation(args.rotation, args.window, nxt, out=args.out,
+                 check=args.check, as_of=args.as_of)
         return
-    if args.touched_since:
+    if args.touched_since is not None:
         touched = touched_since(args.touched_since)
         print(f"touched package modules since {args.touched_since}: {len(touched)}")
         affected: set[str] = set()

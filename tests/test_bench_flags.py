@@ -385,3 +385,87 @@ def test_host_section_honest_nulls_without_proc():
     assert bench.host_slow_window(
         {"load_start": None, "canary_sec": None, "headline": s}, None
     ) == []
+
+
+def test_host_slow_window_evidence_matched_to_section():
+    """Round-11 ADVICE: per-section evidence (steal, mid-run load1 ramp)
+    recorded only during the SCALE section must not adjudicate a
+    HEADLINE flag from the same session — the headline section ran
+    before that load arrived, so a genuine headline regression would be
+    silently dismissed. Session-wide clauses (load_start, canary) apply
+    to both sections."""
+    host = {
+        "load_start": 0.2,
+        "canary_sec": 8.0,
+        "headline": {"load1": [1.0, 5.0], "cpu_busy": 0.8,
+                     "cpu_steal": 0.001, "wall_sec": 45.0},
+        "scale": {"load1": [4.75, 23.45], "cpu_busy": 0.43,
+                  "cpu_steal": 0.04, "wall_sec": 545.0},
+    }
+    # scale-only ramp: evidence for scale flags, NOT headline flags
+    assert bench.host_slow_window(host, 8.2, section="scale")
+    assert bench.host_slow_window(host, 8.2, section="headline") == []
+    # the human-facing default keeps the full-session view
+    assert bench.host_slow_window(host, 8.2)
+    # session-wide clauses still adjudicate either section
+    loaded = {**host, "load_start": 12.0}
+    assert bench.host_slow_window(loaded, 8.2, section="headline")
+
+
+def test_replay_floor_flags_respects_flag_section():
+    """End-to-end through the shared replay primitive: the same outlier
+    reading auto-adjudicates as a scale flag (the session's ramp is in
+    the scale section) but stays OPEN as a headline flag."""
+    ramped_host = {
+        "load_start": 0.2,
+        "canary_sec": 8.0,
+        "headline": {"load1": [1.0, 5.0], "cpu_busy": 0.8,
+                     "cpu_steal": 0.001, "wall_sec": 45.0},
+        "scale": {"load1": [4.75, 23.45], "cpu_busy": 0.43,
+                  "cpu_steal": 0.04, "wall_sec": 545.0},
+    }
+    entry = {"plan": "p", "floor": 1.0,
+             "sessions": [1.0, 1.05, 1.1, 2.5], "sids": [1, 1, 1, 2]}
+    floors = {
+        "_hosts": {"1": {"load_start": 0.2, "canary_sec": 8.0},
+                   "2": ramped_host},
+        "headline": {"q_h": dict(entry)},
+        "scale": {"q_s": dict(entry)},
+    }
+    flagged, auto = bench.replay_floor_flags(floors)
+    assert ("scale", "q_s", 2.5) in auto
+    assert ("headline", "q_h", 2.5) in flagged
+    assert ("headline", "q_h", 2.5) not in auto
+
+
+def test_replay_floor_flags_rejects_excess_sids():
+    """Round-11 ADVICE: a hand-edited floors entry with MORE sids than
+    sessions would zip() values against the wrong session ids (the
+    negative padding multiplier yields no padding), adjudicating
+    against mismatched telemetry — it must fail loudly instead."""
+    import pytest
+
+    floors = {
+        "_hosts": {"1": {"load_start": 0.2}},
+        "headline": {"q": {"plan": "p", "floor": 1.0,
+                           "sessions": [1.0, 1.1], "sids": [1, 1, 1]}},
+    }
+    with pytest.raises(ValueError, match="corrupt floors entry"):
+        bench.replay_floor_flags(floors)
+
+
+def test_bench_front_end_is_side_effect_free():
+    """Round-11 (r10 verdict #2): ``bench.py --help`` used to run the
+    full ~13-minute two-section bench and clobber BENCH_DETAIL.json.
+    The front end must print-and-exit on --help and ERROR on stray
+    operands rather than silently benching."""
+    import pytest
+
+    # no args: parses clean (the normal invocation path)
+    assert bench._parse_args([]) is None
+    with pytest.raises(SystemExit) as e:
+        bench._parse_args(["--help"])
+    assert e.value.code == 0
+    with pytest.raises(SystemExit) as e:
+        bench._parse_args(["garbage"])
+    assert e.value.code == 2

@@ -258,7 +258,7 @@ def test_rotation_overflow_hard_fails(monkeypatch, tmp_path):
         "affected_queries_function_level",
         lambda ref: ({"a", "b", "c"}, {}),
     )
-    monkeypatch.setattr(gqi, "query_ages", lambda: {"a": 1, "b": 1, "c": 1})
+    monkeypatch.setattr(gqi, "query_ages", lambda as_of=None: {"a": 1, "b": 1, "c": 1})
     monkeypatch.setattr(
         gqi, "_CHECK_PRIORITY_PATH", str(tmp_path / "check_priority.py")
     )
@@ -272,7 +272,7 @@ def test_rotation_staleness_spill_hard_fails(monkeypatch, tmp_path):
     monkeypatch.setattr(
         gqi, "affected_queries_function_level", lambda ref: (set(), {})
     )
-    monkeypatch.setattr(gqi, "query_ages", lambda: {"a": 6, "b": 4, "c": 6})
+    monkeypatch.setattr(gqi, "query_ages", lambda as_of=None: {"a": 6, "b": 4, "c": 6})
     monkeypatch.setattr(
         gqi, "_CHECK_PRIORITY_PATH", str(tmp_path / "check_priority.py")
     )
@@ -290,7 +290,7 @@ def test_rotation_check_mode_never_writes(monkeypatch, tmp_path, capsys):
     monkeypatch.setattr(
         gqi, "affected_queries_function_level", lambda ref: (set(), {})
     )
-    monkeypatch.setattr(gqi, "query_ages", lambda: {"a": 6, "b": 6})
+    monkeypatch.setattr(gqi, "query_ages", lambda as_of=None: {"a": 6, "b": 6})
     target = tmp_path / "check_priority.py"
     monkeypatch.setattr(gqi, "_CHECK_PRIORITY_PATH", str(target))
 
@@ -315,7 +315,7 @@ def test_rotation_out_redirects_emission(monkeypatch, tmp_path):
     monkeypatch.setattr(
         gqi, "affected_queries_function_level", lambda ref: (set(), {})
     )
-    monkeypatch.setattr(gqi, "query_ages", lambda: {"a": 6, "b": 6})
+    monkeypatch.setattr(gqi, "query_ages", lambda as_of=None: {"a": 6, "b": 6})
     target = tmp_path / "check_priority.py"
     target.write_text("SENTINEL")
     monkeypatch.setattr(gqi, "_CHECK_PRIORITY_PATH", str(target))
@@ -335,3 +335,66 @@ def test_normalize_module_is_cwd_insensitive(monkeypatch, tmp_path):
     rel = f"{gqi.PKG}/operators/similarity.py"
     monkeypatch.chdir(tmp_path)
     assert gqi._normalize_module(rel) == f"{gqi.PKG}.operators.similarity"
+
+
+# -- front-end guards (round 11: the mutate-on-verify footgun class) ----
+
+
+def test_parse_args_rejects_empty_refs():
+    """A misexpanded shell variable (``--rotation ""`` /
+    ``--touched-since ""``) must error inside its mode, never fall
+    through to the default mode that rewrites QUERIES.md /
+    QUERY_DEPS.json (round-11 ADVICE: the old main() dispatched on
+    truthiness, so an empty ref WAS the default mode)."""
+    for argv in (["--rotation", ""], ["--touched-since", ""],
+                 ["--touched-since", "  "]):
+        with pytest.raises(SystemExit) as e:
+            gqi._parse_args(argv)
+        assert e.value.code == 2
+
+
+def test_parse_args_rotation_only_flags_still_guarded():
+    for argv in (["--check"], ["--as-of", "r10"], ["--window", "50"]):
+        with pytest.raises(SystemExit) as e:
+            gqi._parse_args(argv)
+        assert e.value.code == 2
+
+
+def test_parse_args_as_of_spellings():
+    a = gqi._parse_args(["--rotation", "HEAD", "--as-of", "r10"])
+    assert a.as_of == 10
+    a = gqi._parse_args(["--rotation", "HEAD", "--as-of", "10"])
+    assert a.as_of == 10
+    with pytest.raises(SystemExit):
+        gqi._parse_args(["--rotation", "HEAD", "--as-of", "ten"])
+
+
+def test_query_ages_as_of_hides_newer_rounds():
+    """--as-of must reproduce the historical ages view: the committed
+    rotation was generated BEFORE the driver's newest CORRECTNESS file
+    landed, so verifying it later needs that file hidden (r10 verdict
+    #4: the judge moved CORRECTNESS_r10.json aside by hand)."""
+    full = gqi.query_ages()
+    newest = max(full.values())
+    assert newest >= 2  # repo has a history of rounds
+    capped = gqi.query_ages(newest - 1)
+    assert max(capped.values()) == newest - 1
+    # hiding nothing reproduces the full view
+    assert gqi.query_ages(newest) == full
+
+
+def test_rotation_passes_as_of_to_ages(monkeypatch, tmp_path):
+    seen: list = []
+
+    def fake_ages(as_of=None):
+        seen.append(as_of)
+        return {"a": 6, "b": 6}
+
+    monkeypatch.setattr(gqi, "affected_queries_function_level",
+                        lambda ref: (set(), {}))
+    monkeypatch.setattr(gqi, "query_ages", fake_ages)
+    monkeypatch.setattr(gqi, "_CHECK_PRIORITY_PATH",
+                        str(tmp_path / "check_priority.py"))
+    gqi.rotation("HEAD", window=2, next_round=7, declared=["a", "b"],
+                 as_of=6)
+    assert seen == [6]
