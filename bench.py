@@ -644,7 +644,9 @@ def annotate(
     return None
 
 
-def _timed_adaptive(fn) -> tuple[float, float, int]:
+def _timed_adaptive(
+    fn, flag_threshold: float | None = None
+) -> tuple[float, float, int]:
     # Min over adaptive repeats: the first execution of an
     # expression-heavy plan is dominated by one-time JIT/codegen
     # compilation, and this host shows sporadic multi-second stalls
@@ -652,6 +654,21 @@ def _timed_adaptive(fn) -> tuple[float, float, int]:
     # disagree by >1.5x the query is re-run (up to 4 total). Returns
     # (min, max, n_runs) — the spread makes a stall-window number
     # VISIBLY unstable instead of silently wrong.
+    #
+    # ``flag_threshold`` (round 11): a query whose generated code is
+    # large (measured: text_token_budget_sample's chunked prefix-sum +
+    # tokenizer chain) has a ~3-4-run JIT TIERING decay — wall time
+    # tracks JVM compilation time, ~5.3 s → 1.4 s across four runs on
+    # this host. Min-of-2 settles on an inflated reading whenever the
+    # run-1→2 decay happens to be slow (two readings near 3 s agree
+    # within 1.5× and the session records ~2.9 s against a ~1.4 s
+    # band — both committed text_token_budget_sample transients are
+    # exactly this). When the two agreeing runs sit ABOVE the
+    # committed stall band, the reading is either a real regression or
+    # an unfinished warm-up — both deserve the remaining run budget,
+    # so settle is deferred until the 4-run cap. Healthy readings are
+    # untouched (no extra runs), and a genuine regression still flags
+    # — its extra runs read just as high.
     times: list[float] = []
     while True:
         start = time.perf_counter()
@@ -660,6 +677,12 @@ def _timed_adaptive(fn) -> tuple[float, float, int]:
         if len(times) >= 2:
             a, b = sorted(times)[:2]
             settled = b / a <= 1.5 and times[-1] >= a * 0.8
+            if (
+                settled
+                and flag_threshold is not None
+                and a > flag_threshold
+            ):
+                settled = False
             if len(times) >= 4 or a < 0.3 or settled:
                 return a, max(times), len(times)
 
@@ -797,9 +820,22 @@ def main() -> None:
     headline_spread: dict[str, list] = {}
     headline_plans: dict[str, str] = {}
     _ph0, _ph_t0 = host_probe(), time.perf_counter()
+    def band_threshold(section: str, name: str, fp: str) -> float | None:
+        """The committed stall band's flag threshold, iff the committed
+        plan matches this build — feeds _timed_adaptive's deferred
+        settle so a would-flag reading always carries the full 4-run
+        evidence (a changed plan has no valid band to defer against)."""
+        ref = floors.get(section, {}).get(name)
+        if not ref or ref.get("plan") != fp:
+            return None
+        return stall_threshold(ref, ABS_NOISE_SEC[section])
+
     for name in HEADLINE:
         headline_plans[name] = construction_fp(name, sf_dir)
-        lo, hi, n = _timed_adaptive(noop_write(REGISTRY[name], sf_dir, {}))
+        lo, hi, n = _timed_adaptive(
+            noop_write(REGISTRY[name], sf_dir, {}),
+            flag_threshold=band_threshold("headline", name, headline_plans[name]),
+        )
         timings[name] = round(lo, 3)
         headline_spread[name] = [round(lo, 3), round(hi, 3), n]
         note = annotate(
@@ -886,7 +922,8 @@ def main() -> None:
         for name in SCALE_QUERIES:
             scale_plans[name] = construction_fp(name, scale_dir)
             p1[name] = _timed_adaptive(
-                noop_write(REGISTRY[name], scale_dir, {})
+                noop_write(REGISTRY[name], scale_dir, {}),
+                flag_threshold=band_threshold("scale", name, scale_plans[name]),
             )
             gc_between()
         gc_between()

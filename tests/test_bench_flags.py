@@ -469,3 +469,38 @@ def test_bench_front_end_is_side_effect_free():
     with pytest.raises(SystemExit) as e:
         bench._parse_args(["garbage"])
     assert e.value.code == 2
+
+
+def test_adaptive_defers_settle_above_flag_threshold():
+    """Round-11 transient mechanism: a heavy-codegen query's JIT tiering
+    decays over ~3-4 runs, and min-of-2 could settle on an inflated
+    pair of early readings (both committed text_token_budget_sample
+    transients were exactly this). With the committed band's threshold
+    supplied, two agreeing ABOVE-band runs must not settle — the
+    remaining run budget confirms; below-band readings settle exactly
+    as before (no extra cost for healthy queries)."""
+    import time as _t
+
+    def scripted(durations):
+        it = iter(durations)
+
+        def fn():
+            _t.sleep(next(it))
+
+        return fn
+
+    # two agreeing above-threshold runs, then the warmed steady state
+    lo, hi, n = bench._timed_adaptive(
+        scripted([0.5, 0.55, 0.32, 0.32]), flag_threshold=0.45
+    )
+    assert n == 4 and lo < 0.45, (lo, hi, n)
+
+    # same first two runs BELOW the threshold: settles at 2 runs
+    lo, hi, n = bench._timed_adaptive(
+        scripted([0.5, 0.55]), flag_threshold=0.8
+    )
+    assert n == 2 and 0.5 <= lo < 0.55
+
+    # no band (changed plan / no floors): unchanged legacy behavior
+    lo, hi, n = bench._timed_adaptive(scripted([0.5, 0.55]))
+    assert n == 2
