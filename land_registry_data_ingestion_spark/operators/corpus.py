@@ -15,6 +15,8 @@ frequencies) broadcast so the corpus itself never moves for a lookup.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -355,47 +357,85 @@ def bm25_search(
     ``idf = ln((N - df + 0.5) / (df + 0.5) + 1)``,
     ``score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``.
 
-    The corpus-wide statistics (document frequencies for the handful of
-    query terms, N, avgdl) are one tiny aggregate broadcast everywhere;
-    per-document term frequencies come from one explode→filter→agg pass in
-    which non-query terms are dropped BEFORE the shuffle — at 100 TB the
-    shuffled volume is O(matching docs × |terms|), not O(tokens). Top-n is
-    a TakeOrderedAndProject (per-partition heaps, no global sort).
+    Round-11 shape — ONE corpus pass, zero corpus shuffles: per-document
+    term frequencies for the (small, fixed) query bag and the document
+    length are computed IN-ROW from a single let-bound tokenization (a
+    1-element ``transform`` binds the token array, so the tokenizer runs
+    once per row however many terms reference it), materialized behind a
+    barrier as (id, dl, tf_0..tf_k) longs. The corpus-wide statistics
+    (N, avgdl, per-term document frequencies) are then ONE tiny aggregate
+    over that frame, broadcast back by closure into an in-row score — so
+    the whole query is: map pass → k+2-long barrier → 1-row aggregate →
+    in-row score → TakeOrderedAndProject. The previous shape tokenized
+    the corpus THREE times (explode pass, avgdl pass, dl pass) and paid
+    a (doc, term) shuffle plus three joins. Value parity: tf/df/dl/N are
+    integer-exact ports (per-term count of normalized whitespace tokens,
+    with repeats; blank text counts 0 tokens like ``token_count``), and
+    the per-document score sums the same per-term contributions — in
+    sorted-term order, one of the orders the old hash aggregate could
+    use — before the same ROUND(..., 6).
     """
-    term_arr = F.array(*[F.lit(t) for t in sorted(terms)])
-    tok = (
-        spread(df)
-        .select(
-            F.col(id_col),
-            F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
-        )
-        .filter(F.array_contains(term_arr, F.col("term")))
-    )
-    # consumed twice (per-doc tf and per-term df) — one pass via barrier
-    tf = barrier(tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-    stats = df.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg(token_count(F.col(text_col))).alias("avgdl"),
-    )
-    dl = df.select(F.col(id_col), token_count(F.col(text_col)).alias("dl"))
-    idf = F.log((F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0)
-    per_term = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .join(dl, id_col)
-        .withColumn(
-            "contrib",
-            idf
-            * (F.col("tf") * (k1 + 1.0))
-            / (
-                F.col("tf")
-                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    ts = sorted(terms)
+    packed = F.element_at(
+        F.transform(
+            F.array(tokens(normalize_text(F.col(text_col)))),
+            lambda tk: F.struct(
+                # token_count semantics: '' splits to [''] — blank text
+                # is 0 tokens; NULL text stays NULL through the guard
+                F.when(
+                    (F.size(tk) == 1) & (F.element_at(tk, 1) == F.lit("")),
+                    F.lit(0),
+                )
+                .otherwise(F.size(tk))
+                .cast("long")
+                .alias("dl"),
+                *[
+                    F.size(F.filter(tk, lambda x: x == F.lit(w)))
+                    .cast("long")
+                    .alias(f"tf{i}")
+                    for i, w in enumerate(ts)
+                ],
             ),
-        )
+        ),
+        1,
     )
-    scored = per_term.groupBy(id_col).agg(
-        F.round(F.sum("contrib"), 6).alias("bm25")
+    base = barrier(
+        spread(df)
+        .select(F.col(id_col), packed.alias("_p"))
+        .select(F.col(id_col), "_p.*")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(ts))
+        ],
+    )
+    contribs = []
+    for i in range(len(ts)):
+        df_t = F.col(f"df{i}")
+        idf = F.log(
+            (F.col("n_docs") - df_t + 0.5) / (df_t + 0.5) + 1.0
+        )
+        tf_c = F.col(f"tf{i}")
+        contribs.append(
+            F.when(
+                tf_c > 0,
+                idf
+                * (tf_c * (k1 + 1.0))
+                / (tf_c + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+            ).otherwise(F.lit(0.0))
+        )
+    any_hit = None
+    for i in range(len(ts)):
+        c = F.col(f"tf{i}") > 0
+        any_hit = c if any_hit is None else (any_hit | c)
+    score = reduce(lambda a, c: a + c, contribs)
+    scored = (
+        base.filter(any_hit)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.round(score, 6).alias("bm25"))
     )
     w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
     return (
@@ -433,10 +473,20 @@ def lm_perplexity_score(
             F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
         )
     )
-    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    stats = tok.agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.count_distinct("term").alias("v"),
+    # counts is consumed twice (the broadcast LM table and the corpus
+    # stats) — barrier it (vocabulary-sized, hence small=True) so the
+    # term aggregate runs once. stats then derives from counts instead
+    # of a third pass over the exploded token barrier (round 11):
+    # n_total = Σ c (exact long arithmetic — the same count the direct
+    # agg computed) and v = the row count of counts = count_distinct
+    # (term), so both values are provably identical while the fat
+    # (doc, term) materialization is read twice instead of three times.
+    counts = barrier(
+        tok.groupBy("term").agg(F.count(F.lit(1)).alias("c")), small=True
+    )
+    stats = counts.agg(
+        F.sum("c").alias("n_total"),
+        F.count(F.lit(1)).alias("v"),
     )
     scored = (
         tok.join(F.broadcast(counts), "term")

@@ -601,19 +601,47 @@ def near_dup_groups(
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     edges = barrier(fwd.union(rev).distinct().repartition("dst"))
-    labels = barrier(
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-    )
     if stats is not None:
         # instrumentation for the scaling/round-cut probes: per-round
         # wall seconds + changed-label counts (the loop is lazy until
         # each round's localCheckpoint, so timing the loop body times
         # the round's actual work)
         stats["rounds"] = []
-    prev_cache = labels
-    for _ in range(max_iters):
+    # ROUND 1 specialization (round 11): against the identity labeling
+    # the general round body degenerates — label(dst) = dst, so the
+    # probe join contributes min(dst) directly, and label(label(id)) =
+    # id makes the pointer jump a no-op — so the whole first round is
+    # ONE aggregate, least(src, min(dst)) per src, with zero joins. It
+    # also subsumes the identity-labels barrier (distinct over edges +
+    # a materialization) the loop previously seeded itself with: three
+    # shuffle-hash joins, one distinct and one persist on the biggest
+    # round (every label changes in round 1) replaced by one exchange.
+    # The aggregate output is hash(src)-partitioned = hash(id), the
+    # same alignment property every later round's cached output has.
+    _round_t0 = _time.perf_counter()
+    joined = barrier(
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_nbr"))
+        .select(
+            F.col("src").alias("id"),
+            F.col("src").alias("_old"),
+            F.least(F.col("src"), F.col("_nbr")).alias("label"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_changed = joined.filter(F.col("label") != F.col("_old")).count()
+    if stats is not None:
+        stats["rounds"].append(
+            {
+                "sec": round(_time.perf_counter() - _round_t0, 3),
+                "n_changed": n_changed,
+            }
+        )
+    prev_cache = joined
+    labels = joined.select("id", "label")
+    for _ in range(max_iters - 1):
+        if n_changed == 0:
+            break
         _round_t0 = _time.perf_counter()
         nbr = (
             edges.join(labels.hint("shuffle_hash"), edges["dst"] == labels["id"])
@@ -706,7 +734,10 @@ def near_dup_groups(
         labels = joined.select("id", "label")
         if n_changed == 0:
             break
-    else:
+    if n_changed != 0:
+        # explicit check, not for/else: round 1 runs before the loop, so
+        # a for/else would mis-raise on a converged round 1 when
+        # max_iters == 1 (zero loop iterations still run the else)
         raise RuntimeError(
             f"label propagation did not converge in {max_iters} rounds"
         )

@@ -29,11 +29,21 @@ def _delays(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only 2 columns survive the scan on each side (column pruning).
     """
     t = load_tables(spark, sf_dir)
-    li = t.lineitem.select("l_orderkey", "l_shipdate")
-    o = t.orders.select("o_orderkey", "o_orderdate")
+    # to_date() is applied in the scan-side projections, BEFORE the join
+    # (round 11, guide §2.3 "narrower types"): the join's build/shuffle
+    # side then carries 4-byte dates instead of 8-byte timestamps, and
+    # the delay filter — which Catalyst pushes into the join condition —
+    # evaluates datediff on pre-cast dates instead of re-casting both
+    # timestamps per probed row. datediff(to_date(x), to_date(y)) is the
+    # same function composition either way, so delay_days is provably
+    # unchanged.
+    li = t.lineitem.select(
+        "l_orderkey", F.to_date("l_shipdate").alias("_ship_d")
+    )
+    o = t.orders.select("o_orderkey", F.to_date("o_orderdate").alias("_ord_d"))
     return li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
         "delay_days",
-        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).cast("long"),
+        F.datediff(F.col("_ship_d"), F.col("_ord_d")).cast("long"),
     )
 
 

@@ -466,16 +466,26 @@ def text_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouped_running_sum,
         hex_prefix_chunks,
     )
-    from land_registry_data_ingestion_spark.util import spread
+    from land_registry_data_ingestion_spark.util import barrier, spread
 
     t = load_tables(spark, sf_dir)
-    tok = spread(t.documents).select(
-        "doc_id",
-        "source",
-        F.md5(
-            F.concat(F.lit("budget|"), F.col("doc_id").cast("string"))
-        ).alias("k"),
-        token_count(F.col("text")).alias("n_tokens"),
+    # barrier: three consumers read this frame (the per-source budget
+    # aggregate, and grouped_running_sum's local-cumsum and chunk-offset
+    # passes) — unbarriered, each re-scans the corpus and re-runs the
+    # tokenizer + md5, i.e. THREE full tokenize passes for one query
+    # (round 11; guide §1.2 "don't compute things you throw away"). The
+    # materialized frame is (id, source, 32-hex key, count) — a few
+    # dozen bytes per document, thousands of times smaller than the
+    # text it replaces.
+    tok = barrier(
+        spread(t.documents).select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.concat(F.lit("budget|"), F.col("doc_id").cast("string"))
+            ).alias("k"),
+            token_count(F.col("text")).alias("n_tokens"),
+        )
     )
     budgets = tok.groupBy("source").agg(
         F.floor(F.sum("n_tokens") / 2).cast("long").alias("budget")
