@@ -164,7 +164,7 @@ def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
 
 
 def minhash_signatures_from_shingles(
-    sh: DataFrame, num_hashes: int = 16
+    sh: DataFrame, num_hashes: int = 16, carry: tuple[str, ...] = ()
 ) -> DataFrame:
     """MinHash signatures from an already-shingled frame (``doc``,
     ``shingles``): min over the shingle set of each of ``num_hashes``
@@ -183,9 +183,15 @@ def minhash_signatures_from_shingles(
     Arrow/numpy kernel loses its win to nested-array serialization;
     measured at 100k docs: 12.8s (HOF) / 13.7s (Arrow) / ~2s (this).
     Same integers either way (a, h < 2³¹ keeps a·h+b inside int64).
+
+    ``carry`` names doc-level columns (functionally dependent on ``doc``,
+    e.g. ``n_shingles``) to ride through the aggregate as extra grouping
+    keys — same groups, zero extra shuffled rows, and downstream
+    consumers skip a join back to the shingled frame.
     """
     base = sh.filter(F.size("shingles") > 0).select(
         "doc",
+        *carry,
         F.explode(
             F.transform(
                 F.col("shingles"), lambda s: _md5_hash64(s, 0) % MINHASH_PRIME
@@ -196,7 +202,7 @@ def minhash_signatures_from_shingles(
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
         for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
     ]
-    return base.groupBy("doc").agg(*aggs)
+    return base.groupBy("doc", *carry).agg(*aggs)
 
 
 def minhash_signatures(
@@ -220,16 +226,21 @@ def minhash_signatures(
 
 
 def lsh_bands(
-    signatures: DataFrame, num_hashes: int = 16, band_size: int = 4
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Banded signature rows ``(doc, band_idx, band_hash)`` — the LSH
     join key. Exposed separately so an INCREMENTAL consumer
     (``corpus_store.CorpusStore``) can persist the bands of accepted
     documents and probe new batches against them without re-signing the
-    whole corpus."""
+    whole corpus. ``carry`` columns ride along unchanged (a few bytes per
+    band row, in exchange for no join back to the signature frame)."""
     n_bands = num_hashes // band_size
     return signatures.select(
         "doc",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -249,7 +260,7 @@ def lsh_bands(
                 ]
             )
         ).alias("band"),
-    ).select("doc", "band.band_idx", "band.band_hash")
+    ).select("doc", *carry, "band.band_idx", "band.band_hash")
 
 
 def minhash_lsh_candidates(
@@ -297,7 +308,7 @@ def minhash_lsh_candidates(
     )
 
 
-def _minhash_members_and_rep_pairs(
+def _minhash_members_and_verified_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -309,21 +320,24 @@ def _minhash_members_and_rep_pairs(
 ) -> tuple[DataFrame, DataFrame]:
     """Shared mine-and-verify core of the MinHash near-dup family.
 
-    Returns ``(members, rep_pairs)``:
+    Returns ``(members, verified)``:
 
     - ``members`` — barriered ``(doc, cfp, n_shingles)``, one row per
       input document, where ``cfp`` is a 16-byte (two-lane xxhash64)
       content fingerprint of the document's distinct-shingle array
       (identical shingle arrays ⇔ identical cfp, modulo 128-bit
       collisions — vanishing even at 10^10 documents);
-    - ``rep_pairs`` — ``(cfp_a, cfp_b, jaccard)``: verified (exact
-      Jaccard ≥ threshold) pairs between family REPRESENTATIVES, one row
-      per family pair regardless of family sizes.
+    - ``verified`` — ``(doc_a, doc_b, jaccard)``: verified (exact
+      Jaccard ≥ threshold) pairs between family REPRESENTATIVE doc ids
+      (each family's min doc id), one row per family pair regardless of
+      family sizes, ``doc_a < doc_b``.
 
     Consumers expand these differently: :func:`minhash_near_duplicates`
-    into member-level pairs (all-pairs or star), and
+    into member-level pairs (all-pairs or star, via the ``cfp``-keyed
+    :func:`_minhash_members_and_rep_pairs` wrapper), and
     :func:`minhash_near_dup_groups` into canonical groups via connected
-    components over the (tiny) rep graph.
+    components over the (tiny) rep graph — whose node ids ARE these rep
+    doc ids.
     """
     # Deliberately NOT a shared barrier on the fat shingled frame: caching
     # the 140-string arrays for 100k docs costs more (block-store
@@ -376,49 +390,110 @@ def _minhash_members_and_rep_pairs(
     reps = df.join(
         rep_ids.withColumnRenamed("doc", id_col), id_col, "left_semi"
     )
-    sh = barrier(
-        _shingled(reps, id_col, text_col, k).join(
-            members.select("doc", "cfp"), "doc"
-        )
-    )
-    cands = minhash_lsh_candidates(
-        minhash_signatures_from_shingles(sh, num_hashes),
+    # Round-11 shape (guide §2.4/§8: skinny keys decide, fat rows move
+    # once, late). Three structural changes vs the round-10 plan, all
+    # value-identical:
+    #
+    # 1. ``sh`` no longer joins the fat shingle arrays with ``members``
+    #    to pick up ``cfp`` — that was a SortMergeJoin whose exchanges
+    #    shuffled every representative's string arrays before the
+    #    pipeline proper even started. ``cfp`` is functionally dependent
+    #    on ``doc``, so it is attached AT THE END, to the (tiny)
+    #    verified pair set, by two joins against the skinny ``members``
+    #    projection.
+    # 2. ``n_shingles`` rides through the signature aggregate and the
+    #    band rows (``carry`` — extra grouping key, zero extra rows), so
+    #    the AllPairs/PPJoin length prune (J(A,B) ≥ t ⟹ t·|B| ≤ |A|;
+    #    provably no qualifying pair dropped) applies IN the band
+    #    self-join output — before the pair ``distinct`` — instead of
+    #    via two joins back to the shingled frame. 8 bytes per band row
+    #    buys the removal of two SortMergeJoins and their exchanges.
+    # 3. The candidate join is inlined (``minhash_lsh_candidates`` stays
+    #    as the public single-purpose operator; its declared semantics —
+    #    filter-before-distinct commutes with distinct-then-filter on a
+    #    pair-deterministic predicate — are preserved bit-for-bit).
+    sh = barrier(_shingled(reps, id_col, text_col, k))
+    bands = lsh_bands(
+        minhash_signatures_from_shingles(
+            sh, num_hashes, carry=("n_shingles",)
+        ),
         num_hashes,
         band_size,
-        max_band_df=max_band_df,
+        carry=("n_shingles",),
     )
-    # Length-filter prune (AllPairs/PPJoin-style) BEFORE the arrays move:
-    # J(A,B) ≥ t ⟹ t·|B| ≤ |A| — candidates failing the size-ratio test
-    # are dropped while carrying only (id, n_shingles) ints, so the
-    # shingle arrays are only shuffled for pairs that can still qualify.
-    # Exact: provably no qualifying pair is pruned.
-    na = sh.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    nb = sh.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    if max_band_df is not None:
+        ok = (
+            bands.groupBy("band_idx", "band_hash")
+            .agg(F.count("*").alias("band_df"))
+            .filter(F.col("band_df") <= max_band_df)
+            .select("band_idx", "band_hash")
+        )
+        bands = bands.join(ok, ["band_idx", "band_hash"], "left_semi")
+    a_band = bands.select(
+        "band_idx",
+        "band_hash",
+        F.col("doc").alias("doc_a"),
+        F.col("n_shingles").alias("n_a"),
+    )
+    b_band = bands.select(
+        "band_idx",
+        "band_hash",
+        F.col("doc").alias("doc_b"),
+        F.col("n_shingles").alias("n_b"),
+    )
     sized = (
-        cands.join(na, "doc_a")
-        .join(nb, "doc_b")
+        a_band.join(b_band, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(
             (F.col("n_a") >= threshold * F.col("n_b"))
             & (F.col("n_b") >= threshold * F.col("n_a"))
         )
         .select("doc_a", "doc_b")
+        .distinct()
     )
-    a = sh.select(
-        F.col("doc").alias("doc_a"),
-        F.col("cfp").alias("cfp_a"),
-        F.col("shingles").alias("sh_a"),
-    )
-    b = sh.select(
-        F.col("doc").alias("doc_b"),
-        F.col("cfp").alias("cfp_b"),
-        F.col("shingles").alias("sh_b"),
-    )
+    a = sh.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"))
     joined = sized.join(a, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    rep_pairs = (
+    verified = (
         joined.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return members, verified
+
+
+def _minhash_members_and_rep_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_hashes: int,
+    band_size: int,
+    threshold: float,
+    max_band_df: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """``(members, rep_pairs)`` with rep pairs keyed by ``cfp`` — the
+    family-key form the member-pair EXPANSION consumes (members join on
+    ``cfp`` directly). ``cfp`` is functionally dependent on the rep's
+    ``doc``, so it is attached to the (tiny) verified pair set by two
+    joins against the skinny ``members`` projection — consumers that can
+    use rep DOC ids directly (the groups path: rep ids ARE the
+    propagation node ids) should take
+    :func:`_minhash_members_and_verified_pairs` and skip the attach."""
+    members, verified = _minhash_members_and_verified_pairs(
+        df, id_col, text_col, k, num_hashes, band_size, threshold, max_band_df
+    )
+    cfp_a = members.select(
+        F.col("doc").alias("doc_a"), F.col("cfp").alias("cfp_a")
+    )
+    cfp_b = members.select(
+        F.col("doc").alias("doc_b"), F.col("cfp").alias("cfp_b")
+    )
+    rep_pairs = (
+        verified.join(cfp_a, "doc_a")
+        .join(cfp_b, "doc_b")
         .select("cfp_a", "cfp_b", "jaccard")
     )
     return members, rep_pairs
@@ -783,7 +858,7 @@ def minhash_near_dup_groups(
     table while the full corpus is touched exactly twice — once to
     fingerprint members, once to join the final labels back.
     """
-    members, rep_pairs = _minhash_members_and_rep_pairs(
+    members, verified = _minhash_members_and_verified_pairs(
         df, id_col, text_col, k, num_hashes, band_size, threshold, max_band_df
     )
     fam = barrier(
@@ -791,13 +866,15 @@ def minhash_near_dup_groups(
         .groupBy("cfp")
         .agg(F.min("doc").alias("rep"), F.count("*").alias("m"))
     )
-    ra = fam.select(F.col("cfp").alias("cfp_a"), F.col("rep").alias("rep_a"))
-    rb = fam.select(F.col("cfp").alias("cfp_b"), F.col("rep").alias("rep_b"))
-    rep_edges = (
-        rep_pairs.join(ra, "cfp_a")
-        .join(rb, "cfp_b")
-        .select(F.col("rep_a").alias("doc_a"), F.col("rep_b").alias("doc_b"))
-    )
+    # The verified pairs already carry the propagation node ids: a
+    # family's rep is its min doc id, every family member shares one
+    # shingle array (identical cfp ⇔ identical array ⇒ identical
+    # n_shingles, so the n > 0 filter keeps whole families), hence
+    # ``fam.rep`` for any family reaching the verify step equals the
+    # rep doc id the pair rows hold. The round-10 shape re-derived that
+    # identity through two joins (pairs → cfp → fam → rep); round 11
+    # feeds the doc-level pairs to label propagation directly.
+    rep_edges = verified.select("doc_a", "doc_b")
     roots = near_dup_groups(
         rep_edges, max_iters=max_iters, stats=stats
     ).select(F.col("doc").alias("rep"), F.col("canonical_doc").alias("_root"))
