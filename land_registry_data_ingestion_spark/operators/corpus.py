@@ -122,29 +122,57 @@ def segment_dedup(
     the one in the smallest (doc, position) — and rebuild each document
     from its surviving segments.
 
-    Two shuffles, both of (ids + one segment string), never whole
-    documents: (1) a window keyed on the segment picks the canonical
-    occurrence; (2) a group-by on the document id reassembles the text in
-    position order. A globally hot segment (boilerplate) makes one heavy
-    window partition; its size is bounded by the number of documents
-    containing it, and AQE skew-split handles the straggler — the
-    row_number needs a total order per segment so it cannot be salted
-    without a second pass.
+    Segment TEXT never crosses a shuffle (round 11, guide §8 "shuffle
+    keys and metadata instead of payloads"): the canonical-occurrence
+    window runs over the 8-byte ``xxhash64`` of each segment — the same
+    equality-modulo-64-bit-collisions contract every gram-hash consumer
+    (spans, decontaminate) already rides, and hash values never surface
+    in results — so shuffle (1) carries (id, pos, hash) ints instead of
+    (id, pos, string). The rebuild then reads the ORIGINAL barriered
+    segment arrays: only the DROPPED (id, pos) decisions aggregate and
+    join back (shuffle (2) ∝ duplicated occurrences, not all segments),
+    and each document's clean text is an in-row positional filter +
+    join over its own array. The previous shape shuffled every segment
+    string through the window AND re-shuffled the keepers through a
+    ``collect_list`` reassembly. A globally hot segment (boilerplate)
+    still makes one heavy window partition; its size is bounded by the
+    number of documents containing it, and AQE skew-split handles the
+    straggler — the row_number needs a total order per segment so it
+    cannot be salted without a second pass.
     """
-    seg_rows = barrier(
+    base = barrier(
         spread(df).select(
             F.col(id_col), _segments(F.col(text_col), seg_len).alias("segments")
         )
-    ).select(id_col, F.posexplode("segments").alias("pos", "seg"))
-    w = Window.partitionBy("seg").orderBy(id_col, "pos")
-    ranked = seg_rows.withColumn("rn", F.row_number().over(w))
-    kept = F.when(F.col("rn") == 1, F.struct("pos", "seg"))
-    return ranked.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(kept)), lambda x: x["seg"]),
-            " ",
-        ).alias("clean_text"),
-        F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped_segments"),
+    )
+    seg_rows = base.select(
+        id_col, F.posexplode("segments").alias("pos", "seg")
+    ).select(id_col, "pos", F.xxhash64("seg").alias("_h"))
+    w = Window.partitionBy("_h").orderBy(id_col, "pos")
+    dropped = (
+        seg_rows.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select(id_col, "pos")
+    )
+    cuts = dropped.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("_drop"),
+        F.count(F.lit(1)).alias("_nd"),
+    )
+    # Inner-explode parity: documents with zero segments (empty or NULL
+    # text) never entered the window and never surfaced — keep them out.
+    joined = base.filter(F.size("segments") > 0).join(cuts, id_col, "left")
+    segs = F.col("segments")
+    kept = F.when(F.col("_drop").isNull(), segs).otherwise(
+        F.filter(
+            segs, lambda _s, i: ~F.array_contains(F.col("_drop"), i)
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.coalesce(F.col("_nd"), F.lit(0).cast("long")).alias(
+            "n_dropped_segments"
+        ),
     )
 
 

@@ -1094,16 +1094,22 @@ def simhash_near_duplicates(
     b = blocks.select(
         "block_idx", "block_val", F.col("doc").alias("doc_b"), F.col("fp").alias("fp_b")
     )
+    # Hamming verify BEFORE the pair distinct (round 11): the distance is
+    # a pure in-row function of (fp_a, fp_b), so filtering first drops
+    # the (overwhelmingly failing — random-fp block collisions) candidate
+    # pairs before the distinct's exchange instead of after it; the
+    # distinct then dedups true pairs only. Same rows out — filter and
+    # distinct commute on a pair-deterministic predicate.
     rep_pairs = (
         a.join(b, ["block_idx", "block_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("fp_a", "fp_b")
-        .distinct()
         .withColumn(
             "hamming",
             F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .select("fp_a", "fp_b", "hamming")
+        .distinct()
     )
     # Expand rep pairs to member pairs; ids interleave across fp groups.
     ma = all_fps.select(F.col("fp").alias("fp_a"), F.col("doc").alias("da"))

@@ -82,20 +82,111 @@ def equidepth_histogram(
     r — integer arithmetic only, so a second engine replays the exact cut
     points (NTILE's remainder-distribution rule differs; the ceil formula
     is the engine-neutral contract).
+
+    Round-11 shape (guide §2.4 — remove the shuffle-and-sort outright):
+    every output cell is a FUNCTION OF ≤ 2k ORDER STATISTICS, so the
+    full global rank is never materialized. With rows ordered by
+    (value, key) — Spark sort semantics: NULL values first, NaN last —
+    bucket b covers ranks (⌊(b−1)·n/k⌋, ⌊b·n/k⌋]:
+
+    - ``n_rows(b)`` = r_end − r_start + 1 — pure integer arithmetic on n;
+    - ``hi(b)`` = round(max(value)) = the value AT rank r_end (ascending
+      order puts the max — including NaN, which Spark sorts above
+      everything — last), unless the bucket is all-NULL (r_end ≤ #NULLs,
+      min/max skip NULLs) → NULL;
+    - ``lo(b)`` = round(min(value)) = the value at rank
+      max(r_start, #NULLs + 1) (NULLs occupy the first #NULLs ranks and
+      are skipped by min), or NULL when that exceeds r_end.
+
+    So the job is: range-partition (the only exchange), one P-row
+    size/null-count aggregate, then SELECT the ≤ 2k needed ranks — a
+    partition-local row_number over ONLY the partitions holding a needed
+    rank (no exchange: the window key is the partition id itself), a
+    broadcast (pid, local_idx) probe, and a ≤ 2k-row collect (the same
+    bounded driver traffic class as the offset table). The previous
+    shape sorted and ranked EVERY row and aggregated the full corpus
+    into buckets; sort work now scales with the k partitions holding
+    cut ranks, not with P.
     """
-    ranked, n = _global_rank_with_total(
-        df.select(value_col, tiebreak_col),
-        [value_col, tiebreak_col],
-        "rank",
-        num_partitions,
+    spark = df.sparkSession
+    k = n_buckets
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    order = [F.col(value_col), F.col(tiebreak_col)]
+    parts = barrier(
+        df.select(value_col, tiebreak_col).repartitionByRange(p, *order)
+    ).withColumn("_pid", F.spark_partition_id())
+    stats = parts.groupBy("_pid").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col(value_col).isNull().cast("long")).alias("_nn"),
+    ).collect()
+    out_schema = (
+        f"bucket long, n_rows long, lo_raw {df.schema[value_col].dataType.simpleString()}, "
+        f"hi_raw {df.schema[value_col].dataType.simpleString()}"
     )
-    bucket = F.expr(f"(rank * {n_buckets} + {n} - 1) div {n}")
-    return (
-        ranked.withColumn("bucket", bucket)
-        .groupBy("bucket")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.round(F.min(value_col), 2).alias("lo"),
-            F.round(F.max(value_col), 2).alias("hi"),
+
+    def finish(rows):
+        return spark.createDataFrame(rows, out_schema).select(
+            "bucket",
+            "n_rows",
+            F.round("lo_raw", 2).alias("lo"),
+            F.round("hi_raw", 2).alias("hi"),
         )
+
+    acc = 0
+    offsets: dict[int, int] = {}
+    n_null = 0
+    for row in sorted(stats, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["_n"]
+        n_null += row["_nn"]
+    n = acc
+    if n == 0:
+        return finish([])
+
+    # Bucket specs and the ranks whose values they need.
+    specs = []  # (bucket, n_rows, lo_rank | None, hi_rank | None)
+    for b in range(1, k + 1):
+        r_start = (b - 1) * n // k + 1
+        r_end = b * n // k
+        if r_start > r_end:  # n < k → some buckets hold no rank
+            continue
+        lo_rank = max(r_start, n_null + 1)
+        specs.append(
+            (
+                b,
+                r_end - r_start + 1,
+                lo_rank if lo_rank <= r_end else None,
+                r_end if r_end > n_null else None,
+            )
+        )
+    needed = sorted(
+        {r for s in specs for r in (s[2], s[3]) if r is not None}
+    )
+    if not needed:  # every value NULL: counts only
+        return finish([(b, c, None, None) for b, c, _, _ in specs])
+
+    # rank → (pid, local index); pids ordered, offsets exclusive.
+    probes = []
+    pids = sorted(offsets)
+    for r in needed:
+        # last pid whose exclusive offset < r
+        pid = max(q for q in pids if offsets[q] < r)
+        probes.append((pid, r - offsets[pid], r))
+    probe_df = spark.createDataFrame(
+        probes, "_pid int, _rn int, _rank long"
+    )
+    w = Window.partitionBy("_pid").orderBy(*order)
+    got = (
+        parts.filter(F.col("_pid").isin([q for q, _, _ in probes]))
+        .withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(probe_df), ["_pid", "_rn"])
+        .select("_rank", value_col)
+        .collect()
+    )
+    val_at = {row["_rank"]: row[value_col] for row in got}
+    return finish(
+        [
+            (b, c, val_at.get(lo_r), val_at.get(hi_r))
+            for b, c, lo_r, hi_r in specs
+        ]
     )

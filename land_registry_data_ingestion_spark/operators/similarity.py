@@ -468,28 +468,71 @@ def lsh_bucketed_pairs(
     rep_df, members = _collapse_identical_vectors(
         df.filter(_finite_vec(F.col(vec_col))), id_col, vec_col
     )
-    # Bucket join + distinct over IDS ONLY — candidates are the volume
-    # term (within-bucket quadratic), so the dedup shuffle must carry two
-    # longs per pair, not two d-dim vectors; vectors re-attach afterwards
-    # with two joins against the (much smaller) corpus.
+    # Round-11 verify (guide §2.3/§4, same restructure as
+    # :func:`semantic_dedup`): each bucket entry crosses the shuffle and
+    # the Arrow boundary ONCE — (tbl, bkt, id, vec), n·tables rows — and
+    # a grouped kernel scores the in-bucket triangle with chunked
+    # sequential-fold matmuls, emitting only pairs at ``cosine ≥
+    # threshold``. The round-10 shape materialized the within-bucket
+    # quadratic as id-pair rows, distinct-shuffled them, re-attached
+    # vectors with two joins, and shipped every candidate pair (two
+    # vectors each) through the per-pair Arrow verify — ~40× the bytes
+    # across the boundary at typical bucket occupancy. A pair colliding
+    # in several tables now verifies once per table and dedups AFTER the
+    # kernel: the cosine is a pure function of the two vectors (same
+    # fold, same round(·, 6)), so the duplicate rows are bit-identical
+    # and ``distinct`` on (id_a, id_b, cosine) keeps exactly the rows
+    # the candidates-first shape produced.
+    import numpy as np
+    import pandas as pd
+
     keyed = lsh_bucket_keys_vectorized(
         rep_df, dim, id_col, vec_col, n_tables, n_planes
-    ).select("id", F.posexplode("keys").alias("tbl", "bkt"))
-    a = keyed.select("tbl", "bkt", F.col("id").alias("id_a"))
-    b = keyed.select("tbl", "bkt", F.col("id").alias("id_b"))
-    cands = (
-        a.join(b, ["tbl", "bkt"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    va = rep_df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    vb = rep_df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    pairs = cands.join(va, "id_a").join(vb, "id_b")
+    ).select("id", "vec", F.posexplode("keys").alias("tbl", "bkt"))
+    id_type = df.schema[id_col].dataType.simpleString()
+    chunk = 2048
+
+    def bucket_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": ids[:0], "id_b": ids[:0], "cosine": []}
+            ).astype({"cosine": "float64"})
+        V = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+        )[order]
+        norms = np.sqrt(_seq_pair_dots(V, V))
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.round(
+                    _seq_cross_dots(V[s:e], V)
+                    / np.multiply.outer(norms[s:e], norms),
+                    6,
+                )
+            cos = np.where(np.isfinite(cos), cos, np.nan)
+            ii, jj = np.nonzero(cos >= threshold)
+            keep = (ii + s) < jj
+            out_a.append(ids[ii[keep] + s])
+            out_b.append(ids[jj[keep]])
+            out_c.append(cos[ii[keep], jj[keep]])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
     rep_pairs = (
-        cosine_score_pairs_vectorized(pairs, "vec_a", "vec_b")
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        keyed.groupBy("tbl", "bkt")
+        .applyInPandas(
+            bucket_kernel, f"id_a {id_type}, id_b {id_type}, cosine double"
+        )
+        .distinct()
     )
     return _expand_identical_pairs(rep_pairs, members, threshold)
 
@@ -1002,9 +1045,10 @@ def semantic_dedup(
     only, so the quadratic term is per-cluster, never corpus-wide, and the
     cluster count grows with the corpus (√n rule) to bound cluster size.
     The assignment is a map-only Arrow kernel (centroids broadcast by
-    closure); the within-cluster self-join is a plain hash join on
-    ``centroid_id`` whose pair frame carries only ids before vectors
-    re-attach for the vectorized cosine verify.
+    closure); each cluster's vectors then cross the shuffle exactly once
+    into a grouped kernel that scores the triangle with chunked
+    sequential-fold matmuls and emits only dropped ids — no pair frame
+    is ever materialized.
 
     Deterministic and oracle-replayable: seeded centroids (smallest ids),
     ties to the smaller centroid, drop rule keyed on id order.
@@ -1028,19 +1072,57 @@ def semantic_dedup(
     # Seeds come from the RAW corpus (smallest ids overall, duplicates and
     # all) so a second engine replays the identical quantizer.
     cents = seed_centroids(corpus, id_col, vec_col, n_clusters)
-    assigned = ivf_assign_vectorized(rep_df, cents, id_col, vec_col)
-    a = assigned.select(
-        "centroid_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
-    )
-    b = assigned.select(
-        "centroid_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
-    )
-    pairs = a.join(b, "centroid_id").filter(F.col("id_a") < F.col("id_b"))
+    # barrier: the assignment is consumed twice (drop kernel + member
+    # label join); unbarriered, the Arrow assign kernel re-scores the
+    # whole corpus per consumer (round 11 — it previously ran 3×: both
+    # self-join sides and the label join).
+    assigned = barrier(ivf_assign_vectorized(rep_df, cents, id_col, vec_col))
+    # Round-11 drop detection (guide §2.3/§4: shuffle the payload once,
+    # never materialize pair rows through the Python boundary): instead
+    # of the within-cluster self-join — whose C(m,2)-row pair frame
+    # carried BOTH vectors through the exchange and the per-pair Arrow
+    # verify — each cluster's vectors cross once into a grouped kernel
+    # that scores the triangle in chunked sequential-fold matmuls (the
+    # same `_seq_*` folds as the pair kernel, so every cosine is
+    # bit-identical: acc += a_d·b_d in dimension order, same norm
+    # product, same round(·, 6), same isfinite→NaN guard) and emits only
+    # the dropped ids. Chunking bounds the score matrix at
+    # (2048 × cluster) per step, the same discipline as
+    # :func:`blocked_cosine_pairs`.
+    import numpy as np
+    import pandas as pd
+
+    id_type = rep_df.schema[id_col].dataType.simpleString()
+    chunk = 2048
+
+    def drop_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"gid": ids[:0]})
+        V = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )[order]
+        norms = np.sqrt(_seq_pair_dots(V, V))
+        dropped = np.zeros(n, dtype=bool)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.round(
+                    _seq_cross_dots(V[s:e], V)
+                    / np.multiply.outer(norms[s:e], norms),
+                    6,
+                )
+            cos = np.where(np.isfinite(cos), cos, np.nan)
+            ii, jj = np.nonzero(cos >= threshold)
+            keep = (ii + s) < jj  # pair rule: lower id drops the higher
+            dropped[jj[keep]] = True
+        return pd.DataFrame({"gid": ids[dropped]})
+
     rep_dropped = (
-        cosine_score_pairs_vectorized(pairs, "vec_a", "vec_b")
-        .filter(F.col("cosine") >= threshold)
-        .select(F.col("id_b").alias("gid"))
-        .distinct()
+        assigned.groupBy("centroid_id")
+        .applyInPandas(drop_kernel, f"gid {id_type}")
         .withColumn("_rep_dropped", F.lit(True))
     )
     mem = members.join(

@@ -41,7 +41,16 @@ def _delays(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", F.to_date("l_shipdate").alias("_ship_d")
     )
     o = t.orders.select("o_orderkey", F.to_date("o_orderdate").alias("_ord_d"))
-    return li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+    # MERGE hint (round 11, guide §3.1 "pick the strategy deliberately"):
+    # fact ⋈ fact on the natural key must never broadcast — both sides
+    # grow with the corpus, and the compressed-parquet size estimate
+    # sits under the broadcast threshold well past the point where the
+    # driver-side single-threaded HashedRelation build dominates the
+    # query (measured at the 6M-row tier: SMJ min 3.04 s vs broadcast
+    # 3.98 s, and the 64 MB "estimate" materializes as a multi-hundred-
+    # MB driver relation). Sort-merge is the honest both-sides-large
+    # strategy at every tier; join strategy cannot change the rows.
+    return li.hint("merge").join(o, li.l_orderkey == o.o_orderkey).withColumn(
         "delay_days",
         F.datediff(F.col("_ship_d"), F.col("_ord_d")).cast("long"),
     )
