@@ -585,11 +585,17 @@ def dsir_importance_weights(
     — sampling ∝ exp(log_weight) tilts the raw corpus toward the target
     domain. Bucket hash is md5-derived so any engine replays it.
 
-    Shuffle ledger at 100 TB: one explode → (doc, bucket) pass, barriered,
-    feeds (a) the bucket×class histogram — AT MOST ``2·n_buckets`` rows
-    after map-side combine, broadcast back — and (b) the per-document sum
-    (doc-keyed agg). Text is tokenized once; nothing corpus-sized is ever
-    broadcast or collected.
+    Shuffle ledger at 100 TB (round 11, guide §2.3/§2.4): ONE doc-level
+    barrier holds (id, is_target, bucket array) — ``is_target`` is an
+    expression over the same row, so the former token-stream ⋈ doc-table
+    join (a broadcast here, a real shuffle at corpus scale) does not
+    exist, and the materialization carries one row per DOCUMENT instead
+    of one per token. The histogram pass explodes the array into the
+    map-side-combined bucket×class aggregate — AT MOST ``2·n_buckets``
+    rows cross — and the per-document score is computed IN-ROW against
+    the broadcast (bucket → log-ratio) map, so the old doc-keyed
+    score exchange is gone entirely: the corpus crosses zero shuffles.
+    Nothing corpus-sized is ever broadcast or collected.
 
     Contract edges: documents whose text normalizes to '' (NULL, empty,
     whitespace-only) have NO tokens and therefore no weight — they are
@@ -597,30 +603,30 @@ def dsir_importance_weights(
     target filter cannot classify (NULL, e.g. missing language tag) counts
     as RAW — the filter DEFINES the target slice; everything else is the
     raw distribution being tilted."""
-    is_target = df.select(
-        F.col(id_col),
-        F.coalesce(target_filter.cast("boolean"), F.lit(False)).alias(
-            "is_target"
-        ),
-    )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+    bucket_of = lambda term: (  # noqa: E731 — md5 bucket, engine-neutral
+        F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long")
         % n_buckets
     )
-    tok = barrier(
+    base = barrier(
         spread(df)
         .filter(normalize_text(F.col(text_col)) != "")
         .select(
             F.col(id_col),
-            F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
+            F.coalesce(target_filter.cast("boolean"), F.lit(False)).alias(
+                "is_target"
+            ),
+            F.transform(
+                tokens(normalize_text(F.col(text_col))), bucket_of
+            ).alias("_b"),
         )
-        .withColumn("bucket", bucket)
-        .drop("term")
-        .join(is_target, id_col)
     )
-    hist = tok.groupBy("bucket").agg(
-        F.sum(F.col("is_target").cast("long")).alias("c_t"),
-        F.sum((~F.col("is_target")).cast("long")).alias("c_r"),
+    hist = (
+        base.select("is_target", F.explode("_b").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("is_target").cast("long")).alias("c_t"),
+            F.sum((~F.col("is_target")).cast("long")).alias("c_r"),
+        )
     )
     totals = hist.agg(
         F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
@@ -634,8 +640,28 @@ def dsir_importance_weights(
         )
         .select("bucket", "log_ratio")
     )
-    return tok.join(F.broadcast(ratio), "bucket").groupBy(id_col).agg(
-        F.round(F.sum("log_ratio"), 6).alias("log_weight"),
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.first("is_target").alias("is_target"),
+    # One-row (bucket → log_ratio) map: every bucket a document can
+    # reference contributed counts to ``hist``, so the in-row lookup
+    # never misses. Bounded by construction at n_buckets entries — the
+    # same broadcast class as the old per-bucket ratio join, minus the
+    # join and the groupBy(id) exchange that followed it.
+    ratio_map = F.broadcast(
+        ratio.groupBy().agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "log_ratio"))
+            ).alias("_m")
+        )
+    )
+    return base.crossJoin(ratio_map).select(
+        F.col(id_col),
+        F.round(
+            F.aggregate(
+                F.col("_b"),
+                F.lit(0.0),
+                lambda acc, b: acc + F.element_at(F.col("_m"), b),
+            ),
+            6,
+        ).alias("log_weight"),
+        F.size("_b").cast("long").alias("n_tokens"),
+        F.col("is_target"),
     )
