@@ -164,7 +164,10 @@ def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
 
 
 def minhash_signatures_from_shingles(
-    sh: DataFrame, num_hashes: int = 16, carry: tuple[str, ...] = ()
+    sh: DataFrame,
+    num_hashes: int = 16,
+    carry: tuple[str, ...] = (),
+    hashed: bool = False,
 ) -> DataFrame:
     """MinHash signatures from an already-shingled frame (``doc``,
     ``shingles``): min over the shingle set of each of ``num_hashes``
@@ -188,15 +191,23 @@ def minhash_signatures_from_shingles(
     e.g. ``n_shingles``) to ride through the aggregate as extra grouping
     keys — same groups, zero extra shuffled rows, and downstream
     consumers skip a join back to the shingled frame.
+
+    ``hashed=True`` declares that ``shingles`` already holds the 60-bit
+    ``_md5_hash64(s, 0)`` values (``array<long>``) instead of shingle
+    strings — the round-11 mine-and-verify core materializes those so
+    the verify join ships 8-byte elements; the signature then only pays
+    the ``% P`` residue per element (same integers: the 60-bit hash is
+    non-negative, so ``h % P`` equals ``md5_60(s) % P``).
     """
+    per_shingle = (
+        (lambda h: h % MINHASH_PRIME)
+        if hashed
+        else (lambda s: _md5_hash64(s, 0) % MINHASH_PRIME)
+    )
     base = sh.filter(F.size("shingles") > 0).select(
         "doc",
         *carry,
-        F.explode(
-            F.transform(
-                F.col("shingles"), lambda s: _md5_hash64(s, 0) % MINHASH_PRIME
-            )
-        ).alias("h"),
+        F.explode(F.transform(F.col("shingles"), per_shingle)).alias("h"),
     )
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
@@ -412,10 +423,31 @@ def _minhash_members_and_verified_pairs(
     #    as the public single-purpose operator; its declared semantics —
     #    filter-before-distinct commutes with distinct-then-filter on a
     #    pair-deterministic predicate — are preserved bit-for-bit).
-    sh = barrier(_shingled(reps, id_col, text_col, k))
+    # 4. (round 11, guide §2.3 "shuffle keys and metadata instead of
+    #    payloads") ``sh`` materializes the 60-bit ``_md5_hash64`` of
+    #    each distinct shingle (``array<long>``, ~8 B/element) instead
+    #    of the shingle STRINGS (~k·word bytes): the signature pass was
+    #    already reducing each string to exactly this hash before its
+    #    ``% P`` residues, so minima are unchanged integer-for-integer,
+    #    and the Jaccard verify — an equality-only set intersection —
+    #    rides the same equality-modulo-collisions contract as ``cfp``
+    #    one level up (within-pair perturbation ~|A|·|B|/2^60). The
+    #    barrier, both verify-side joins, and the ``array_intersect``
+    #    all move/compare longs instead of strings.
+    sh = barrier(
+        spread(reps)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.transform(
+                word_shingles(F.col(text_col), k),
+                lambda s: _md5_hash64(s, 0),
+            ).alias("shingles"),
+        )
+        .withColumn("n_shingles", F.size("shingles"))
+    )
     bands = lsh_bands(
         minhash_signatures_from_shingles(
-            sh, num_hashes, carry=("n_shingles",)
+            sh, num_hashes, carry=("n_shingles",), hashed=True
         ),
         num_hashes,
         band_size,
