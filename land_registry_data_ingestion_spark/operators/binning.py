@@ -9,13 +9,16 @@ series — the premise of ``pandas.cut`` — so the Spark-first plan is:
    (``lead`` over the sorted distinct edges);
 2. a **broadcast** non-equi join attaches each fact row to its interval.
 
-Physical plan: BroadcastNestedLoopJoin — each fact partition scans the
-in-memory edge list, no shuffle of the fact table at all. Cost is
-O(rows × edges) comparisons; with the daily-publish cardinality the
-reference has (≈10³ edges over a decade) this stays JVM-side and codegen'd.
-If edges ever grew large, swap strategy to a sorted-array binary search
-(collect edges → ``F.lit(array)``, bisect via ``aggregate``) or a union of
-equi-joins on coarse time buckets; the operator's contract stays the same.
+Physical plan (round 11): the fact table is never nested-loop-joined —
+a tiny BroadcastNestedLoopJoin bins only the DISTINCT values (both sides
+bounded: ≈10³ edges × ≈10³ distinct dates), and the facts pick up their
+bin through a broadcast hash join on the exact value. The fact table is
+still never shuffled; per-row cost drops from an O(edges) predicate loop
+to one hash probe. If the distinct-value premise ever broke (binning a
+raw double), swap the map for a sorted-array binary search
+(collect edges → ``F.lit(array)``, bisect via ``aggregate``) or a union
+of equi-joins on coarse time buckets; the operator's contract stays the
+same.
 
 Rows outside every interval are dropped (inner join), matching pandas.cut's
 NaN rows being filtered by the reference.
@@ -53,11 +56,34 @@ def bin_into_intervals(
     hi_name: str = "bin_hi",
 ) -> DataFrame:
     """Attach (lo, hi] interval columns to every row of ``df`` whose
-    ``value_col`` falls inside an interval; drop rows outside all bins."""
+    ``value_col`` falls inside an interval; drop rows outside all bins.
+
+    Two-phase form (round 11, guide §1.2 "the distributed algorithm"):
+    the one-phase BroadcastNestedLoopJoin evaluated the range predicate
+    against every interval FOR EVERY FACT ROW — O(rows × edges)
+    comparisons (~90M at the sf0.1 headline, ~900M at the scale tier).
+    The binned expression here is a timestamp whose distinct cardinality
+    is calendar-bounded (≈2.5k distinct dates at every SF — the same
+    premise that lets the edges broadcast), so the range probe only needs
+    to run once per DISTINCT value: dedup the values (map-side-combined
+    aggregate, tiny output), nested-loop those few thousand rows against
+    the interval list, and attach the resulting (value → bin) map back to
+    the facts with a broadcast HASH join — one codegen'd hash probe per
+    fact row instead of an O(edges) loop. NULL/NaN values drop in both
+    forms (the range predicate is never true; the equi-join key never
+    matches), and every in-range value matches exactly one (lo, hi]
+    interval, so the output is row-identical to the one-phase join.
+    Premise to keep in mind for new callers: distinct(value) must stay
+    broadcastable — true for anything date/enum-grained, NOT for raw
+    doubles."""
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     bins = intervals_from_edges(edges, edge_col, lo_name, hi_name)
-    cond = (value > F.col(lo_name)) & (value <= F.col(hi_name))
-    return df.join(F.broadcast(bins), cond, "inner")
+    vals = df.select(value.alias("_bin_v")).distinct()
+    cond = (F.col("_bin_v") > F.col(lo_name)) & (F.col("_bin_v") <= F.col(hi_name))
+    mapping = vals.join(F.broadcast(bins), cond, "inner")
+    return df.join(F.broadcast(mapping), value == F.col("_bin_v"), "inner").drop(
+        "_bin_v"
+    )
 
 
 def grouped_exact_quantiles(

@@ -1075,26 +1075,33 @@ def win_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rel_multi_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Six-table join cascade (TPC-H Q5 shape): local-supplier revenue by
     nation. The one declared query whose cost is JOIN ORDER, not any
-    single operator — written as a flat declarative chain so Catalyst +
-    AQE reorder it: the date filter pushes into the orders scan, the
-    dimension chain region→nation→customer broadcasts bottom-up, and the
-    only big-big shuffle left is orders⋈lineitem on the key both sides
-    already hash on. The s_nationkey = c_nationkey residual rides the
-    supplier broadcast instead of forcing a second fact shuffle."""
+    single operator. Written FACT-FIRST (round 11, guide §3.1): the
+    dimension-first chain left lineitem as the last join's BUILD side, so
+    the physical plan collected the entire fact table into a driver-built
+    broadcast HashedRelation and probed it with the dimension chain —
+    backwards at every scale (measured: the lineitem BroadcastExchange
+    dominated the query; and at 100 TB the fact side must never be the
+    build side). With lineitem first, every dimension (date-filtered
+    orders, customer, nation, region, supplier) broadcasts and the fact
+    table streams through the probe chain unshuffled; when a dimension
+    outgrows the threshold the planner falls back to a key shuffle of
+    exactly that join, never a fact-table broadcast. Inner-join
+    reassociation only — identical join conditions and filters, so the
+    rows are provably unchanged."""
     t = load_tables(spark, sf_dir)
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
     joined = (
-        t.region.join(t.nation, F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(t.customer, F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(t.orders, F.col("o_custkey") == F.col("c_custkey"))
-        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        t.lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t.region, F.col("n_regionkey") == F.col("r_regionkey"))
         .join(
             t.supplier,
             (F.col("s_suppkey") == F.col("l_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
-        )
-        .filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
         )
     )
     return joined.groupBy("n_name").agg(
