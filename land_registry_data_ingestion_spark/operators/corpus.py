@@ -32,10 +32,11 @@ from land_registry_data_ingestion_spark.util import barrier, spread
 
 def decontaminate(
     df: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    benchmark_pred: Column | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: count, per corpus document, the distinct
     word ``k``-gram shingles it shares with the benchmark set.
@@ -50,6 +51,18 @@ def decontaminate(
     table carry longs, not gram text — ~10× smaller at k=3 and flat in k,
     where real pipelines run k=8..13. k is a parameter; the test corpus
     is tiny word-soup so the declared query uses k=3 for signal.
+
+    Round 11 (guide §2.4): when the benchmark is a row-local subset of
+    ``df`` (``benchmark_pred`` — a predicate over ``id_col``; pass
+    ``benchmark=None`` then), its shingle set derives from the SAME
+    barriered corpus shingling instead of a second tokenize pass +
+    barrier; and the per-document count aggregates over an
+    ``explode_outer`` of the corpus stream with a broadcast-left hit
+    indicator, so every document (zero-shingle ones included) surfaces
+    from ONE aggregate — the old shape counted only matching docs and
+    paid a second corpus-keyed join to re-attach the zeros. Output is
+    one row per distinct ``id_col`` (ids are unique by the operator's
+    key contract).
     """
     from land_registry_data_ingestion_spark.functions.text import (
         word_shingle_hashes,
@@ -59,36 +72,38 @@ def decontaminate(
     # re-evaluates an inlined child expression per OUTPUT row (~#shingles
     # × the tokenizer) — measured 23 s vs 5 s at the 100k-doc probe.
     # spread() keeps the CPU-bound shingling off a single input split.
-    bench_sh = (
-        barrier(
-            spread(benchmark).select(
-                word_shingle_hashes(F.col(text_col), k).alias("shingles")
-            ),
-            small=True,  # benchmark-scale by contract
-        )
-        .select(F.explode("shingles").alias("shingle"))
-        .distinct()
-    )
     doc_sh = barrier(
         spread(df).select(
             F.col(id_col),
             word_shingle_hashes(F.col(text_col), k).alias("shingles"),
         )
-    ).select(id_col, F.explode("shingles").alias("shingle"))
-    hits = (
-        doc_sh.join(F.broadcast(bench_sh), "shingle")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_bench_shingles"))
     )
-    n = F.coalesce(F.col("n_bench_shingles"), F.lit(0).cast("long"))
-    return (
-        df.select(id_col)
-        .join(hits, id_col, "left")
-        .select(
-            F.col(id_col),
-            n.alias("n_bench_shingles"),
-            (n > 0).alias("is_contaminated"),
+    if benchmark_pred is not None:
+        bench_base = doc_sh.filter(benchmark_pred).select("shingles")
+    else:
+        bench_base = barrier(
+            spread(benchmark).select(
+                word_shingle_hashes(F.col(text_col), k).alias("shingles")
+            ),
+            small=True,  # benchmark-scale by contract
         )
+    bench_sh = (
+        bench_base.select(F.explode("shingles").alias("shingle"))
+        .distinct()
+        .withColumn("_hit", F.lit(1).cast("long"))
+    )
+    marked = doc_sh.select(
+        id_col, F.explode_outer("shingles").alias("shingle")
+    ).join(F.broadcast(bench_sh), "shingle", "left")
+    n = F.col("n_bench_shingles")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.coalesce(F.sum("_hit"), F.lit(0).cast("long")).alias(
+                "n_bench_shingles"
+            )
+        )
+        .select(F.col(id_col), n, (n > 0).alias("is_contaminated"))
     )
 
 
@@ -223,10 +238,21 @@ def segment_dedup_token_counts(
 
     This is the fused path for compositions whose downstream stages need
     only LENGTHS (min-length filters, packing budgets): the corpus is
-    tokenized once, the dedup window shuffles (id, pos, seg, nt) as
-    before, and no stage ever re-tokenizes — where the string-building
-    composition pays the segment reassembly plus one full re-tokenize
-    per downstream length consumer."""
+    tokenized once and no stage ever re-tokenizes — where the
+    string-building composition pays the segment reassembly plus one full
+    re-tokenize per downstream length consumer.
+
+    Round 11 (guide §2.3, the :func:`segment_dedup` key discipline):
+    segment text never crosses a shuffle — the canonical-occurrence
+    window rides the 8-byte ``xxhash64`` of the segment (the same
+    equality-modulo-64-bit-collisions contract every gram-hash consumer
+    rides), so the window shuffle carries (id, pos, hash, nt) ints,
+    ~2.5× narrower than the (id, pos, seg-string, nt) rows the previous
+    shape moved. The doc-keyed count then aggregates the ranked rows
+    directly (map-side combined) — a dropped-positions-only join-back
+    variant measured SLOWER at both bench tiers (the join outweighed the
+    smaller aggregate input), so this keeps the aggregate-everything
+    shape."""
     seg_rows = (
         barrier(
             spread(df).select(
@@ -238,11 +264,11 @@ def segment_dedup_token_counts(
         .select(
             id_col,
             "pos",
-            F.col("_s.seg").alias("seg"),
+            F.xxhash64("_s.seg").alias("_h"),
             F.col("_s.nt").alias("nt"),
         )
     )
-    w = Window.partitionBy("seg").orderBy(id_col, "pos")
+    w = Window.partitionBy("_h").orderBy(id_col, "pos")
     ranked = seg_rows.withColumn("rn", F.row_number().over(w))
     return ranked.groupBy(id_col).agg(
         F.sum(F.when(F.col("rn") == 1, F.col("nt")).otherwise(0))

@@ -75,11 +75,16 @@ class MergeResult:
     transitions: DataFrame
 
 
-def _all_values_equal(value_cols: list[str]) -> Column:
+def _all_values_equal(
+    value_cols: list[str], cur_prefix: str = "cur.", upd_prefix: str = "upd."
+) -> Column:
     """Null-safe conjunctive equality over every value column (P4)."""
     return reduce(
         lambda a, b: a & b,
-        [F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}")) for c in value_cols],
+        [
+            F.col(f"{cur_prefix}{c}").eqNullSafe(F.col(f"{upd_prefix}{c}"))
+            for c in value_cols
+        ],
     )
 
 
@@ -120,14 +125,100 @@ def cdc_merge(
     cur = current.withColumn("_cur_present", F.lit(True)).alias("cur")
     upd = updates.withColumn("_upd_present", F.lit(True)).alias("upd")
     joined = cur.join(upd, F.col(f"cur.{key_col}") == F.col(f"upd.{key_col}"), "full_outer")
+    return _merge_from_joined(joined, key_col, value_cols, op_col, ts)
 
-    cur_exists = F.col("cur._cur_present").isNotNull()
-    upd_exists = F.col("upd._upd_present").isNotNull()
-    upd_keyed = upd_exists & F.col(f"upd.{key_col}").isNotNull()
-    cur_deleted = cur_exists & F.col("cur.is_deleted")
-    cur_live = cur_exists & ~F.col("cur.is_deleted")
-    identical = cur_live & _all_values_equal(value_cols)
-    op = F.col(f"upd.{op_col}")
+
+def cdc_merge_coderived(
+    source: DataFrame,
+    cur_filter: Column,
+    cur_select: dict[str, Column],
+    upd_filter: Column,
+    upd_select: dict[str, Column],
+    key_col: str,
+    value_cols: list[str],
+    op_col: str = "record_op",
+    batch_timestamp: Column | None = None,
+) -> MergeResult:
+    """Join-free :func:`cdc_merge` for the co-derived case (round 11,
+    guide §2.4 "remove shuffles outright").
+
+    When the current state and the update batch are both row-local
+    projections of ONE source table whose join key is the source's own
+    unique, non-null key — e.g. a snapshot and a change file derived from
+    the same upstream extract — the full-outer join on that key matches
+    every row only with itself, so the merge needs no join at all: each
+    source row carries its own cur/upd sides. This builds the same
+    ``cur``/``upd`` column spaces :func:`cdc_merge`'s join produces — as
+    FLAT ``_cur_*``/``_upd_*`` columns gated on the side filter
+    (``when(filter, expr)`` is NULL when the side is absent, exactly like
+    outer-join nulls; a first struct-column form measured ~1.6× slower
+    per row, the per-reference null-check + slot indirection of ~40
+    GetStructField reads) — from a single scan with ZERO exchanges, and
+    runs the identical decision cascade.
+
+    CALLER CONTRACT (unverified here, this is what makes the rewrite
+    equal to the join): the key expression in ``cur_select``/
+    ``upd_select`` is the same source column, unique and non-null across
+    ``source`` rows, and ``cur_filter``/``upd_filter`` are row-local
+    predicates. Inputs that violate it (duplicate or NULL keys, keys that
+    differ between the sides of one row) must use :func:`cdc_merge`.
+
+    ``cur_select`` must provide the key, every value column and the
+    audit columns (``is_deleted``, ``created_datetime``,
+    ``updated_datetime``, ``deleted_datetime``); ``upd_select`` the key,
+    value columns and ``op_col``.
+    """
+    from land_registry_data_ingestion_spark.util import spread
+
+    ts = batch_timestamp if batch_timestamp is not None else F.current_timestamp()
+    # spread: the join-free plan runs the decision cascade and the
+    # aggregate partials ON the scan stage; a small replicated tier can
+    # arrive as 1-2 splits, serializing that work. No-op once the input
+    # has ≥ parallelism files (any real-scale table).
+    source = spread(source)
+    cur_cols = {**cur_select, "_cur_present": F.lit(True)}
+    upd_cols = {**upd_select, "_upd_present": F.lit(True)}
+    joined = source.filter(cur_filter | upd_filter).select(
+        *[F.when(cur_filter, c).alias(f"_cur_{n}") for n, c in cur_cols.items()],
+        *[F.when(upd_filter, c).alias(f"_upd_{n}") for n, c in upd_cols.items()],
+    )
+    return _merge_from_joined(
+        joined,
+        key_col,
+        value_cols,
+        op_col,
+        ts,
+        cur_prefix="_cur_",
+        upd_prefix="_upd_",
+    )
+
+
+def _merge_from_joined(
+    joined: DataFrame,
+    key_col: str,
+    value_cols: list[str],
+    op_col: str,
+    ts: Column,
+    cur_prefix: str = "cur.",
+    upd_prefix: str = "upd.",
+) -> MergeResult:
+    """Decision cascade + projections over the joined cur/upd row space —
+    either a real full-outer join (alias-scoped "cur."/"upd." columns)
+    or the co-derived flat form ("_cur_"/"_upd_" attributes)."""
+
+    def cur(n: str) -> Column:
+        return F.col(f"{cur_prefix}{n}")
+
+    def upd(n: str) -> Column:
+        return F.col(f"{upd_prefix}{n}")
+
+    cur_exists = cur("_cur_present").isNotNull()
+    upd_exists = upd("_upd_present").isNotNull()
+    upd_keyed = upd_exists & upd(key_col).isNotNull()
+    cur_deleted = cur_exists & cur("is_deleted")
+    cur_live = cur_exists & ~cur("is_deleted")
+    identical = cur_live & _all_values_equal(value_cols, cur_prefix, upd_prefix)
+    op = upd(op_col)
 
     outcome = (
         F.when(~upd_exists, F.lit(None).cast("string"))  # untouched state row
@@ -172,36 +263,36 @@ def cdc_merge(
     )
     becomes_deleted = F.col("_outcome").isin(
         "delete_delete", "delete_change_delete"
-    ) | (F.col("_outcome").isNull() & F.coalesce(F.col("cur.is_deleted"), F.lit(False)))
+    ) | (F.col("_outcome").isNull() & F.coalesce(cur("is_deleted"), F.lit(False)))
     becomes_undeleted = F.col("_outcome") == "add_undelete_change"
     is_insert = F.col("_outcome").isin("add_insert", "change_insert")
     is_change = F.col("_outcome").isin(
         "add_change", "add_undelete_change", "change_change", "delete_change_delete"
     )
 
-    key = F.coalesce(F.col(f"cur.{key_col}"), F.col(f"upd.{key_col}")).alias(key_col)
+    key = F.coalesce(cur(key_col), upd(key_col)).alias(key_col)
     values = [
-        F.when(takes_update_values, F.col(f"upd.{c}"))
-        .otherwise(F.col(f"cur.{c}"))
+        F.when(takes_update_values, upd(c))
+        .otherwise(cur(c))
         .alias(c)
         for c in value_cols
     ]
     audit = [
-        F.when(is_insert, ts).otherwise(F.col("cur.created_datetime")).alias(
+        F.when(is_insert, ts).otherwise(cur("created_datetime")).alias(
             "created_datetime"
         ),
-        F.when(is_change, ts).otherwise(F.col("cur.updated_datetime")).alias(
+        F.when(is_change, ts).otherwise(cur("updated_datetime")).alias(
             "updated_datetime"
         ),
         F.when(becomes_undeleted, F.lit(None).cast("timestamp"))
         .when(
             F.col("_outcome").isin("delete_delete", "delete_change_delete"), ts
         )
-        .otherwise(F.col("cur.deleted_datetime"))
+        .otherwise(cur("deleted_datetime"))
         .alias("deleted_datetime"),
         F.when(becomes_undeleted, F.lit(False))
         .when(becomes_deleted, F.lit(True))
-        .otherwise(F.coalesce(F.col("cur.is_deleted"), F.lit(False)))
+        .otherwise(F.coalesce(cur("is_deleted"), F.lit(False)))
         .alias("is_deleted"),
     ]
 
@@ -217,16 +308,40 @@ def cdc_merge(
     # the reference's RuntimeError does (database_updater.py:1011-1013).
     # Both predicates are wrapped null-safe (outcome is NULL on untouched
     # state rows; a bare comparison would three-valued-drop them).
-    phantom = F.coalesce(
-        (F.col("_outcome") == "delete_ignore_missing")
-        | (F.col("_outcome").isin("invalid_op", "invalid_key") & ~cur_exists),
-        F.lit(False),
+    #
+    # phantom is stated over the BASE flags, not over _outcome (round 11,
+    # guide §1.2/§4.4-class duplication with native expressions): filter
+    # pushdown substitutes a referenced alias into the pushed predicate,
+    # so `_outcome == ...` inlined the whole 12-way cascade into the
+    # filter — the optimizer's NOT/null rewrites then multiplied it to
+    # ~17 cascade copies per row (measured: the filter alone cost more
+    # than the rest of the query; optimized plan carried 88 CASE WHENs).
+    # The flag form is provably the same rows: with `miss` = the cascade
+    # reached its op-branch `otherwise` (identical/cur_live/cur_deleted
+    # all not-TRUE),
+    #   _outcome = 'delete_ignore_missing' ⟺ upd_keyed ∧ op='D' ∧ miss
+    #   _outcome = 'invalid_key'           ⟺ upd_exists ∧ ¬upd_keyed
+    #   _outcome = 'invalid_op'            ⟺ upd_keyed ∧ op ∉ {A,C,D}
+    # (each arm null-safe so phantom is never NULL).
+    miss = (
+        ~F.coalesce(identical, F.lit(False))
+        & ~F.coalesce(cur_live, F.lit(False))
+        & ~F.coalesce(cur_deleted, F.lit(False))
+    )
+    phantom = upd_exists & (
+        (upd_keyed & F.coalesce(op == "D", F.lit(False)) & miss)
+        | (~upd_keyed & ~cur_exists)
+        | (
+            upd_keyed
+            & ~F.coalesce(op.isin("A", "C", "D"), F.lit(False))
+            & ~cur_exists
+        )
     )
     new_state = annotated.filter(~phantom).select(key, *values, *audit)
 
     outcomes = annotated.filter(upd_exists).select(
-        F.col(f"upd.{key_col}").alias(key_col),
-        F.col(f"upd.{op_col}").alias(op_col),
+        upd(key_col).alias(key_col),
+        upd(op_col).alias(op_col),
         F.col("_outcome").alias("outcome"),
     )
     invalid_ops = outcomes.filter(
@@ -241,18 +356,18 @@ def cdc_merge(
     new_is_deleted = (
         F.when(becomes_undeleted, F.lit(False))
         .when(becomes_deleted, F.lit(True))
-        .otherwise(F.coalesce(F.col("cur.is_deleted"), F.lit(False)))
+        .otherwise(F.coalesce(cur("is_deleted"), F.lit(False)))
     )
     # keyed only: a NULL-keyed update touches no state, so it has no
     # before/after image — and a NULL group key would pollute IVM rollups
     transitions = annotated.filter(upd_keyed).select(
-        F.col(f"upd.{key_col}").alias(key_col),
+        upd(key_col).alias(key_col),
         cur_live.alias("old_live"),
-        *[F.col(f"cur.{c}").alias(f"old_{c}") for c in value_cols],
+        *[cur(c).alias(f"old_{c}") for c in value_cols],
         (survives & ~new_is_deleted).alias("new_live"),
         *[
-            F.when(takes_update_values, F.col(f"upd.{c}"))
-            .otherwise(F.col(f"cur.{c}"))
+            F.when(takes_update_values, upd(c))
+            .otherwise(cur(c))
             .alias(f"new_{c}")
             for c in value_cols
         ],

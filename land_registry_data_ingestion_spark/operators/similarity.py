@@ -141,19 +141,34 @@ def _collapse_identical_vectors(
     not emit an intra-family pair at cosine 1.0).
     """
     members_raw = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    reps = barrier(members_raw.groupBy("vec").agg(F.min("id").alias("gid")))
     sd = dot_product(F.col("vec"), F.col("vec"))
     # NaN guard must be explicit: Spark orders NaN above every double, so
     # `sd > 0` alone is TRUE for a NaN self-dot.
     pairable = ~F.isnan(sd) & (sd != F.lit(float("inf"))) & (sd > 0.0)
-    members = barrier(
-        members_raw.join(reps, "vec").select(
-            "gid",
-            "id",
-            pairable.alias("pairable"),
+    # ONE vector-keyed shuffle (round 11, guide §2.4): the SAME hash
+    # aggregate that finds the family minimum also collects the member
+    # ids in-group, so the corpus crosses a fat (array-keyed) exchange
+    # once and the barrier holds one row per FAMILY — the previous shape
+    # shuffled the corpus by the full vector twice (groupBy + join back
+    # on vec) and materialized two barriers. Ids are collected as
+    # 1-field structs: collect_list drops bare NULLs, and a NULL-id
+    # member row must survive into `members` exactly as the old
+    # vec-equality join kept it.
+    fam = barrier(
+        members_raw.groupBy("vec").agg(
+            F.min("id").alias("gid"),
+            F.collect_list(F.struct(F.col("id").alias("i"))).alias("_ids"),
         )
     )
-    rep_df = reps.select(F.col("gid").alias(id_col), F.col("vec").alias(vec_col))
+    # NULL-vec rows: the old inner join on vec dropped them from members
+    # (NULL never equality-matches), while the old groupBy kept their
+    # group's representative in rep_df — mirror both exactly.
+    members = (
+        fam.filter(F.col("vec").isNotNull())
+        .select("gid", F.explode("_ids").alias("_m"), pairable.alias("pairable"))
+        .select("gid", F.col("_m.i").alias("id"), "pairable")
+    )
+    rep_df = fam.select(F.col("gid").alias(id_col), F.col("vec").alias(vec_col))
     return rep_df, members
 
 
@@ -932,23 +947,87 @@ def ivf_topk(
             )
         ),
     ).drop("_cents")
-    c = assigned.select(
-        "centroid_id",
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-    )
-    scored = cosine_score_pairs_vectorized(
-        c.join(F.broadcast(probes), "centroid_id").filter(
-            F.col("neighbor_id") != F.col("query_id")
-        ),
-        "q_vec",
-        "c_vec",
-        # NULL cosine (degenerate query or neighbor — the kernel's NaN
-        # crosses Arrow as NULL) never ranks: same contract as
-        # brute_force_topk. A degenerate query still probes the smallest
-        # cids deterministically (the -2.0 guard above) but returns no
-        # rows.
-    ).filter(F.col("cosine").isNotNull())
+    # Round-11 verify restructure (guide §2.3/§4.1, the same shape as the
+    # other grouped kernels): the probe side is tiny by construction
+    # (queries × nprobe rows), so COLLECT it and close over a
+    # per-centroid (query ids, Q matrix) table — the corpus then crosses
+    # the Arrow boundary exactly ONCE, map-only, with no join duplicating
+    # each member row per probing query and no q_vec riding every
+    # candidate row; only the skinny (query_id, neighbor_id, cosine)
+    # survivors come back. Cosines are the same chunk-free sequential
+    # fold (`_seq_cross_dots` — per-dimension order identical to the
+    # row-wise `_seq_pair_dots` the old per-pair kernel ran), same
+    # round(·, 6), same isfinite → drop guard, so results are
+    # bit-identical. NULL-id probes/members never emit (the old
+    # `neighbor_id != query_id` filter three-valued-dropped them).
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    probe_collected = [
+        (r["query_id"], r["centroid_id"], r["q_vec"])
+        for r in probes.select("query_id", "centroid_id", "q_vec").collect()
+        if r["query_id"] is not None
+    ]
+    by_cid: dict = {}
+    for qid, cid, qv in probe_collected:
+        by_cid.setdefault(cid, ([], []))
+        by_cid[cid][0].append(qid)
+        by_cid[cid][1].append(
+            np.asarray(qv, dtype=np.float64) if qv is not None else qv
+        )
+    probe_tab = {}
+    for cid, (qids, qvs) in by_cid.items():
+        Q = np.array(qvs)
+        qnorm = np.sqrt(_seq_pair_dots(Q, Q))
+        probe_tab[cid] = (np.array(qids, dtype=np.int64), Q, qnorm)
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+
+    def cand_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cosine": []}
+        ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"})
+        for pdf in batches:
+            pdf = pdf[pdf["centroid_id"].isin(probe_tab.keys())]
+            pdf = pdf[pdf[id_col].notna()]
+            if len(pdf) == 0:
+                yield empty
+                continue
+            outs = []
+            for cid, grp in pdf.groupby("centroid_id", sort=False):
+                qids, Q, qnorm = probe_tab[cid]
+                mids = grp[id_col].to_numpy()
+                if mids.dtype != np.int64:
+                    # a null-carrying id column arrives as float64; the
+                    # null rows were dropped above, so the cast is exact
+                    mids = mids.astype(np.int64)
+                M = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in grp[vec_col]]
+                )
+                mnorm = np.sqrt(_seq_pair_dots(M, M))
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = np.round(
+                        _seq_cross_dots(Q, M) / np.multiply.outer(qnorm, mnorm),
+                        6,
+                    )
+                qi, mi = np.nonzero(np.isfinite(cos))
+                keep = qids[qi] != mids[mi]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi][keep],
+                            "neighbor_id": mids[mi][keep],
+                            "cosine": cos[qi, mi][keep],
+                        }
+                    )
+                )
+            yield pd.concat(outs) if outs else empty
+
+    scored = assigned.select(
+        "centroid_id", F.col(id_col), F.col(vec_col)
+    ).mapInPandas(cand_kernel, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.col("neighbor_id")
     )

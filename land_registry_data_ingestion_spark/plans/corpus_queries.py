@@ -71,10 +71,13 @@ _BENCH_PRED = "doc_id % 17 = 0"
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per-document count of distinct word
     3-gram shingles shared with the benchmark subset (doc_id % 17 = 0).
-    Benchmark shingle set broadcast; corpus never shuffles for the probe."""
+    Benchmark shingle set broadcast; corpus never shuffles for the probe.
+    The benchmark is a row-local subset of the corpus, so its shingles
+    derive from the same single shingling pass (``benchmark_pred``)."""
     t = load_tables(spark, sf_dir)
-    bench = t.documents.filter(F.col("doc_id") % 17 == 0)
-    return decontaminate(t.documents, bench, k=3)
+    return decontaminate(
+        t.documents, None, k=3, benchmark_pred=F.col("doc_id") % 17 == 0
+    )
 
 
 @query(

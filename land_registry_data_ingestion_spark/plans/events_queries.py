@@ -237,46 +237,66 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view → click → purchase: a user advances a stage
     only with an event at-or-after their entry into the previous stage.
 
-    Each stage is one aggregate keyed on user_id joined to the (shrinking)
-    survivor set of the previous stage — all three shuffles carry only
-    (user_id, ts); at scale the survivor frames are far smaller than the
-    event log and broadcast-join into the next stage's filter."""
-    from land_registry_data_ingestion_spark.util import barrier
-
+    ONE scan + ONE user-keyed shuffle (round 11, guide §2.3/§2.4; the
+    previous shape ran three scans, three user-keyed aggregates, two
+    joins and two barriers): every stage gate is a function of the
+    user's own events, so one aggregate collects the per-user click /
+    purchase timestamp lists (the same (user_id, ts) bytes the three
+    shuffles moved, once) plus min view ts, and the funnel walks in-row
+    with higher-order functions — t_click = min click ts ≥ t_view,
+    t_purchase = min purchase ts ≥ t_click (NULL gates drop via
+    three-valued `filter`, exactly like the joins' `ts >= t` predicate).
+    Stage 2/3 membership additionally requires a non-NULL user_id: the
+    oracle's `e.user_id = v.user_id` join never matches NULL, while the
+    stage-1 GROUP BY keeps the NULL-user group."""
     t = load_tables(spark, sf_dir)
-    ev = t.events.select("user_id", "event_type", "ts")
-    # barrier each survivor set: every stage frame is consumed twice —
-    # by the next stage's filter AND by its own count — and the chained
-    # re-derivation otherwise re-scans the event log per reference
-    # (audit read 6 cold scans; the data flow needs 3, one per
-    # event-type filter, each pruned at the scan).
-    v = barrier(
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    ev = t.events.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_type", "ts")
+    g = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", F.lit(1))).alias(
+            "_n_view"
+        ),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("_clicks"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("_purchases"),
     )
-    c = barrier(
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") >= F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    staged = g.withColumn(
+        "t_click",
+        F.array_min(F.filter("_clicks", lambda x: x >= F.col("t_view"))),
+    ).withColumn(
+        "t_purchase",
+        F.array_min(F.filter("_purchases", lambda x: x >= F.col("t_click"))),
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") >= F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
+    keyed = F.col("user_id").isNotNull()
+    counts = staged.agg(
+        F.sum(F.when(F.col("_n_view") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(keyed & F.col("t_click").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(keyed & F.col("t_purchase").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n3"),
     )
-
-    def _stage(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(name).alias("stage"), "n_users"
-        )
-
-    return _stage(v, "1_view").unionAll(_stage(c, "2_click")).unionAll(
-        _stage(p, "3_purchase")
+    stages = F.array(
+        F.struct(F.lit("1_view").alias("stage"), F.col("n1").alias("n_users")),
+        F.struct(
+            F.lit("2_click").alias("stage"), F.col("n2").alias("n_users")
+        ),
+        F.struct(
+            F.lit("3_purchase").alias("stage"), F.col("n3").alias("n_users")
+        ),
+    )
+    return counts.select(F.explode(stages).alias("_s")).select(
+        "_s.stage", "_s.n_users"
     )
 
 

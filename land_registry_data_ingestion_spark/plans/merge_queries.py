@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 
 from land_registry_data_ingestion_spark.operators.merge import (
     cdc_merge,
+    cdc_merge_coderived,
     merge_ledger,
     merge_outcome_stats,
 )
@@ -112,9 +113,39 @@ def _updates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _merged(spark: SparkSession, sf_dir: str):
-    return cdc_merge(
-        _current(spark, sf_dir),
-        _updates(spark, sf_dir),
+    # Join-free merge (round 11): current and updates are row-local
+    # projections of the SAME orders scan keyed by o_orderkey (unique,
+    # non-null), so the full-outer join matches each row only with
+    # itself — cdc_merge_coderived builds both sides from one scan with
+    # zero exchanges. Equivalence with the cdc_merge(_current, _updates)
+    # join is oracle-checked on every declared merge query and pinned by
+    # tests/test_merge.py::test_coderived_equals_join.
+    t = load_tables(spark, sf_dir)
+    k = F.col("o_orderkey")
+    base_ts = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    return cdc_merge_coderived(
+        t.orders,
+        cur_filter=k % 7 != 0,
+        cur_select={
+            "tuid": k,
+            "price": F.col("o_totalprice"),
+            "status": F.col("o_orderstatus"),
+            "is_deleted": k % 13 == 0,
+            "created_datetime": base_ts,
+            "updated_datetime": F.lit(None).cast("timestamp"),
+            "deleted_datetime": F.when(k % 13 == 0, base_ts),
+        },
+        upd_filter=k % 3 == 0,
+        upd_select={
+            "tuid": k,
+            "record_op": F.when(k % 9 == 0, "A")
+            .when(k % 9 == 3, "C")
+            .otherwise("D"),
+            "price": F.when(k % 2 == 0, F.col("o_totalprice")).otherwise(
+                F.col("o_totalprice") + 1
+            ),
+            "status": F.col("o_orderstatus"),
+        },
         key_col="tuid",
         value_cols=["price", "status"],
         batch_timestamp=F.lit(_TS).cast("timestamp"),
@@ -207,13 +238,25 @@ def cdc_merge_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cdc_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-merge state checksum: row/deleted/key counts + price total.
-    Verifies the merge's value selection, not just its outcome labels."""
+    Verifies the merge's value selection, not just its outcome labels.
+
+    n_keys: the oracle states COUNT(DISTINCT tuid); the engine computes
+    COUNT(tuid) — equal by the merge invariant (≤1 state row per key:
+    current and updates are key-unique orders projections, the reference
+    crashes via ``.one()`` otherwise, and ``validate_unique`` is this
+    engine's guard). Round 11, guide §8 "use what you know that the
+    optimizer does not": with the join-free coderived merge the query
+    had no tuid-clustered stage left, so COUNT(DISTINCT) planned a
+    no-reduction partial aggregate over ~n unique keys plus a full
+    key-shuffle; COUNT(tuid) reduces map-side to one row per task and
+    the whole query is scan → cascade → 1-row aggregate, zero keyed
+    shuffles. (Both COUNT forms ignore NULL keys identically.)"""
     state = _merged(spark, sf_dir).new_state
     return state.agg(
         F.count("*").alias("n_rows"),
         F.sum(F.col("is_deleted").cast("int")).cast("long").alias("n_deleted"),
         F.round(F.sum("price"), 2).alias("total_price"),
-        F.countDistinct("tuid").alias("n_keys"),
+        F.count("tuid").alias("n_keys"),
     )
 
 

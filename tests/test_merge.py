@@ -356,3 +356,84 @@ def test_null_keyed_rows_accounted_not_vanished(spark):
 
     # transitions stay keyed: no NULL group key leaks into IVM rollups
     assert [r["k"] for r in res.transitions.collect()] == ["a"]
+
+
+def test_coderived_equals_join(spark):
+    """Round-11 optimization pin: cdc_merge_coderived (join-free, one
+    scan) produces frame-identical results to cdc_merge's full-outer
+    join when both sides co-derive from one uniquely-keyed source —
+    over the full golden outcome matrix, including an invalid op."""
+    from land_registry_data_ingestion_spark.operators.merge import (
+        cdc_merge_coderived,
+    )
+
+    # One source row per tuid; flags decide side membership, values are
+    # arithmetic in the key so both paths derive identical sides.
+    rows = []
+    state = {r["tuid"]: r for r in _state(spark).collect()}
+    upds = {r["tuid"]: r for r in _updates(spark).collect()}
+    for tuid in sorted(set(state) | set(upds) | {"t99"}):
+        s, u = state.get(tuid), upds.get(tuid)
+        rows.append(
+            (
+                tuid,
+                s is not None,
+                s["price"] if s else None,
+                s["code"] if s else None,
+                s["is_deleted"] if s else None,
+                s["deleted_datetime"] if s else None,
+                (u is not None) or tuid == "t99",
+                u["price"] if u else 9900,
+                u["code"] if u else "Z",
+                u["record_op"] if u else "X",  # t99: invalid op
+            )
+        )
+    src = spark.createDataFrame(
+        rows,
+        "tuid string, in_cur boolean, c_price long, c_code string, "
+        "c_del boolean, c_del_ts timestamp, in_upd boolean, "
+        "u_price long, u_code string, u_op string",
+    )
+    got = cdc_merge_coderived(
+        src,
+        cur_filter=F.col("in_cur"),
+        cur_select={
+            "tuid": F.col("tuid"),
+            "price": F.col("c_price"),
+            "code": F.col("c_code"),
+            "is_deleted": F.col("c_del"),
+            "created_datetime": F.lit(TS0),
+            "updated_datetime": F.lit(None).cast("timestamp"),
+            "deleted_datetime": F.col("c_del_ts"),
+        },
+        upd_filter=F.col("in_upd"),
+        upd_select={
+            "tuid": F.col("tuid"),
+            "price": F.col("u_price"),
+            "code": F.col("u_code"),
+            "record_op": F.col("u_op"),
+        },
+        key_col="tuid",
+        value_cols=["price", "code"],
+        batch_timestamp=F.lit(TS1),
+    )
+    cur_df = _state(spark)
+    upd_df = _updates(spark).unionByName(
+        spark.createDataFrame(
+            [("t99", 9900, "Z", "X")], "tuid string, price long, code string, record_op string"
+        )
+    )
+    want = cdc_merge(
+        cur_df, upd_df, key_col="tuid", value_cols=["price", "code"],
+        batch_timestamp=F.lit(TS1),
+    )
+    for name in ("new_state", "outcomes", "invalid_ops", "transitions"):
+        g = getattr(got, name)
+        w = getattr(want, name)
+        assert g.schema == w.schema, name
+        gs = sorted(map(tuple, g.collect()))
+        ws = sorted(map(tuple, w.collect()))
+        assert gs == ws, f"{name}: {gs} != {ws}"
+    # the join-free plan really is join-free
+    plan = got.new_state._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, plan

@@ -61,12 +61,28 @@ def test_binning_is_broadcast_range_join(spark):
 
 
 def test_q4_bins_facts_exactly_once(spark):
-    """q4 must not recompute the range join per consumer: one binning pass
-    (single BroadcastNestedLoopJoin), weights derived from the aggregated
-    frame, never a second scan of the fact table."""
+    """q4 must not recompute the range join per consumer, and the fact
+    table must never be nested-loop-joined or shuffled for the binning
+    (round-11 two-phase form): ONE tiny BroadcastNestedLoopJoin bins the
+    DISTINCT values, the facts attach through a broadcast HASH join, and
+    the only extra fact scan is the column-pruned distinct-value pass."""
     plan = _plan(spark, "q4_normalized_delay", mode="simple")
     assert plan.count("BroadcastNestedLoopJoin") == 1
-    assert plan.count("FileScan parquet") <= 2  # lineitem + orders(edges)
+    assert "BroadcastHashJoin" in plan  # the fact-side bin attach
+    # lineitem(values, pruned) + orders(edges) + lineitem(attach)
+    assert plan.count("FileScan parquet") <= 3
+    # the fact table is never shuffled for the binning
+    assert "Exchange hashpartitioning(l_" not in plan
+    # the distinct-value pass reads only the binned column
+    fmt = _plan(spark, "q4_normalized_delay", mode="formatted")
+    li_scans = [
+        s.split("\n")[0]
+        for s in fmt.split("ReadSchema: ")[1:]
+        if "l_shipdate" in s.split("\n")[0]
+    ]
+    assert any(
+        "l_orderkey" not in s and "l_extendedprice" not in s for s in li_scans
+    ), li_scans
 
 
 def test_partial_aggregation(spark):
@@ -102,9 +118,16 @@ def test_no_python_udfs_or_cartesians_anywhere(spark):
     assert not offenders, f"bad plan shapes: {offenders}"
 
 
-def test_merge_is_single_shuffle_join(spark):
+def test_merge_is_join_free_on_coderived_inputs(spark):
+    """Round 11: the declared merge queries derive current state AND the
+    update batch from one uniquely-keyed orders scan, so the full-outer
+    join is eliminated outright (cdc_merge_coderived) — the plan must
+    stay join-free and scan orders exactly once. The generic operator's
+    one-join contract is pinned by test_merge.py (including
+    test_coderived_equals_join, which also asserts THIS plan shape)."""
     plan = _plan(spark, "cdc_merge_state", mode="simple")
-    assert "FullOuter" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
 
 
 def test_reconcile_null_safe_join(spark):
