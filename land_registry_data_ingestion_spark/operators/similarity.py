@@ -58,22 +58,82 @@ def brute_force_topk(
     ``cosine_similarity``) never ranks. A degenerate NEIGHBOR is excluded
     from every candidate list, and a degenerate QUERY returns no rows at
     all, rather than k neighbors ordered by id under an undefined score.
+
+    Round 11 (guide §4.1/§2.3): the query side is tiny by contract, so it
+    is COLLECTED and closed over an Arrow kernel instead of broadcast
+    into a crossJoin whose cosine ran as an interpreted HOF fold per
+    (query, corpus) row; the kernel scores each corpus batch against all
+    queries with the same sequential fold (`_seq_cross_dots` — per-
+    dimension order identical to the expression form, same round(·, 6),
+    non-finite → dropped, exactly the old NULL-cosine filter) and emits
+    only its batch's top-k per query. The global rank orders by
+    (-cosine, neighbor_id), a total order, so per-batch top-k loses
+    nothing; the final window sorts queries·k·batches rows instead of
+    queries·corpus. Still exact brute force: every corpus vector is
+    scored against every query.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6),
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    q_rows = [
+        (r["query_id"], r["q_vec"])
+        for r in queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ).collect()
+        # NULL query ids never pair (the old `neighbor_id != query_id`
+        # filter three-valued-dropped them); NULL query vectors have
+        # NULL cosine everywhere and return no rows — skip both.
+        if r["query_id"] is not None and r["q_vec"] is not None
+    ]
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+    empty = None
+    if q_rows:
+        q_ids = np.array([i for i, _ in q_rows], dtype=np.int64)
+        Q = np.array([np.asarray(v, dtype=np.float64) for _, v in q_rows])
+        qnorm = np.sqrt(_seq_pair_dots(Q, Q))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty_pdf = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cosine": []}
+        ).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
         )
-        .filter(F.col("cosine").isNotNull())
-    )
+        for pdf in batches:
+            pdf = pdf[pd.notna(pdf[id_col])]
+            if len(pdf) == 0 or not q_rows:
+                yield empty_pdf
+                continue
+            ids = pdf[id_col].to_numpy()
+            if ids.dtype != np.int64:
+                ids = ids.astype(np.int64)
+            M = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            mnorm = np.sqrt(_seq_pair_dots(M, M))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.round(
+                    _seq_cross_dots(Q, M) / np.multiply.outer(qnorm, mnorm), 6
+                )
+            outs = []
+            for qi in range(len(q_ids)):
+                keep = np.isfinite(cos[qi]) & (ids != q_ids[qi])
+                d = cos[qi][keep]
+                mid = ids[keep]
+                take = np.lexsort((mid, -d))[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(take), q_ids[qi]),
+                            "neighbor_id": mid[take],
+                            "cosine": d[take],
+                        }
+                    )
+                )
+            yield pd.concat(outs) if outs else empty_pdf
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.col("neighbor_id")
     )
@@ -1547,25 +1607,51 @@ def pq_topk(
             if len(pdf) == 0:
                 continue
             C = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
-            n = len(pdf)
             nq = len(q_ids)
             # lookup: approx[q, i] = Σ_s tables[q, s, C[i, s]]
-            approx = np.zeros((nq, n))
+            approx = np.zeros((nq, len(pdf)))
             for s in range(C.shape[1]):
                 approx += tables[:, s, :][:, C[:, s]]
             approx = np.round(approx, 6)
             ids = pdf[id_col].to_numpy()
-            yield pd.DataFrame(
+            # Per-batch top-k (round 11, guide §2.3 "aggregate before you
+            # shuffle"): the global rank orders by (approx_d2,
+            # neighbor_id), a total order, so a batch row outside its
+            # batch's own top-k can never enter the global top-k — emit
+            # only nq·k rows per batch instead of the nq·n cross frame
+            # the final window used to shuffle and sort. The self-pair
+            # and NULL-id drops (the old `neighbor_id != query_id`
+            # three-valued filter) move in front of the cut so they can
+            # never occupy a kept slot.
+            valid = pd.notna(pdf[id_col]).to_numpy()
+            outs = []
+            for qi in range(nq):
+                mask = valid & (ids != q_ids[qi])
+                d = approx[qi][mask]
+                mid = ids[mask]
+                if mid.dtype != np.int64:
+                    mid = mid.astype(np.int64)
+                take = np.lexsort((mid, d))[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(take), q_ids[qi]),
+                            "neighbor_id": mid[take],
+                            "approx_d2": d[take],
+                        }
+                    )
+                )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "approx_d2": []}
+            ).astype(
                 {
-                    "query_id": np.repeat(q_ids, n),
-                    "neighbor_id": np.tile(ids, nq),
-                    "approx_d2": approx.reshape(-1),
+                    "query_id": "int64",
+                    "neighbor_id": "int64",
+                    "approx_d2": "float64",
                 }
             )
 
-    scored = codes.mapInPandas(score, out_schema).filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
+    scored = codes.mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.asc("approx_d2"), F.asc("neighbor_id")
     )

@@ -19,7 +19,7 @@ unlike MinHash-LSH banding, this needs no frequency cap to stay linear.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from land_registry_data_ingestion_spark.functions.text import word_ngram_hashes
@@ -86,23 +86,72 @@ def _duplicated_hits(pos: DataFrame, min_count: int, id_col: str) -> DataFrame:
     return pos.join(dup_keys, "gram_key", "left_semi").select(id_col, "pos")
 
 
-def spans_from_hits(hits: DataFrame, id_col: str, k: int) -> DataFrame:
+def _span_arrays(hits: DataFrame, id_col: str, k: int) -> DataFrame:
     """Gaps-and-islands merge of duplicated k-gram start positions into
-    maximal (span_start, span_end, span_tokens) intervals per document —
-    windows partitioned per doc, so parallelism is bounded only by
-    document count."""
-    w = Window.partitionBy(id_col).orderBy("pos")
-    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
-        F.lit(1)
+    one array<struct<span_start, span_end>> per document.
+
+    Round 11 (guide §2.4): ONE doc-keyed aggregate collects each
+    document's sorted hit positions and the islands derive IN-ROW from
+    the array — a sorted position opens an island iff its gap to the
+    previous exceeds ``k`` and closes it iff the gap to the next does,
+    the identical split rule the previous window ran (merge while
+    ``pos - lag(pos) <= k``). That replaces the per-doc sort window +
+    island aggregate (two passes over every hit row) with one
+    collect_list aggregate, and hands consumers the per-doc interval
+    array directly — the trim path previously re-shuffled the exploded
+    span rows back into exactly this array."""
+    g = hits.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("_ps")
     )
-    labeled = hits.withColumn("_brk", brk).withColumn(
-        "_island", F.sum("_brk").over(w)
+    ps = F.col("_ps")
+    n = F.size("_ps")
+
+    def _at(i):
+        # 0-based F.get: neighbor probes at the ends yield NULL, never
+        # an ANSI INVALID_ARRAY_INDEX (OR does not short-circuit).
+        return F.get(ps, i - 1)
+
+    idx = F.sequence(F.lit(1), n)
+    starts = F.filter(
+        F.transform(
+            idx,
+            lambda i: F.when((i == 1) | (_at(i) - _at(i - 1) > k), _at(i)),
+        ),
+        lambda x: x.isNotNull(),
     )
-    return labeled.groupBy(id_col, "_island").agg(
-        F.min("pos").alias("span_start"),
-        (F.max("pos") + F.lit(k - 1)).alias("span_end"),
-        (F.max("pos") + F.lit(k) - F.min("pos")).alias("span_tokens"),
-    ).drop("_island")
+    ends = F.filter(
+        F.transform(
+            idx,
+            lambda i: F.when((i == n) | (_at(i + 1) - _at(i) > k), _at(i)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    spans = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            s.alias("span_start"), (e + F.lit(k - 1)).alias("span_end")
+        ),
+    )
+    return g.select(F.col(id_col), spans.alias("_spans"))
+
+
+def spans_from_hits(hits: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Row-per-span view of :func:`_span_arrays` — identical rows to the
+    old window form: maximal (span_start, span_end, span_tokens)
+    intervals per document."""
+    return (
+        _span_arrays(hits, id_col, k)
+        .select(id_col, F.explode("_spans").alias("_s"))
+        .select(
+            F.col(id_col),
+            F.col("_s.span_start").alias("span_start"),
+            F.col("_s.span_end").alias("span_end"),
+            (F.col("_s.span_end") - F.col("_s.span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )
 
 
 def trim_duplicated_spans(
@@ -178,14 +227,20 @@ def trim_duplicated_spans(
         id_col, F.posexplode("_p.gh").alias("pos", "gram_key")
     )
     hits = _duplicated_hits(pos, min_count=min_count, id_col=id_col)
-    spans = spans_from_hits(hits, id_col=id_col, k=k)
-    cuts = spans.groupBy(id_col).agg(
-        F.collect_list(F.struct("span_start", "span_end")).alias("_cuts"),
-        # merged spans are disjoint (islands are separated by a gap > k,
-        # so the previous span ends before the next one starts), so the
-        # covered-token total is a plain sum — n_kept never needs a
-        # second evaluation of the filtered array.
-        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("_ncov"),
+    # _span_arrays hands the per-doc interval array directly (round 11):
+    # the old path exploded the spans to rows and re-shuffled them back
+    # into this exact array with a second doc-keyed collect_list.
+    # Merged spans are disjoint (islands separated by a gap > k), so the
+    # covered-token total is an in-row sum over the array.
+    cuts = _span_arrays(hits, id_col=id_col, k=k).select(
+        F.col(id_col),
+        F.col("_spans").alias("_cuts"),
+        F.aggregate(
+            F.col("_spans"),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + (s["span_end"] - s["span_start"] + 1).cast("long"),
+        ).alias("_ncov"),
     )
     joined = base.join(cuts, id_col, "left")
     toks = F.col("_p.toks")

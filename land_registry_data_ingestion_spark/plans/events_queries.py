@@ -886,16 +886,24 @@ def evt_sliding_users_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     biggest shuffle): a user is counted at tick T iff they have an
     event hour in [T-23h, T], i.e. iff T falls inside [h, h+23h] for
     one of their event hours — so per user, merge those tick intervals
-    (gaps-and-islands over the deduped (user, hour) pairs; hours ≤ 24
+    (gaps-and-islands over each user's deduped hour set; hours ≤ 24
     apart yield contiguous coverage), emit ±1 endpoint deltas, and take
     ONE running sum over the aggregated delta spine, keeping observed
-    ticks. Shuffles: the pair dedup (∝ active user-hours — same as
-    before), a user-partitioned window on ints, and a delta aggregate
-    whose output is bounded by DISTINCT HOURS IN THE TIME RANGE — the
-    24× blow-up and the (tick, user) distinct never exist. The final
-    running sum is a single-task window over that spine (~10 years of
-    hours = 87k rows), the same bounded-by-construction class as the
-    rank operator's offset table."""
+    ticks.
+
+    Round 11 (guide §2.4): the island merge needs no window — ONE
+    user-keyed aggregate collects each user's distinct hour set
+    (map-side combined, the same reduction the old ``distinct()`` did),
+    and the ±1 endpoint deltas derive IN-ROW from the sorted array (a
+    sorted hour is an island start iff its gap to the previous exceeds
+    24 h, an island end iff the gap to the next does — identical
+    split rule, same interval endpoints). That removes the second
+    user-keyed exchange (the old shape shuffled (user, hour) twice:
+    pair distinct, then the window) and shrinks the barrier to one row
+    per user. The delta aggregate stays bounded by DISTINCT HOURS IN
+    THE TIME RANGE, and the final running sum is a single-task window
+    over that spine (~10 years of hours = 87k rows), the same
+    bounded-by-construction class as the rank operator's offset table."""
     from land_registry_data_ingestion_spark.util import barrier
 
     t = load_tables(spark, sf_dir)
@@ -908,40 +916,60 @@ def evt_sliding_users_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t.events.filter(F.col("ts").isNotNull()).select(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     )
-    # barrier: the deduped pair set feeds BOTH the interval merge and
-    # the observed-hour spine — left lazy, the raw event scan + dedup
-    # shuffle would run twice.
-    pairs = barrier(ev.distinct())
-    user_pairs = pairs.filter(F.col("user_id").isNotNull())
-    w = Window.partitionBy("user_id").orderBy("h")
-    gap_hours = (
-        F.unix_timestamp("h") - F.unix_timestamp(F.lag("h").over(w))
-    ) / 3600
-    islands = user_pairs.withColumn(
-        # ≤ 24: [h_prev, h_prev+23] and [h, h+23] are contiguous iff
-        # h - h_prev ≤ 24, so merging exactly then keeps coverage
-        # identical and interval count minimal.
-        "_isl",
-        F.sum(
-            F.when(gap_hours <= 24, F.lit(0)).otherwise(F.lit(1))
-        ).over(w),
+    # barrier: the per-user hour sets feed BOTH the interval deltas and
+    # the observed-hour spine — left lazy, the raw event scan + shuffle
+    # would run twice. Hour-set size is calendar-bounded (distinct hours
+    # in the data's time range), so even a hot user's array is small.
+    g = barrier(
+        ev.groupBy("user_id").agg(
+            F.array_sort(F.collect_set("h")).alias("_hs")
+        )
     )
-    intervals = islands.groupBy("user_id", "_isl").agg(
-        F.min("h").alias("_s"),
-        (F.max("h") + F.expr("INTERVAL 23 HOURS")).alias("_e"),
-    )
-    deltas = intervals.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("_s").alias("tick"), F.lit(1).alias("d")),
-                F.struct(
-                    (F.col("_e") + F.expr("INTERVAL 1 HOUR")).alias("tick"),
-                    F.lit(-1).alias("d"),
+    n = F.size("_hs")
+    sec = lambda c: F.unix_timestamp(c)  # noqa: E731 — gap compare only
+    hs = F.col("_hs")
+
+    def _at(i):
+        # F.get (0-based) not element_at: the neighbor probes run out of
+        # range at the array ends and must yield NULL, not an ANSI
+        # INVALID_ARRAY_INDEX — boolean OR does not short-circuit.
+        return F.get(hs, i - 1)
+
+    # per element i (1-based): island START iff first or gap to the
+    # previous hour > 24 h (same ≤24-merges rule as the old window);
+    # island END iff last or gap to the next hour > 24 h. Start emits
+    # (+1, h_i); end emits (-1, h_i + 24 h) — identical to the old
+    # (_e + 1 h) with _e = max + 23 h. Non-contributing slots emit a
+    # NULL struct and are filtered.
+    contrib = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.filter(
+                F.array(
+                    F.when(
+                        (i == 1) | (sec(_at(i)) - sec(_at(i - 1)) > 86400),
+                        F.struct(_at(i).alias("tick"), F.lit(1).alias("d")),
+                    ),
+                    F.when(
+                        (i == n) | (sec(_at(i + 1)) - sec(_at(i)) > 86400),
+                        F.struct(
+                            (_at(i) + F.expr("INTERVAL 24 HOURS")).alias(
+                                "tick"
+                            ),
+                            F.lit(-1).alias("d"),
+                        ),
+                    ),
                 ),
-            )
-        ).alias("_x")
-    ).select("_x.tick", "_x.d")
-    observed = pairs.select(F.col("h").alias("tick")).distinct()
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    deltas = (
+        g.filter(F.col("user_id").isNotNull())
+        .select(F.explode(contrib).alias("_x"))
+        .select("_x.tick", "_x.d")
+    )
+    observed = g.select(F.explode("_hs").alias("tick")).distinct()
     # The delta spine only carries interval ENDPOINTS; an observed tick
     # strictly inside a coverage interval needs a 0-delta row so the
     # running sum surfaces a value AT that tick.
