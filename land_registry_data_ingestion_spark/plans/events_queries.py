@@ -275,16 +275,18 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(F.filter("_purchases", lambda x: x >= F.col("t_click"))),
     )
     keyed = F.col("user_id").isNotNull()
+    # count(when(...)), not sum(when/otherwise): COUNT is 0 on an empty
+    # corpus where SUM is NULL — the oracle's per-stage COUNT(*) legs
+    # emit 0 rows-counted even when no user ever reached the stage
+    # (empty-tier adversarial contract).
     counts = staged.agg(
-        F.sum(F.when(F.col("_n_view") > 0, 1).otherwise(0))
-        .cast("long")
-        .alias("n1"),
-        F.sum(F.when(keyed & F.col("t_click").isNotNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n2"),
-        F.sum(F.when(keyed & F.col("t_purchase").isNotNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n3"),
+        F.count(F.when(F.col("_n_view") > 0, F.lit(1))).alias("n1"),
+        F.count(
+            F.when(keyed & F.col("t_click").isNotNull(), F.lit(1))
+        ).alias("n2"),
+        F.count(
+            F.when(keyed & F.col("t_purchase").isNotNull(), F.lit(1))
+        ).alias("n3"),
     )
     stages = F.array(
         F.struct(F.lit("1_view").alias("stage"), F.col("n1").alias("n_users")),
