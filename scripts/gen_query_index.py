@@ -677,10 +677,37 @@ def rotation(
           f"{window - len(touched)} staleness fill (rule 2)")
     print(f"spilled ({len(spilled)}): " + ", ".join(
         f"{q}(r{ages.get(q, '-')})" for q in spilled))
+    deferred: list[str] = []
     if overdue:
-        raise SystemExit(
-            f"staleness violation: window cuts off queries whose newest "
-            f"green row would fall >2 rounds behind r{next_round}: {overdue}"
+        # Rule 1 outranks rule 2 when the window cannot hold both (first
+        # hit in round 11: an optimization round touched 42 queries while
+        # 12 r8-era rows still needed their staleness slot). Deferring a
+        # 3-round-stale row ONE round is the only sound resolution — a
+        # touched query shipping on a pre-change external row is a
+        # correctness hole, a deferred stale row is a delayed re-check —
+        # but it is never silent: the deferred set is printed, recorded
+        # in the generated header, and MUST lead the next round's window
+        # (the age sort does that automatically). Two failure modes still
+        # hard-abort: an AVOIDABLE spill (the window had room for every
+        # overdue row — ordering bug), and a second deferral (a row ≥3
+        # rounds stale at the NEXT round means the last deferral was
+        # never honored).
+        overdue_all = [
+            q for q in untouched if ages.get(q, -1) <= next_round - 3
+        ]
+        lost = [q for q in overdue if ages.get(q, -1) <= next_round - 4]
+        if lost or len(touched) + len(overdue_all) <= window:
+            raise SystemExit(
+                f"staleness violation: window cuts off queries whose newest "
+                f"green row would fall >2 rounds behind r{next_round}: "
+                f"{overdue}"
+            )
+        deferred = overdue
+        print(
+            f"WARNING: rule-1 touched set ({len(touched)}) + overdue rows "
+            f"({len(overdue_all)}) exceed the {window}-slot window — "
+            f"deferring to r{next_round + 1} (must lead that window): "
+            f"{deferred}"
         )
     lines = [
         '"""GENERATED by scripts/gen_query_index.py --rotation — do not',
@@ -690,6 +717,14 @@ def rotation(
         "",
         f"# ref={ref} window={window} next_round=r{next_round}",
         f"# rule-1 touched ({len(touched)}): {sorted(touched)}",
+        *(
+            [
+                f"# rule-2 deferred (window full of touched; MUST lead "
+                f"the r{next_round + 1} window): {deferred}"
+            ]
+            if deferred
+            else []
+        ),
         "",
         "CHECK_PRIORITY: tuple[str, ...] = (",
     ]

@@ -267,19 +267,49 @@ def test_rotation_overflow_hard_fails(monkeypatch, tmp_path):
 
 
 def test_rotation_staleness_spill_hard_fails(monkeypatch, tmp_path):
-    """A window that would push an untouched query past 2-round
-    staleness must also abort — this is the exact round-6 hole."""
+    """An AVOIDABLE overdue spill (the window had room for every overdue
+    row — an ordering bug) and a SECOND deferral (a row that would land
+    ≥3 rounds stale at the next round) must both abort — the round-6
+    hole and the deferral-never-honored hole respectively."""
     monkeypatch.setattr(
         gqi, "affected_queries_function_level", lambda ref: (set(), {})
     )
-    monkeypatch.setattr(gqi, "query_ages", lambda as_of=None: {"a": 6, "b": 4, "c": 6})
     monkeypatch.setattr(
         gqi, "_CHECK_PRIORITY_PATH", str(tmp_path / "check_priority.py")
     )
+    # b at r3 would be >3 rounds stale after an r7 run — deferring it
+    # again is never allowed, even with a full window.
+    monkeypatch.setattr(gqi, "query_ages", lambda as_of=None: {"a": 6, "b": 3, "c": 6})
     with pytest.raises(SystemExit, match="staleness violation"):
-        # window 0 spills everything; "b" at r4 would be 3 rounds stale
-        # after an r7 run, so the generator must abort.
         gqi.rotation("HEAD", window=0, next_round=7, declared=["a", "b", "c"])
+
+
+def test_rotation_unavoidable_overdue_defers_with_record(
+    monkeypatch, tmp_path, capsys
+):
+    """Round-11 contract: when rule-1 touched queries legitimately fill
+    the window past the overdue rows, the generator defers the overdue
+    set ONE round — loudly, and recorded in the generated header —
+    instead of dead-locking the rotation (rule 1 outranks rule 2: a
+    touched query on a pre-change row is a correctness hole; a deferred
+    stale row is a delayed re-check)."""
+    monkeypatch.setattr(
+        gqi,
+        "affected_queries_function_level",
+        lambda ref: ({"a", "c"}, {}),
+    )
+    monkeypatch.setattr(
+        gqi, "query_ages", lambda as_of=None: {"a": 6, "b": 4, "c": 6}
+    )
+    target = tmp_path / "check_priority.py"
+    monkeypatch.setattr(gqi, "_CHECK_PRIORITY_PATH", str(target))
+    # window 2 holds exactly the touched pair; b (r4, 3 rounds stale at
+    # r7) cannot fit and defers.
+    gqi.rotation("HEAD", window=2, next_round=7, declared=["a", "b", "c"])
+    out = capsys.readouterr().out
+    assert "deferring to r8" in out and "'b'" in out
+    content = target.read_text()
+    assert "rule-2 deferred" in content and "'b'" in content
 
 
 def test_rotation_check_mode_never_writes(monkeypatch, tmp_path, capsys):
