@@ -62,7 +62,13 @@ def decontaminate(
     from ONE aggregate — the old shape counted only matching docs and
     paid a second corpus-keyed join to re-attach the zeros. Output is
     one row per distinct ``id_col`` (ids are unique by the operator's
-    key contract).
+    key contract). That grouping extends to NULL: all NULL-id rows
+    collapse into ONE output row whose count covers their combined
+    shingles (standard GROUP BY NULL semantics, and what the oracle SQL
+    computes — the adversarial allnull tier pins it); pre-r11 the
+    join-back shape emitted n=0 per NULL row instead. Inputs violating
+    the unique-non-NULL key contract get GROUP BY semantics, not the
+    old per-row echo.
     """
     from land_registry_data_ingestion_spark.functions.text import (
         word_shingle_hashes,

@@ -88,9 +88,16 @@ def brute_force_topk(
     ]
     id_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
-    empty = None
+    # non-integral id columns (e.g. string keys) ride through as native
+    # numpy object arrays — lexsort/emit handle them; the int64 cast only
+    # exists to undo pandas' NaN-driven float64 widening of nullable ints
+    integral_ids = id_type in ("bigint", "int", "smallint", "tinyint")
+    id_pd_dtype = "int64" if integral_ids else "object"
     if q_rows:
-        q_ids = np.array([i for i, _ in q_rows], dtype=np.int64)
+        q_ids = np.array(
+            [i for i, _ in q_rows],
+            dtype=np.int64 if integral_ids else object,
+        )
         Q = np.array([np.asarray(v, dtype=np.float64) for _, v in q_rows])
         qnorm = np.sqrt(_seq_pair_dots(Q, Q))
 
@@ -98,15 +105,19 @@ def brute_force_topk(
         empty_pdf = pd.DataFrame(
             {"query_id": [], "neighbor_id": [], "cosine": []}
         ).astype(
-            {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+            {"query_id": id_pd_dtype, "neighbor_id": id_pd_dtype,
+             "cosine": "float64"}
         )
         for pdf in batches:
-            pdf = pdf[pd.notna(pdf[id_col])]
+            # NULL vectors scored a NULL cosine in the expression form and
+            # were filtered; drop them here so np.array never sees a 0-d
+            # None (ragged-batch crash), mirroring the NULL-id drop
+            pdf = pdf[pd.notna(pdf[id_col]) & pdf[vec_col].notna()]
             if len(pdf) == 0 or not q_rows:
                 yield empty_pdf
                 continue
             ids = pdf[id_col].to_numpy()
-            if ids.dtype != np.int64:
+            if integral_ids and ids.dtype != np.int64:
                 ids = ids.astype(np.int64)
             M = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
@@ -745,6 +756,11 @@ def ivf_assign_vectorized(
     rows = sorted(
         (int(r[0]), [float(x) for x in r[1]])
         for r in centroids.select(id_col, vec_col).collect()
+        # a NULL-vec centroid scored NULL → -2.0 in the expression form
+        # and could never win an argmax against any real centroid; skip
+        # it so np.array never sees a ragged/None row (round-12 ADVICE
+        # crash class — the declared contract keeps vectors non-NULL)
+        if r[1] is not None
     )
     out_fields = list(corpus.schema.fields) + [
         T.StructField("centroid_id", T.LongType(), False)
@@ -772,6 +788,11 @@ def ivf_assign_vectorized(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # a NULL-vec row has no defined cosine against any list and
+            # is unassignable — drop it (same ragged-batch crash class
+            # as the centroid guard above; vectors are non-NULL by the
+            # declared contract, so this only crash-proofs the operator)
+            pdf = pdf[pdf[vec_col].notna()]
             if len(pdf) == 0:
                 continue
             M = np.array(
@@ -948,7 +969,19 @@ def ivf_topk(
     ``refine_iters`` > 0 runs Lloyd iterations on the seeded quantizer
     (better-balanced lists → better recall at the same nprobe); the
     default stays 0 so the declared oracle query remains exactly
-    replayable (see :func:`refine_centroids` on why refinement is not)."""
+    replayable (see :func:`refine_centroids` on why refinement is not).
+
+    Requires an integral ``id_col``: corpus ids double as centroid ids
+    and ``centroid_id`` is declared LongType throughout the IVF
+    machinery (validated here so a string key fails loudly up front,
+    not as a numpy cast error mid-kernel; brute_force_topk accepts any
+    id type)."""
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            f"ivf_topk requires an integral id column (corpus ids seed "
+            f"the LongType centroid_id plumbing); got {id_col}: {id_type}"
+        )
     centroids = seed_centroids(corpus, id_col, vec_col, n_centroids)
     if refine_iters > 0:
         refined = refine_centroids(
@@ -1027,31 +1060,44 @@ def ivf_topk(
     probe_collected = [
         (r["query_id"], r["centroid_id"], r["q_vec"])
         for r in probes.select("query_id", "centroid_id", "q_vec").collect()
-        if r["query_id"] is not None
+        # NULL-vec probes scored NULL cosine everywhere (no rows) in the
+        # expression form — skip them, and never let a None reach np.array
+        if r["query_id"] is not None and r["q_vec"] is not None
     ]
     by_cid: dict = {}
     for qid, cid, qv in probe_collected:
         by_cid.setdefault(cid, ([], []))
         by_cid[cid][0].append(qid)
-        by_cid[cid][1].append(
-            np.asarray(qv, dtype=np.float64) if qv is not None else qv
-        )
+        by_cid[cid][1].append(np.asarray(qv, dtype=np.float64))
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+    integral_ids = id_type in ("bigint", "int", "smallint", "tinyint")
+    id_pd_dtype = "int64" if integral_ids else "object"
+
     probe_tab = {}
     for cid, (qids, qvs) in by_cid.items():
         Q = np.array(qvs)
         qnorm = np.sqrt(_seq_pair_dots(Q, Q))
-        probe_tab[cid] = (np.array(qids, dtype=np.int64), Q, qnorm)
-
-    id_type = corpus.schema[id_col].dataType.simpleString()
-    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+        probe_tab[cid] = (
+            np.array(qids, dtype=np.int64 if integral_ids else object),
+            Q,
+            qnorm,
+        )
 
     def cand_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         empty = pd.DataFrame(
             {"query_id": [], "neighbor_id": [], "cosine": []}
-        ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"})
+        ).astype(
+            {"query_id": id_pd_dtype, "neighbor_id": id_pd_dtype,
+             "cosine": "float64"}
+        )
         for pdf in batches:
             pdf = pdf[pdf["centroid_id"].isin(probe_tab.keys())]
-            pdf = pdf[pdf[id_col].notna()]
+            # NULL member vectors had NULL cosine (dropped by isfinite) in
+            # the expression form; drop them with the NULL ids so np.array
+            # never builds a ragged batch
+            pdf = pdf[pdf[id_col].notna() & pdf[vec_col].notna()]
             if len(pdf) == 0:
                 yield empty
                 continue
@@ -1059,7 +1105,7 @@ def ivf_topk(
             for cid, grp in pdf.groupby("centroid_id", sort=False):
                 qids, Q, qnorm = probe_tab[cid]
                 mids = grp[id_col].to_numpy()
-                if mids.dtype != np.int64:
+                if integral_ids and mids.dtype != np.int64:
                     # a null-carrying id column arrives as float64; the
                     # null rows were dropped above, so the cast is exact
                     mids = mids.astype(np.int64)

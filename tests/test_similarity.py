@@ -565,6 +565,63 @@ def test_normalize_and_ivf_tolerate_degenerate_vectors(spark):
     assert len(rows) > 0  # the query ran; degenerate inputs didn't kill it
 
 
+def test_topk_kernels_tolerate_null_vectors_and_string_ids(spark):
+    """Round-12 ADVICE regressions for the round-11 Arrow kernels:
+
+    (a) a NULL corpus vector must be EXCLUDED, not fatal — the old
+    expression form scored it a NULL cosine and filtered it
+    (np.asarray(None) is a 0-d array, so an unguarded np.array over the
+    batch raises on ragged input); same for a NULL probe vector on the
+    IVF side;
+
+    (b) non-integral id columns must ride through the kernels in their
+    native dtype — the out_schema already derives from the actual id
+    type, but the kernels hardcoded an int64 cast that raised on string
+    keys, silently narrowing the operator contract the expression form
+    supported."""
+    from land_registry_data_ingestion_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    # (a) NULL corpus / probe vectors: excluded, never fatal
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, None),                       # NULL corpus vector
+            (3, [1.0, 1.0, 0.0, 0.0]),
+            (4, [0.5, 0.1, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = brute_force_topk(emb, emb.filter("vec_id = 1"), k=4).collect()
+    assert {r["neighbor_id"] for r in rows} == {3, 4}
+    # NULL query vector: no rows for it, and no crash
+    assert brute_force_topk(emb, emb.filter("vec_id = 2"), k=4).count() == 0
+    out = ivf_topk(emb, emb.filter("vec_id in (1, 2)"), n_centroids=2, k=3)
+    got = {r["query_id"] for r in out.collect()}
+    assert 2 not in got  # NULL-vec probe emits nothing
+
+    # (b) string id columns keep their native dtype end to end
+    semb = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0, 0.0, 0.0]),
+            ("b", None),
+            ("c", [1.0, 1.0, 0.0, 0.0]),
+            ("d", [0.5, 0.1, 0.0, 0.0]),
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    srows = brute_force_topk(semb, semb.filter("vec_id = 'a'"), k=4).collect()
+    assert {r["neighbor_id"] for r in srows} == {"c", "d"}
+    assert all(isinstance(r["neighbor_id"], str) for r in srows)
+    # ivf_topk's centroid plumbing is integral by design (corpus ids seed
+    # the LongType centroid_id column): a string key must fail LOUDLY up
+    # front, not as a numpy cast error mid-kernel
+    with pytest.raises(TypeError, match="integral id column"):
+        ivf_topk(semb, semb.filter("vec_id = 'a'"), n_centroids=1, k=3)
+
+
 def test_vectorized_cosine_masks_inf_quotients(spark):
     """A NONZERO dot over a norm product that underflows to 0.0
     (all-subnormal double components) quotients to +Inf in raw numpy —
