@@ -298,7 +298,10 @@ def minhash_lsh_candidates(
     is a hot one, which at sensible caps (≥ 64) are overwhelmingly
     coincidence pairs the verify step would reject anyway. Default off —
     declared-query semantics (and their oracles) are exact."""
-    bands = lsh_bands(signatures, num_hashes, band_size)
+    # Same double-evaluation guard as the mine-and-verify core (round
+    # 12): the self-join's two selects (and the optional cap) would each
+    # re-run the signature producer — barrier the skinny band rows once.
+    bands = barrier(lsh_bands(signatures, num_hashes, band_size))
     if max_band_df is not None:
         # ids-only aggregate + semi join on the same key the candidate
         # join shuffles on — no extra data movement of consequence.
@@ -445,13 +448,21 @@ def _minhash_members_and_verified_pairs(
         )
         .withColumn("n_shingles", F.size("shingles"))
     )
-    bands = lsh_bands(
-        minhash_signatures_from_shingles(
-            sh, num_hashes, carry=("n_shingles",), hashed=True
-        ),
-        num_hashes,
-        band_size,
-        carry=("n_shingles",),
+    # Round 12: bands are consumed by BOTH sides of the self-join below
+    # (plus the optional band-df cap) — left lazy, the signature
+    # aggregate (explode of every shingle hash + num_hashes min-aggs,
+    # the family's most expensive reduction) and the band md5 expansion
+    # execute once PER CONSUMER. Barriered, they run once: ~4 skinny
+    # rows per rep (idx, 32-char hash, doc, n_shingles).
+    bands = barrier(
+        lsh_bands(
+            minhash_signatures_from_shingles(
+                sh, num_hashes, carry=("n_shingles",), hashed=True
+            ),
+            num_hashes,
+            band_size,
+            carry=("n_shingles",),
+        )
     )
     if max_band_df is not None:
         ok = (

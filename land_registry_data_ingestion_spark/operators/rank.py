@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from land_registry_data_ingestion_spark.util import barrier
@@ -48,11 +48,30 @@ def _global_rank_with_total(
         acc += row["_n"]
     off_df = spark.createDataFrame(offsets, "_pid int, _off long")
 
-    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    # Round 12 (guide §2.4): the barrier is ALREADY range-partitioned on
+    # the order key, but a Window.partitionBy("_pid") cannot see that
+    # (RangePartitioning(order) does not satisfy the window's
+    # hashpartitioning(_pid) requirement), so the old shape paid a FULL
+    # second exchange of every row plus the window's row buffer. The
+    # partition-local index needs no window at all: sort within the
+    # partition (no exchange — the sort the window ran anyway) and read
+    # the row index out of monotonically_increasing_id (partition id in
+    # the upper bits, 0-based row index in the lower 33 — a documented
+    # invariant of the function). The Project computing it is
+    # nondeterministic, so Catalyst cannot reorder it below the Sort;
+    # task retries resort identical input (order_cols is a unique key)
+    # and reproduce identical ids.
     ranked = (
-        parts.join(F.broadcast(off_df), "_pid")
-        .withColumn(rank_col, F.row_number().over(w) + F.col("_off"))
-        .drop("_pid", "_off")
+        parts.sortWithinPartitions(*[F.col(c) for c in order_cols])
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            rank_col,
+            F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+            + F.lit(1)
+            + F.col("_off"),
+        )
+        .drop("_pid", "_off", "_mid")
     )
     return ranked, acc
 
@@ -175,10 +194,24 @@ def equidepth_histogram(
     probe_df = spark.createDataFrame(
         probes, "_pid int, _rn int, _rank long"
     )
-    w = Window.partitionBy("_pid").orderBy(*order)
+    # Partition-local row index WITHOUT a window (round 12): the window's
+    # hashpartitioning(_pid) requirement forced a full exchange of the
+    # probed partitions even though each _pid already lives in exactly
+    # one partition of the barrier. Sort within the partition and read
+    # the 0-based row index from monotonically_increasing_id's lower 33
+    # bits — same (value, key) total order, same probe join, one
+    # exchange fewer. See _global_rank_with_total for the determinism
+    # argument.
     got = (
         parts.filter(F.col("_pid").isin([q for q, _, _ in probes]))
-        .withColumn("_rn", F.row_number().over(w))
+        .sortWithinPartitions(*order)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn(
+            "_rn",
+            (F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + F.lit(1)).cast(
+                "int"
+            ),
+        )
         .join(F.broadcast(probe_df), ["_pid", "_rn"])
         .select("_rank", value_col)
         .collect()

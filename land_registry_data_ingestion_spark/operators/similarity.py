@@ -993,10 +993,14 @@ def ivf_topk(
         centroids = spark.createDataFrame(
             refined.collect(), refined.schema
         )
-    assigned = ivf_assign_vectorized(
-        corpus.select(id_col, vec_col), centroids, id_col, vec_col
-    )
-
+    # Round 12 (guide §4.1): list assignment is fused INTO the candidate
+    # kernel below — the chained ivf_assign_vectorized → cand_kernel
+    # pair stacked two MapInPandas nodes in one stage, paying a second
+    # Arrow round-trip and Python-worker handshake per task for an
+    # intermediate (centroid_id) this operator never outputs. The fused
+    # kernel runs the identical guarded argmax (same _seq folds, same
+    # round(·, 6), degenerate → -2.0, first-max → smallest cid), so
+    # every assignment — and every candidate cosine — is bit-identical.
     q = _with_centroids(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -1085,55 +1089,92 @@ def ivf_topk(
             qnorm,
         )
 
-    def cand_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        empty = pd.DataFrame(
-            {"query_id": [], "neighbor_id": [], "cosine": []}
-        ).astype(
-            {"query_id": id_pd_dtype, "neighbor_id": id_pd_dtype,
-             "cosine": "float64"}
-        )
-        for pdf in batches:
-            pdf = pdf[pdf["centroid_id"].isin(probe_tab.keys())]
-            # NULL member vectors had NULL cosine (dropped by isfinite) in
-            # the expression form; drop them with the NULL ids so np.array
-            # never builds a ragged batch
-            pdf = pdf[pdf[id_col].notna() & pdf[vec_col].notna()]
-            if len(pdf) == 0:
-                yield empty
-                continue
-            outs = []
-            for cid, grp in pdf.groupby("centroid_id", sort=False):
-                qids, Q, qnorm = probe_tab[cid]
-                mids = grp[id_col].to_numpy()
-                if integral_ids and mids.dtype != np.int64:
-                    # a null-carrying id column arrives as float64; the
-                    # null rows were dropped above, so the cast is exact
-                    mids = mids.astype(np.int64)
+    # centroid table for the fused in-kernel assignment — identical
+    # collect to ivf_assign_vectorized's (sorted by cid, NULL-vec seeds
+    # skipped: they scored NULL → -2.0 in the expression form and can
+    # never win an argmax against any real centroid)
+    c_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in centroids.select(id_col, vec_col).collect()
+        if r[1] is not None
+    )
+    if not c_rows:
+        # no centroids at all (empty corpus / every seed degenerate):
+        # nothing is assignable, so no candidates — same empty result
+        # the chained form produced via ivf_assign_vectorized's guard
+        scored = corpus.sparkSession.createDataFrame([], out_schema)
+    else:
+        cids = np.array([c for c, _ in c_rows], dtype=np.int64)
+        C = np.array([v for _, v in c_rows], dtype=np.float64)
+        cnorm = np.sqrt(_seq_pair_dots(C, C))
+
+        def cand_kernel(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            empty = pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            ).astype(
+                {"query_id": id_pd_dtype, "neighbor_id": id_pd_dtype,
+                 "cosine": "float64"}
+            )
+            for pdf in batches:
+                # NULL member vectors had NULL cosine (dropped by
+                # isfinite) in the expression form; drop them with the
+                # NULL ids so np.array never builds a ragged batch
+                pdf = pdf[pdf[id_col].notna() & pdf[vec_col].notna()]
+                if len(pdf) == 0:
+                    yield empty
+                    continue
                 M = np.array(
-                    [np.asarray(v, dtype=np.float64) for v in grp[vec_col]]
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
                 )
                 mnorm = np.sqrt(_seq_pair_dots(M, M))
+                # assignment: same guarded argmax as ivf_assign_vectorized
+                # (degenerate → -2.0 below every real cosine; first max →
+                # smallest cid since rows are cid-sorted)
                 with np.errstate(invalid="ignore", divide="ignore"):
-                    cos = np.round(
-                        _seq_cross_dots(Q, M) / np.multiply.outer(qnorm, mnorm),
+                    acos = np.round(
+                        _seq_cross_dots(M, C)
+                        / np.multiply.outer(mnorm, cnorm),
                         6,
                     )
-                qi, mi = np.nonzero(np.isfinite(cos))
-                keep = qids[qi] != mids[mi]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qids[qi][keep],
-                            "neighbor_id": mids[mi][keep],
-                            "cosine": cos[qi, mi][keep],
-                        }
+                best = cids[np.argmax(np.where(np.isfinite(acos), acos, -2.0), axis=1)]
+                probed = np.isin(best, list(probe_tab.keys()))
+                if not probed.any():
+                    yield empty
+                    continue
+                mids_all = pdf[id_col].to_numpy()
+                if integral_ids and mids_all.dtype != np.int64:
+                    # a null-carrying id column arrives as float64; the
+                    # null rows were dropped above, so the cast is exact
+                    mids_all = mids_all.astype(np.int64)
+                outs = []
+                for cid in np.unique(best[probed]):
+                    sel = best == cid
+                    qids, Q, qnorm = probe_tab[cid]
+                    mids = mids_all[sel]
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        cos = np.round(
+                            _seq_cross_dots(Q, M[sel])
+                            / np.multiply.outer(qnorm, mnorm[sel]),
+                            6,
+                        )
+                    qi, mi = np.nonzero(np.isfinite(cos))
+                    keep = qids[qi] != mids[mi]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qids[qi][keep],
+                                "neighbor_id": mids[mi][keep],
+                                "cosine": cos[qi, mi][keep],
+                            }
+                        )
                     )
-                )
-            yield pd.concat(outs) if outs else empty
+                yield pd.concat(outs) if outs else empty
 
-    scored = assigned.select(
-        "centroid_id", F.col(id_col), F.col(vec_col)
-    ).mapInPandas(cand_kernel, out_schema)
+        scored = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            cand_kernel, out_schema
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.col("neighbor_id")
     )
@@ -1646,13 +1687,35 @@ def pq_topk(
         axis=1,
     )
 
-    codes = pq_encode(corpus, books, id_col, vec_col)
-
+    # Round 12 (guide §4.1 — minimize JVM↔Python crossings): encoding is
+    # fused INTO the scoring kernel instead of chaining pq_encode's
+    # kernel in front of it — the codes never surface in this operator's
+    # output, and two stacked MapInPandas nodes paid two Arrow
+    # round-trips plus a second Python-worker handshake per task
+    # (~0.3 s/stage of pure overhead at the bench tiers). Same argmin
+    # (np.argmin, first min → smaller code) over the same _sub_d2 tables
+    # as pq_encode, so codes — and therefore every approx_d2 — are
+    # bit-identical; pq_encode stays the public standalone operator.
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            C = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            M = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            # belt-and-braces finite mask identical to pq_encode's: the
+            # plan-level _finite_vec pre-filter above already dropped
+            # non-finite vectors, so this is a no-op on this path
+            finite = np.isfinite(M).all(axis=1)
+            if not finite.all():
+                pdf = pdf.loc[finite].reset_index(drop=True)
+                M = M[finite]
+                if len(pdf) == 0:
+                    continue
+            C = np.empty((len(pdf), m), dtype=np.int64)  # (n, m)
+            for s in range(m):
+                d2 = _sub_d2(M[:, s * sub : (s + 1) * sub], books[s])
+                C[:, s] = np.argmin(d2, axis=1)  # first min → smaller code
             nq = len(q_ids)
             # lookup: approx[q, i] = Σ_s tables[q, s, C[i, s]]
             approx = np.zeros((nq, len(pdf)))
@@ -1697,7 +1760,9 @@ def pq_topk(
                 }
             )
 
-    scored = codes.mapInPandas(score, out_schema)
+    scored = spread(corpus.select(id_col, vec_col)).mapInPandas(
+        score, out_schema
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("approx_d2"), F.asc("neighbor_id")
     )

@@ -918,24 +918,7 @@ def evt_sliding_users_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t.events.filter(F.col("ts").isNotNull()).select(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     )
-    # barrier: the per-user hour sets feed BOTH the interval deltas and
-    # the observed-hour spine — left lazy, the raw event scan + shuffle
-    # would run twice. Hour-set size is calendar-bounded (distinct hours
-    # in the data's time range), so even a hot user's array is small.
-    g = barrier(
-        ev.groupBy("user_id").agg(
-            F.array_sort(F.collect_set("h")).alias("_hs")
-        )
-    )
-    n = F.size("_hs")
     sec = lambda c: F.unix_timestamp(c)  # noqa: E731 — gap compare only
-    hs = F.col("_hs")
-
-    def _at(i):
-        # F.get (0-based) not element_at: the neighbor probes run out of
-        # range at the array ends and must yield NULL, not an ANSI
-        # INVALID_ARRAY_INDEX — boolean OR does not short-circuit.
-        return F.get(hs, i - 1)
 
     # per element i (1-based): island START iff first or gap to the
     # previous hour > 24 h (same ≤24-merges rule as the old window);
@@ -943,35 +926,70 @@ def evt_sliding_users_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (+1, h_i); end emits (-1, h_i + 24 h) — identical to the old
     # (_e + 1 h) with _e = max + 23 h. Non-contributing slots emit a
     # NULL struct and are filtered.
-    contrib = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.filter(
-                F.array(
-                    F.when(
-                        (i == 1) | (sec(_at(i)) - sec(_at(i - 1)) > 86400),
-                        F.struct(_at(i).alias("tick"), F.lit(1).alias("d")),
-                    ),
-                    F.when(
-                        (i == n) | (sec(_at(i + 1)) - sec(_at(i)) > 86400),
-                        F.struct(
-                            (_at(i) + F.expr("INTERVAL 24 HOURS")).alias(
-                                "tick"
+    def _contrib_of(hs):
+        n = F.size(hs)
+
+        def _at(i):
+            # F.get (0-based) not element_at: the neighbor probes run
+            # out of range at the array ends and must yield NULL, not
+            # an ANSI INVALID_ARRAY_INDEX — boolean OR does not
+            # short-circuit.
+            return F.get(hs, i - 1)
+
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.filter(
+                    F.array(
+                        F.when(
+                            (i == 1)
+                            | (sec(_at(i)) - sec(_at(i - 1)) > 86400),
+                            F.struct(
+                                _at(i).alias("tick"), F.lit(1).alias("d")
                             ),
-                            F.lit(-1).alias("d"),
+                        ),
+                        F.when(
+                            (i == n)
+                            | (sec(_at(i + 1)) - sec(_at(i)) > 86400),
+                            F.struct(
+                                (
+                                    _at(i) + F.expr("INTERVAL 24 HOURS")
+                                ).alias("tick"),
+                                F.lit(-1).alias("d"),
+                            ),
                         ),
                     ),
+                    lambda s: s.isNotNull(),
                 ),
-                lambda s: s.isNotNull(),
-            ),
+            )
         )
+
+    # barrier: the per-user hour sets feed BOTH the interval deltas and
+    # the observed-hour spine — left lazy, the raw event scan + shuffle
+    # would run twice. Hour-set size is calendar-bounded (distinct hours
+    # in the data's time range), so even a hot user's array is small.
+    # Round 12: the delta derivation is let-bound INSIDE the aggregate's
+    # result expression, so the barrier stores (hours, deltas) per user
+    # and the explodes below consume stored ATTRIBUTES — computed in a
+    # Project above, Catalyst inlined the island HOFs into the Generate,
+    # which re-evaluated them once per output DELTA row (plus once in
+    # the inferred non-empty filter) instead of once per user.
+    packed = F.element_at(
+        F.transform(
+            F.array(F.array_sort(F.collect_set("h"))),
+            lambda hs: F.struct(
+                hs.alias("hs"), _contrib_of(hs).alias("contrib")
+            ),
+        ),
+        1,
     )
+    g = barrier(ev.groupBy("user_id").agg(packed.alias("_p")))
     deltas = (
         g.filter(F.col("user_id").isNotNull())
-        .select(F.explode(contrib).alias("_x"))
+        .select(F.explode("_p.contrib").alias("_x"))
         .select("_x.tick", "_x.d")
     )
-    observed = g.select(F.explode("_hs").alias("tick")).distinct()
+    observed = g.select(F.explode("_p.hs").alias("tick")).distinct()
     # The delta spine only carries interval ENDPOINTS; an observed tick
     # strictly inside a coverage interval needs a 0-delta row so the
     # running sum surfaces a value AT that tick.
