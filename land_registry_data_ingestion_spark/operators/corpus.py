@@ -519,19 +519,22 @@ def lm_perplexity_score(
     tokens, where ``c_t`` is the corpus count of token ``t``, ``N`` total
     tokens, ``V`` vocabulary size.
 
-    Shuffle ledger: one explode → (doc, term) pass feeds BOTH the LM
+    Shuffle ledger: an explode → (doc, term) stream feeds BOTH the LM
     counts (term-keyed agg, broadcast back — the per-term table is
     vocabulary-sized, thousands of times smaller than the corpus) and the
-    per-doc mean (doc-keyed agg with map-side combine). The corpus text
-    is tokenized once behind a barrier. A real deployment would train the
-    LM on a reference corpus (wikipedia) and broadcast it the same way —
-    the plan is identical, only the counts frame's source changes.
+    per-doc mean (doc-keyed agg with map-side combine). The stream is
+    deliberately NOT barriered (round 12): materializing one row per
+    TOKEN costs more than tokenizing the corpus twice — interleaved A/B
+    at both bench tiers read 1.02 → 0.63 s (headline) and 1.50 → 0.98 s
+    (scale) for the recompute form, the same barrier-vs-recompute
+    trade-off the MinHash core measured in round 11. A real deployment
+    would train the LM on a reference corpus (wikipedia) and broadcast
+    it the same way — the plan is identical, only the counts frame's
+    source changes.
     """
-    tok = barrier(
-        spread(df).select(
-            F.col(id_col),
-            F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
-        )
+    tok = spread(df).select(
+        F.col(id_col),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
     )
     # counts is consumed twice (the broadcast LM table and the corpus
     # stats) — barrier it (vocabulary-sized, hence small=True) so the

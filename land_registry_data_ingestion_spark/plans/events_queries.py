@@ -240,53 +240,69 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE scan + ONE user-keyed shuffle (round 11, guide §2.3/§2.4; the
     previous shape ran three scans, three user-keyed aggregates, two
     joins and two barriers): every stage gate is a function of the
-    user's own events, so one aggregate collects the per-user click /
-    purchase timestamp lists (the same (user_id, ts) bytes the three
-    shuffles moved, once) plus min view ts, and the funnel walks in-row
-    with higher-order functions — t_click = min click ts ≥ t_view,
-    t_purchase = min purchase ts ≥ t_click (NULL gates drop via
-    three-valued `filter`, exactly like the joins' `ts >= t` predicate).
+    user's own events. Round 12 (ADVICE): the gates walk the user's
+    events through RUNNING window minima instead of collecting the full
+    click/purchase timestamp lists into one aggregation row — a hot
+    (bot) user's unbounded list could blow a single task's buffer,
+    while a window partition spills to disk. The gate algebra is
+    equivalent, not approximated: a click c advances the funnel iff
+    c ≥ min(all views), which holds iff SOME view ≤ c exists, i.e. iff
+    the running view-min at c (RANGE frame, ties included — the join's
+    `ts >= t` admits equality) is non-NULL; likewise a purchase p
+    counts iff p ≥ t_click = min eligible click, which holds iff some
+    eligible click ≤ p exists, i.e. iff the running eligible-click min
+    at p is non-NULL. The per-user flags then reduce in a groupBy on
+    the SAME key as the window partition — no second exchange.
     Stage 2/3 membership additionally requires a non-NULL user_id: the
     oracle's `e.user_id = v.user_id` join never matches NULL, while the
-    stage-1 GROUP BY keeps the NULL-user group."""
+    stage-1 GROUP BY keeps the NULL-user group. NULL-ts events can
+    never anchor or match a gate (`ts >= t` is never true on NULL) and
+    drop up front."""
     t = load_tables(spark, sf_dir)
-    ev = t.events.filter(
-        F.col("event_type").isin("view", "click", "purchase")
-    ).select("user_id", "event_type", "ts")
-    g = ev.groupBy("user_id").agg(
-        F.count(F.when(F.col("event_type") == "view", F.lit(1))).alias(
-            "_n_view"
-        ),
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
-            "t_view"
-        ),
-        F.collect_list(
-            F.when(F.col("event_type") == "click", F.col("ts"))
-        ).alias("_clicks"),
-        F.collect_list(
-            F.when(F.col("event_type") == "purchase", F.col("ts"))
-        ).alias("_purchases"),
+    ev = (
+        t.events.filter(
+            F.col("event_type").isin("view", "click", "purchase")
+        )
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_type", "ts")
     )
-    staged = g.withColumn(
-        "t_click",
-        F.array_min(F.filter("_clicks", lambda x: x >= F.col("t_view"))),
-    ).withColumn(
-        "t_purchase",
-        F.array_min(F.filter("_purchases", lambda x: x >= F.col("t_click"))),
+    w = Window.partitionBy("user_id").orderBy("ts").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    view_run = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    staged = ev.withColumn(
+        "_ec",
+        F.when(
+            (F.col("event_type") == "click") & view_run.isNotNull(),
+            F.col("ts"),
+        ),
+    )
+    click_run = F.min("_ec").over(w)
+    staged = staged.withColumn(
+        "_ep",
+        F.when(
+            (F.col("event_type") == "purchase") & click_run.isNotNull(),
+            F.lit(1),
+        ),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", F.lit(1))).alias(
+            "_nv"
+        ),
+        F.count("_ec").alias("_nc"),
+        F.count("_ep").alias("_np"),
     )
     keyed = F.col("user_id").isNotNull()
     # count(when(...)), not sum(when/otherwise): COUNT is 0 on an empty
     # corpus where SUM is NULL — the oracle's per-stage COUNT(*) legs
     # emit 0 rows-counted even when no user ever reached the stage
     # (empty-tier adversarial contract).
-    counts = staged.agg(
-        F.count(F.when(F.col("_n_view") > 0, F.lit(1))).alias("n1"),
-        F.count(
-            F.when(keyed & F.col("t_click").isNotNull(), F.lit(1))
-        ).alias("n2"),
-        F.count(
-            F.when(keyed & F.col("t_purchase").isNotNull(), F.lit(1))
-        ).alias("n3"),
+    counts = per_user.agg(
+        F.count(F.when(F.col("_nv") > 0, F.lit(1))).alias("n1"),
+        F.count(F.when(keyed & (F.col("_nc") > 0), F.lit(1))).alias("n2"),
+        F.count(F.when(keyed & (F.col("_np") > 0), F.lit(1))).alias("n3"),
     )
     stages = F.array(
         F.struct(F.lit("1_view").alias("stage"), F.col("n1").alias("n_users")),
