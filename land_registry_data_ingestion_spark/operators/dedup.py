@@ -1113,8 +1113,13 @@ def simhash_near_duplicates(
             F.col(id_col).alias("doc"), F.col(fp_col).alias("fp")
         )
     )
+    # Round 12: both sides of the block self-join (a/b below) derive
+    # from ``blocks`` — left lazy, the distinct-fp aggregate and the
+    # block expansion execute once per side. Barriered (≤ n_blocks
+    # skinny rows per DISTINCT fingerprint), they run once — the same
+    # double-evaluation guard as the MinHash band barrier.
     fps = all_fps.groupBy("fp").agg(F.min("doc").alias("doc"))
-    blocks = fps.select(
+    blocks = barrier(fps.select(
         F.col("doc"),
         F.col("fp"),
         F.explode(
@@ -1130,7 +1135,7 @@ def simhash_near_duplicates(
                 ]
             )
         ).alias("blk"),
-    ).select("doc", "fp", "blk.block_idx", "blk.block_val")
+    ).select("doc", "fp", "blk.block_idx", "blk.block_val"))
     a = blocks.select(
         "block_idx", "block_val", F.col("doc").alias("doc_a"), F.col("fp").alias("fp_a")
     )

@@ -23,14 +23,15 @@ from land_registry_data_ingestion_spark.plans.registry import _load_all, REGISTR
 from tests.oracle_harness import run_compare
 
 
-def _load_tier_names() -> list[str]:
-    """The generator's tier set, read from gen_adversarial.py's
-    TIER_DEFAULT_OUT literal so the two scripts can never disagree about
-    what a tier is (round-10 review: --tier used to be a free-form
-    label, so a typo'd or reused label produced a clean-looking
-    ADVERSARIAL.json record for a tier that never actually ran). Parsed
-    via AST, not exec'd: importing the generator pulls pyarrow and
-    builds its perturbation tables, which even ``--help`` would pay."""
+def _load_tier_dirs() -> dict[str, str]:
+    """The generator's tier → default-output-dir map, read from
+    gen_adversarial.py's TIER_DEFAULT_OUT literal so the two scripts can
+    never disagree about what a tier is (round-10 review: --tier used to
+    be a free-form label, so a typo'd or reused label produced a
+    clean-looking ADVERSARIAL.json record for a tier that never actually
+    ran). Parsed via AST, not exec'd: importing the generator pulls
+    pyarrow and builds its perturbation tables, which even ``--help``
+    would pay."""
     import ast
 
     path = os.path.join(os.path.dirname(__file__), "gen_adversarial.py")
@@ -40,8 +41,12 @@ def _load_tier_names() -> list[str]:
         if isinstance(node, ast.Assign) and any(
             getattr(t, "id", None) == "TIER_DEFAULT_OUT" for t in node.targets
         ):
-            return sorted(ast.literal_eval(node.value))
+            return ast.literal_eval(node.value)
     raise RuntimeError(f"TIER_DEFAULT_OUT not found in {path}")
+
+
+def _load_tier_names() -> list[str]:
+    return sorted(_load_tier_dirs())
 
 
 def dir_digest(d: str) -> str:
@@ -132,7 +137,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         # the optional positional — reinterpret it as the first name.
         args.names.insert(0, args.data_dir_pos)
         args.data_dir_pos = None
-    args.data_dir = args.data_dir_flag or args.data_dir_pos or "/tmp/sfadv"
+    # `--tier X` without a data dir defaults to X's OWN generator dir
+    # (round-11 note: the flat /tmp/sfadv default silently let the
+    # hostile dir stand in for every tier during the end-of-round
+    # re-record — each tier record must bind to its tier's data).
+    args.data_dir = (
+        args.data_dir_flag
+        or args.data_dir_pos
+        or _load_tier_dirs()[args.tier]
+    )
     if not Path(args.data_dir).is_dir():
         p.error(f"data dir does not exist: {args.data_dir}")
     return args
